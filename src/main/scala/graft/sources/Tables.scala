@@ -20,10 +20,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
-  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
+    * natively; read it as epoch-nanos long and truncate to microseconds
+    * (same truncation DuckDB applies on CAST(ts_ns AS TIMESTAMP), so the
+    * oracle sees identical instants).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
