@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (north-star training-data-pipeline surface).
+  *
+  * Scale design (the part that matters at 100 TB):
+  * - Candidate generation is ALWAYS bucket-join shaped — explode to
+  *   (bucket, doc) and self-join on the bucket key. Never an all-pairs
+  *   crossJoin: cost is Σ bucket_size², not n².
+  * - Signatures are built from built-in codegen'd expressions
+  *   (`split`/`transform`/`aggregate`/`xxhash64`) — a pure map stage, no
+  *   UDF serialization, no shuffle until the bucket groupBy.
+  * - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Word k-shingles of the lowercased text, distinct. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = split(lower(text), " ")
+    array_distinct(
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash families,
+    * the minimum xxhash64 over the shingle set.
+    */
+  def minhashSig(sh: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+    }: _*)
+
+  /** (band_id, band_hash) pairs for LSH banding of a minhash signature. */
+  def bands(sig: Column, numBands: Int = 4, rowsPerBand: Int = 4): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }: _*)
+
+  /** Docs with shingle set + minhash signature + exploded LSH buckets. */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select($"doc_id", shingles($"text").as("sh"))
+      .where(size($"sh") > 0)
+      .withColumn("sig", minhashSig($"sh"))
+      .select($"doc_id", $"sh", explode(bands($"sig")).as("b"))
+      .select($"doc_id", $"sh", $"b.band".as("band"), $"b.bh".as("bh"))
+
+  /** Candidate near-dup pairs from LSH bucket collisions, verified with
+    * exact Jaccard over shingle sets. Bucket-join, never n².
+    */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val l = lshBuckets(s, d)
+    val a = l.select($"band", $"bh", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = l.select($"band", $"bh", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double")
+          / size(array_union($"sh_a", $"sh_b")), 4))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Token xxhash64 array for [[simhash]] — materialize once per row. */
+  def tokenHashes(text: Column): Column =
+    transform(split(lower(text), " "), t => xxhash64(t))
+
+  /** 64-bit SimHash from a token-hash array: per bit, sign of Σ±1 across
+    * token hashes. Bits unrolled at plan-build time — pure column math.
+    */
+  def simhash(hashes: Column): Column =
+    (0 until 64).map { b =>
+      when(
+        aggregate(hashes, lit(0L),
+          (s2, h) => s2 + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+          > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  def ops: Seq[Op] = Seq(
+
+    // Exact dedup on normalized text: keep min doc_id per content group
+    // (hash-groupBy — the 100 TB shape: one shuffle on the fingerprint).
+    Op("dedup_exact",
+      (s, d) => docs(s, d)
+        .groupBy(md5(lower(trim($"text")).cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+        .orderBy($"keep_doc_id"),
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_doc_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin),
+
+    // MinHash+LSH near-dup candidate pairs w/ exact-Jaccard verification.
+    // Not ANSI-SQL-expressible (seeded xxhash64 families differ across
+    // engines) → rows-only check here, planted-duplicate scalatest in
+    // DedupSpec.
+    Op("dedup_minhash_lsh",
+      (s, d) => nearDupPairs(s, d, threshold = 0.5), None),
+
+    // SimHash per doc + 4×16-bit LSH band values for bucketing.
+    Op("dedup_simhash",
+      (s, d) => docs(s, d)
+        .select($"doc_id", tokenHashes($"text").as("th"))
+        .select($"doc_id", simhash($"th").as("sim64"))
+        .select(Seq($"doc_id".as("doc_id"), $"sim64".as("sim64")) ++
+          (0 until 4).map(b =>
+            shiftright($"sim64", b * 16).bitwiseAND(0xFFFFL).as(s"band$b")): _*)
+        .orderBy($"doc_id"), None),
+
+    // Exact n-gram Jaccard similarity for a fixed candidate set — the
+    // verification kernel alone, SQL-expressible and oracle-checked:
+    // consecutive doc_id pairs as a deterministic stand-in candidate list.
+    Op("ngram_jaccard",
+      (s, d) => {
+        val sh = docs(s, d).select($"doc_id", shingles($"text").as("sh"))
+        val a = sh.select(($"doc_id").as("doc_a"), $"sh".as("sh_a"))
+        val b = sh.select(($"doc_id").as("doc_b"), $"sh".as("sh_b"))
+        a.join(b, $"doc_b" === $"doc_a" + 1)
+          .select($"doc_a", $"doc_b",
+            round(size(array_intersect($"sh_a", $"sh_b")).cast("double")
+              / size(array_union($"sh_a", $"sh_b")), 4).as("jaccard"))
+          .orderBy($"doc_a")
+      },
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin)
+  )
+}

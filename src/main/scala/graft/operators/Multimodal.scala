@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with a typed metadata struct, plus decode/feature-extract stages.
+  *
+  * The decode kernel is a STUB (no image/audio codecs in this
+  * environment): [[fakeDecode]] derives deterministic pseudo-features from
+  * the payload bytes. The Spark-side plumbing — binary column, metadata
+  * schema, per-partition batched processing, feature schema — is real and
+  * is what carries over to a production decode (swap [[fakeDecode]] for a
+  * codec call inside the same `mapPartitions` batch loop).
+  *
+  * Scale: payloads stay distributed (never collected); per-partition
+  * iteration amortizes any decoder init cost across a partition's rows —
+  * the JVM analog of `mapInPandas` batching.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      media_type: String, width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, frames_sampled: Int, feature0: Double)
+
+  /** Documents re-cast as a media table: text bytes play the opaque
+    * payload; metadata derived deterministically.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      $"doc_id",
+      $"text".cast("binary").as("payload"),
+      when($"doc_id" % 3 === 0, "image/png")
+        .when($"doc_id" % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_type"),
+      (($"doc_id" % 8) * 160 + 320).cast("int").as("width"),
+      (($"doc_id" % 8) * 90 + 180).cast("int").as("height"))
+
+  /** STUB decode: a real implementation would hand `payload` to a codec.
+    * Deterministic fake: features from byte length + first byte.
+    */
+  private def fakeDecode(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    val first = if (n > 0) (r.payload(0) & 0xFF) else 0
+    val frames = if (r.media_type == "video/mp4") (n % 16).toInt + 1 else 1
+    MediaFeatures(r.doc_id, n, r.width, r.height, frames,
+      (first * 31 + n % 97).toDouble)
+  }
+
+  /** Batched per-partition decode — the `mapInPandas`-shaped stage. */
+  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord]
+      .mapPartitions(_.map(fakeDecode))
+      .toDF()
+  }
+
+  def ops: Seq[Op] = Seq(
+    // The oracle checks the deterministic parts of the pipeline (payload
+    // byte length, metadata arithmetic, stub feature formula) end-to-end.
+    Op("multimodal_features",
+      (s, d) => extractFeatures(s, d).orderBy($"doc_id"),
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 + 1 ELSE 1 END AS INT) AS frames_sampled,
+        |  CAST(ascii(substr(text, 1, 1)) * 31 + octet_length(encode(text)) % 97 AS DOUBLE) AS feature0
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

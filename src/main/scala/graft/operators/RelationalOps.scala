@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Relational extension queries over the TPC-H-ish tables (SURVEY.md §2.7:
+  * joins are absent from the reference and enter via the north-star
+  * extension surface; the testdata star schema is the correctness vehicle).
+  *
+  * Scale design: dimension tables (region/nation/supplier, and customer at
+  * any realistic ratio) are broadcast — no shuffle of the fact side;
+  * fact-fact joins (lineitem⋈orders) shuffle on the join key once, and
+  * AQE handles skew at the 100 TB end. Money aggregates go through
+  * DECIMAL so partial/final aggregation is order-exact.
+  */
+object RelationalOps {
+
+  /** Exact money sum: 2-dp doubles via decimal, back to double. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        moneySum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+          .cast("double").as("sum_disc_price"),
+        round(moneySum($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        round(moneySum($"l_extendedprice") / count(lit(1)), 4).as("avg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  def ops: Seq[Op] = Seq(
+
+    Op("q1_pricing",
+      (s, d) => pricingSummary(s, d),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Fact⋈fact shuffle join + top-N by exact revenue (TPC-H Q3 shape).
+    Op("q3_top_orders",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10),
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // Broadcast-dimension join: orders⋈customer⋈nation, revenue per nation.
+    Op("join_rev_nation",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("num_orders"),
+          moneySum($"o_totalprice").as("total_rev"))
+        .orderBy($"n_name"),
+      """SELECT n_name, count(*) AS num_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // Five-way join down the region→nation→customer→orders→lineitem spine
+    // (TPC-H Q5 shape): broadcast the dimension chain, shuffle facts once.
+    Op("q5_region_rev",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .where($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name"),
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // Semi-join + distinct count: customers with high-value orders per segment.
+    Op("segment_stats",
+      (s, d) => {
+        val highOrders = Tables.orders(s, d).where($"o_totalprice" > 100000.0)
+        Tables.customer(s, d)
+          .join(highOrders, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum($"c_acctbal".cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+              .as("avg_acctbal"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query set is always the broadcast side (k query
+  * vectors × n candidates via BroadcastNestedLoopJoin — n is never
+  * shuffled, never crossJoined against itself). Vector math is built-in
+  * higher-order column functions (`transform`/`zip_with`/`aggregate`)
+  * over the array column — executed per-row, no UDF, no collect. The LSH
+  * variant prunes candidates to one bucket per query: Σ bucket² work.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** Embedding as double array (float→double cast is exact, and double
+    * accumulation matches the DuckDB oracle bit-for-bit).
+    */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbours for each query vector (vec_id < numQueries). */
+  def bruteForceTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = emb(s, d).select($"vec_id", asDouble($"embedding").as("e"))
+    val q = broadcast(v.where($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"e".as("qe")))
+    import org.apache.spark.sql.expressions.Window
+    q.join(v, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", round(cosine($"qe", $"e"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .select($"q_id", $"vec_id", $"cos", $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Deterministic random hyperplanes: numPlanes × dim, values in [-1, 1]
+    * from an LCG keyed on (plane, dim) — reproducible across sessions.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = (p * 1315423911L + i * 2654435761L) % 100003L
+        (h.toDouble / 100003.0) * 2.0 - 1.0
+      }
+    }
+
+  /** LSH bucket id: sign bits of the dot products with the hyperplanes. */
+  def bucketOf(e: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, idx) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(e, planeCol) > 0, lit(1L << idx)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN: assign every vector to a hyperplane-sign bucket; probe only the
+    * query's bucket. Recall < 1 by construction; the scalatest asserts
+    * bucket integrity and subset-of-bruteforce ordering.
+    */
+  def annTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      numPlanes: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val v = emb(s, d)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .withColumn("bucket", bucketOf($"e", planes))
+    val q = broadcast(v.where($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"bucket"))
+    import org.apache.spark.sql.expressions.Window
+    q.join(v, Seq("bucket"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"bucket", $"vec_id", round(cosine($"qe", $"e"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
+  def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
+      numPlanes: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val v = emb(s, d)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .withColumn("bucket", bucketOf($"e", planes))
+    val a = v.select($"bucket", $"vec_id".as("id_a"), $"e".as("e_a"))
+    val b = v.select($"bucket", $"vec_id".as("id_b"), $"e".as("e_b"))
+    a.join(b, Seq("bucket"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(cosine($"e_a", $"e_b"), 6).as("cos"))
+      .where($"cos" >= threshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val sqlDot =
+    "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
+
+  def ops: Seq[Op] = Seq(
+
+    Op("similarity_topk",
+      (s, d) => bruteForceTopK(s, d),
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q_id, vec_id,
+         |         round(${sqlDot.format("qe", "e")}
+         |           / (sqrt(${sqlDot.format("qe", "qe")}) * sqrt(${sqlDot.format("e", "e")})), 6) AS cos
+         |  FROM q JOIN v ON vec_id != q_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM p)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+
+    // LSH-bucketed ANN and cosine near-dup: hash-family semantics are not
+    // portable SQL → rows-only here, recall/integrity asserted in
+    // SimilaritySpec.
+    Op("similarity_ann_lsh", (s, d) => annTopK(s, d), None),
+    // Keyed entry runs at 0.35 — the synthetic embeddings top out at
+    // cos≈0.51, so a 0.95 production threshold would (correctly) return
+    // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
+    // the 0.95 path with planted near-duplicates.
+    Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35), None)
+  )
+}

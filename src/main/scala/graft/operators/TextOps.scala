@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (north star, BASELINE.json): tokenization, token counting,
+  * language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All built-in codegen'd functions (`split`/`filter`/`regexp_*`/`md5`) —
+  * no UDFs, so every op stays inside whole-stage codegen and scales as a
+  * pure map over document partitions (zero shuffles except final agg/sort).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** English stopword list for the language-ID heuristic. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  def ops: Seq[Op] = Seq(
+
+    // Tokenize + length stats.
+    Op("text_stats",
+      (s, d) => docs(s, d)
+        .select($"doc_id", $"lang", $"n_chars",
+          length($"text").cast("long").as("text_len"),
+          size(toks($"text")).cast("long").as("n_words"))
+        .withColumn("chars_per_word",
+          round($"text_len".cast("double") / $"n_words", 4))
+        .orderBy($"doc_id"),
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |  round(CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')), 4) AS chars_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Token counting: whitespace tokens + a BPE-ish regex token count.
+    Op("token_count",
+      (s, d) => docs(s, d)
+        .select($"doc_id",
+          size(toks($"text")).cast("long").as("ws_tokens"),
+          regexp_count(lower($"text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"))
+        .orderBy($"doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Language-ID heuristic: stopword ratio over tokens (n-gram-free
+    // variant of the classic stopword profile method).
+    Op("lang_id",
+      (s, d) => {
+        val stops = array(Stopwords.map(lit): _*)
+        docs(s, d)
+          .select($"doc_id", $"lang",
+            size(toks($"text")).cast("long").as("n_tokens"),
+            size(filter(toks($"text"), t => array_contains(stops, t)))
+              .cast("long").as("n_stop"))
+          .withColumn("stop_ratio", round($"n_stop".cast("double") / $"n_tokens", 4))
+          .withColumn("pred_en", $"stop_ratio" >= 0.05)
+          .orderBy($"doc_id")
+      },
+      s"""SELECT doc_id, lang,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |       t -> list_contains([${Stopwords.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS n_stop,
+         |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+         |       t -> list_contains([${Stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+         |     / len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+         |  (round(CAST(len(list_filter(string_split(lower(text), ' '),
+         |       t -> list_contains([${Stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+         |     / len(string_split(lower(text), ' ')), 4) >= 0.05) AS pred_en
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length + punctuation-ratio components.
+    Op("quality_score",
+      (s, d) => docs(s, d)
+        .select($"doc_id",
+          length($"text").cast("long").as("text_len"),
+          size(toks($"text")).cast("long").as("n_words"),
+          length(regexp_replace(lower($"text"), "[a-z0-9 ]", "")).cast("long")
+            .as("n_punct"))
+        .withColumn("punct_ratio", round($"n_punct".cast("double") / $"text_len", 4))
+        .withColumn("score",
+          round(least(lit(1.0), $"n_words".cast("double") / 100.0)
+            * (lit(1.0) - $"punct_ratio"), 4))
+        .orderBy($"doc_id"),
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0)
+        |    * (1.0 - round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4)), 4) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Document fingerprinting: content hash + normalized-content hash
+    // (md5 is identical across engines, unlike xxhash64/duckdb-hash).
+    Op("doc_fingerprint",
+      (s, d) => docs(s, d)
+        .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+          md5(lower(trim($"text")).cast("binary")).as("fp_norm"))
+        .orderBy($"doc_id"),
+      """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Per-language corpus rollup.
+    Op("lang_stats",
+      (s, d) => docs(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          round(sum($"n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"))
+        .orderBy($"lang"),
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Top terms across the corpus: tokenize → explode → count → top 20
+    // (tf-idf-lite; the shuffle is by term with map-side partial counts).
+    Op("top_terms",
+      (s, d) => docs(s, d)
+        .select(explode(toks($"text")).as("term"))
+        .where(length($"term") > 0)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"term")
+        .limit(20),
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)
+  )
+}
