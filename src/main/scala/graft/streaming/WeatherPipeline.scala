@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.syntax._
+
+/** Streaming parity with the reference's speed layer
+  * (reference: flink/sql/weather-aggregation.sql:1-49): JSON-ish records →
+  * computed event_time (sql:6) → 5 s watermark (sql:7) → 5 s tumbling
+  * window × city → AVG + COUNT (sql:41-49) → keyed upsert sink with
+  * PRIMARY KEY (city, window_start) (sql:20-35, init-analytics-db.sql:9).
+  *
+  * Spark mapping: `withWatermark` + `window()` + `outputMode("update")` +
+  * `foreachBatch` keyed upsert. Late rows beyond the watermark are dropped
+  * by the streaming aggregation state (T3); window refinements re-emit
+  * under update mode and overwrite by key (T4), exactly like Flink's
+  * retract-to-JDBC-upsert path.
+  */
+object WeatherPipeline {
+
+  /** Raw record shape on the wire (reference: server.py:63-70). */
+  case class WeatherRecord(city: String, temperature: String, ts: String)
+
+  /** Parse + validate: computed event-time column, string→double cast,
+    * tolerant rejection of malformed rows (sql:6,15-16, server.py:54-61).
+    */
+  def parse(df: DataFrame): DataFrame =
+    df.withColumn("event_time", to_timestamp($"ts", "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("temp_d", expr("try_cast(temperature AS DOUBLE)"))
+      .where($"city".isNotNull && $"temp_d".isNotNull && $"event_time".isNotNull)
+
+  /** 5 s tumble × city → AVG/COUNT with bounded lateness. */
+  def windowedAgg(parsed: DataFrame, watermark: String = "5 seconds"): DataFrame =
+    parsed
+      .withWatermark("event_time", watermark)
+      .groupBy(window($"event_time", "5 seconds"), $"city")
+      .agg(avg($"temp_d").as("avg_temperature"), count(lit(1)).as("record_count"))
+      .select($"city", $"window.start".as("window_start"),
+        $"window.end".as("window_end"), $"avg_temperature", $"record_count")
+
+  /** Keyed upsert store — the test stand-in for the reference's Postgres
+    * sink (PRIMARY KEY (city, window_start)). The `.collect()` here is on
+    * the *aggregated* micro-batch (one row per refined window×key — small
+    * by construction); a production deployment swaps this body for a JDBC
+    * MERGE over the same batch DataFrame.
+    */
+  final class UpsertStore {
+    private val m = scala.collection.concurrent.TrieMap[(String, java.sql.Timestamp), (java.sql.Timestamp, Double, Long)]()
+    def upsert(batch: DataFrame): Unit =
+      batch.collect().foreach { r =>
+        m.put((r.getAs[String]("city"), r.getAs[java.sql.Timestamp]("window_start")),
+          (r.getAs[java.sql.Timestamp]("window_end"),
+            r.getAs[Double]("avg_temperature"), r.getAs[Long]("record_count")))
+      }
+    def snapshot: Map[(String, java.sql.Timestamp), (java.sql.Timestamp, Double, Long)] = m.toMap
+    def size: Int = m.size
+  }
+
+  /** Wire source → agg → upsert sink; update mode (T4), per-micro-batch
+    * commit cadence via trigger (T5).
+    */
+  def run(source: DataFrame, store: UpsertStore,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    windowedAgg(parse(source))
+      .writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => store.upsert(batch) }
+      .start()
+
+  /** S6 streaming lake sink: hour-partitioned parquet micro-batch commits
+    * (reference: register-connector.sh:19-45 Iceberg sink, 10 s cadence).
+    */
+  def lakeSink(source: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    parse(source)
+      .withColumn("ts_hour", date_format($"event_time", "yyyy-MM-dd-HH"))
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "zstd")
+      .partitionBy("ts_hour")
+      .format("parquet")
+      .start(path)
+}

@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One session for the whole forked test JVM. */
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf: String = "/root/testdata/sf0.001"
+}

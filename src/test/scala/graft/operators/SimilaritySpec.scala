@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.{spark, sf}
+
+class SimilaritySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (Array(3.0, 4.0, 0.0), Array(3.0, 4.0, 0.0))
+    ).toDF("a", "b").select(round(Similarity.cosine($"a", $"b"), 9).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(1.0, 0.0, 1.0))
+  }
+
+  test("brute-force top-k is ordered desc and self-excluded") {
+    val rows = Similarity.bruteForceTopK(spark, sf, numQueries = 3, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qId, rs) =>
+      val cos = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y }, "desc order")
+      assert(rs.forall(_.getLong(1) != qId), "self excluded")
+      assert(rs.length <= 5)
+    }
+  }
+
+  test("ANN results are a subset of the query's bucket, ranked like brute force") {
+    val ann = Similarity.annTopK(spark, sf, numQueries = 3, k = 5).collect()
+    assert(ann.nonEmpty)
+    // every (q, hit) pair must share the LSH bucket
+    val planes = Similarity.hyperplanes(4, 64)
+    val buckets = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        Similarity.bucketOf(transform($"embedding", x => x.cast("double")), planes)
+          .as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.foreach { r =>
+      val (q, hit) = (r.getLong(0), r.getLong(2))
+      assert(buckets(q) === buckets(hit), s"q=$q hit=$hit not co-bucketed")
+    }
+    // within a bucket, ANN ranking equals brute-force cosine ranking
+    val bf = Similarity.bruteForceTopK(spark, sf, numQueries = 3, k = 500)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2)))).toMap
+    ann.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val annIds = rs.sortBy(_.getLong(4)).map(_.getLong(2)).toSeq
+      val expected = bf(q).filter(p => buckets(p._1) == buckets(q)).map(_._1).take(annIds.size).toSeq
+      assert(annIds === expected)
+    }
+  }
+
+  test("cosine dedup finds planted near-identical vectors") {
+    // plant: 100 base vectors + 1 near-copy of vec 0 (tiny perturbation)
+    val base = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+      .limit(100)
+    val planted = base.where($"vec_id" === 0)
+      .select(lit(100000L).as("vec_id"),
+        transform($"e", x => x * 1.000001).as("e"))
+    val all = base.union(planted)
+    val planes = Similarity.hyperplanes(4, 64)
+    val v = all.withColumn("bucket", Similarity.bucketOf($"e", planes))
+    val a = v.select($"bucket", $"vec_id".as("id_a"), $"e".as("e_a"))
+    val b = v.select($"bucket", $"vec_id".as("id_b"), $"e".as("e_b"))
+    val pairs = a.join(b, Seq("bucket")).where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", Similarity.cosine($"e_a", $"e_b").as("cos"))
+      .where($"cos" >= 0.999)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100000L)))
+  }
+
+  test("similarity plans broadcast the query side (no shuffle of candidates)") {
+    val plan = Similarity.bruteForceTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query vectors must be broadcast")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.{spark, sf}
+import graft.syntax._
+
+/** S6/S7: pruned scan ≡ full scan + filter, and pruning actually prunes
+  * (files read under the partition filter < total files).
+  */
+class LakeIOSpec extends AnyFunSuite {
+
+  private lazy val path = LakeIO.ensureLake(spark, sf)
+
+  test("pruned scan equals full scan + ts filter") {
+    val pruned = LakeIO.prunedScan(spark, path,
+      "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    val full = Tables.events(spark, sf)
+      .where($"ts" >= to_timestamp(lit("2024-01-05 00:00:00"))
+        && $"ts" < to_timestamp(lit("2024-01-06 00:00:00")))
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.nonEmpty)
+    assert(pruned.toSeq === full.toSeq)
+  }
+
+  test("partition filter prunes: scan reads fewer files than the table has") {
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // populate scan metrics
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val all = spark.read.parquet(path)
+    val pruned = all.where($"ts_hour" >= "2024-01-05-00" && $"ts_hour" <= "2024-01-05-23")
+    val total = filesRead(all)
+    val kept = filesRead(pruned)
+    assert(kept > 0)
+    assert(kept < total, s"expected pruning: $kept < $total")
+  }
+
+  test("lake roundtrip preserves row count and schema columns") {
+    val n = spark.read.parquet(path).count()
+    assert(n === Tables.events(spark, sf).count())
+  }
+}

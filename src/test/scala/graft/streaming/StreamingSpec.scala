@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SharedSpark.spark
+import graft.streaming.WeatherPipeline._
+
+/** T1-T6 streaming parity (SURVEY.md §2.5): watermark, tumble windows,
+  * late-data drop, upsert refinement across micro-batches, malformed-row
+  * tolerance — the scalatest replacement for the reference's
+  * watch-the-dashboard verification of weather-aggregation.sql.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("T2: tumbling window bounds and per-window aggregation") {
+    val input = MemoryStream[WeatherRecord]
+    val store = new UpsertStore
+    val q = WeatherPipeline.run(input.toDF(), store)
+    try {
+      input.addData(
+        WeatherRecord("A", "10.0", "2024-01-01 10:00:01"),
+        WeatherRecord("A", "20.0", "2024-01-01 10:00:03"),
+        WeatherRecord("B", "30.0", "2024-01-01 10:00:06"))
+      q.processAllAvailable()
+      val snap = store.snapshot
+      assert(snap.keySet === Set(
+        ("A", ts("2024-01-01 10:00:00")), ("B", ts("2024-01-01 10:00:05"))))
+      val (wEnd, avg, cnt) = snap(("A", ts("2024-01-01 10:00:00")))
+      assert(wEnd === ts("2024-01-01 10:00:05"))
+      assert(avg === 15.0 && cnt === 2L)
+    } finally q.stop()
+  }
+
+  test("T4: upsert refines an existing window key across micro-batches") {
+    val input = MemoryStream[WeatherRecord]
+    val store = new UpsertStore
+    val q = WeatherPipeline.run(input.toDF(), store)
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      assert(store.snapshot(("A", ts("2024-01-01 10:00:00")))._3 === 1L)
+      // same window, next micro-batch (still within watermark) → refined
+      input.addData(WeatherRecord("A", "30.0", "2024-01-01 10:00:02"))
+      q.processAllAvailable()
+      val (_, avg, cnt) = store.snapshot(("A", ts("2024-01-01 10:00:00")))
+      assert(cnt === 2L && avg === 20.0, "update mode must overwrite by key")
+      assert(store.size === 1)
+    } finally q.stop()
+  }
+
+  test("T1/T3: rows later than the watermark are dropped") {
+    val input = MemoryStream[WeatherRecord]
+    val store = new UpsertStore
+    val q = WeatherPipeline.run(input.toDF(), store)
+    try {
+      // advance watermark to 10:05:00 - 5s
+      input.addData(WeatherRecord("A", "50.0", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // way-late row: window [10:00:00,10:00:05) closed long ago
+      input.addData(WeatherRecord("A", "99.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      assert(!store.snapshot.contains(("A", ts("2024-01-01 10:00:00"))),
+        "late row beyond watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("tolerance: malformed temperature/ts rows are filtered, not fatal") {
+    val input = MemoryStream[WeatherRecord]
+    val store = new UpsertStore
+    val q = WeatherPipeline.run(input.toDF(), store)
+    try {
+      input.addData(
+        WeatherRecord("A", "10.0", "2024-01-01 10:00:01"),
+        WeatherRecord("A", "not-a-number", "2024-01-01 10:00:02"),
+        WeatherRecord("A", "30.0", "garbage-ts"),
+        WeatherRecord(null, "30.0", "2024-01-01 10:00:03"))
+      q.processAllAvailable()
+      assert(store.snapshot(("A", ts("2024-01-01 10:00:00")))._3 === 1L)
+    } finally q.stop()
+  }
+
+  test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.lakeSink(input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(
+        WeatherRecord("A", "10.0", "2024-01-01 10:00:01"),
+        WeatherRecord("B", "20.0", "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data")
+      assert(out.count() === 2)
+      val hours = out.select("ts_hour").distinct().collect().map(_.getString(0)).sorted
+      assert(hours === Array("2024-01-01-10", "2024-01-01-11"))
+    } finally q.stop()
+  }
+}
