@@ -31,13 +31,22 @@ object Dedup {
         i => concat_ws(" ", slice(t, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash families,
-    * the minimum xxhash64 over the shingle set.
+  /** Deterministic odd multipliers/offsets for the affine minhash family. */
+  private def mhA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
+  private def mhB(i: Int): Long = 0xC2B2AE3D27D4EB4FL * (i + 1)
+
+  /** MinHash signature from pre-hashed shingles: shingle strings are
+    * xxhash64'd ONCE, then each of the `numHashes` families is a cheap
+    * affine transform `h*a+b` over the longs (the classic one-hash
+    * minhash construction — 16 string hashes per shingle would cost 16×
+    * the string traversals for the same estimator quality).
     */
-  def minhashSig(sh: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+  def minhashSig(sh: Column, numHashes: Int = 16): Column = {
+    val hs = transform(sh, x => xxhash64(x))
+    array((0 until numHashes).map { i =>
+      array_min(transform(hs, h => h * lit(mhA(i)) + lit(mhB(i))))
     }: _*)
+  }
 
   /** (band_id, band_hash) pairs for LSH banding of a minhash signature. */
   def bands(sig: Column, numBands: Int = 4, rowsPerBand: Int = 4): Column =
@@ -46,25 +55,39 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }: _*)
 
-  /** Docs with shingle set + minhash signature + exploded LSH buckets. */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+  /** Doc → distinct shingle set. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select($"doc_id", shingles($"text").as("sh"))
       .where(size($"sh") > 0)
-      .withColumn("sig", minhashSig($"sh"))
-      .select($"doc_id", $"sh", explode(bands($"sig")).as("b"))
-      .select($"doc_id", $"sh", $"b.band".as("band"), $"b.bh".as("bh"))
+
+  /** Doc → exploded LSH bucket keys (band, band-hash). */
+  private def lshBuckets(sh: DataFrame): DataFrame =
+    sh.withColumn("sig", minhashSig($"sh"))
+      .select($"doc_id", explode(bands($"sig")).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.bh".as("bh"))
 
   /** Candidate near-dup pairs from LSH bucket collisions, verified with
-    * exact Jaccard over shingle sets. Bucket-join, never n².
+    * exact Jaccard over shingle sets. Bucket-join, never n² — and the
+    * candidate `distinct` runs over bare (doc_a, doc_b) id pairs so the
+    * heavy shingle arrays never enter a shuffle until the (much smaller)
+    * verify join.
     */
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val l = lshBuckets(s, d)
-    val a = l.select($"band", $"bh", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = l.select($"band", $"bh", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    // Materialize the per-doc shingle sets once: they feed the signature
+    // pass and both verify-join legs (≈3× recompute of the tokenize+
+    // shingle+hash pipeline otherwise). Doc-id + shingles is tiny
+    // relative to the corpus; MEMORY_AND_DISK spills safely at scale.
+    val sh = shingleSets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = lshBuckets(sh)
+    val cands = l.select($"band", $"bh", $"doc_id".as("doc_a"))
+      .join(l.select($"band", $"bh", $"doc_id".as("doc_b")), Seq("band", "bh"))
       .where($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+      .select($"doc_a", $"doc_b").distinct()
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect($"sh_a", $"sh_b")).cast("double")
           / size(array_union($"sh_a", $"sh_b")), 4))

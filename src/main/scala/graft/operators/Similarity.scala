@@ -34,14 +34,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Vectors with the L2 norm materialized once per row — cosine per pair
+    * then costs one dot product, not three (the norm value is identical
+    * to recomputing it per pair, so oracle results don't move).
+    */
+  private def withNorm(v: DataFrame): DataFrame =
+    v.withColumn("nrm", norm($"e"))
+
   /** Exact top-k neighbours for each query vector (vec_id < numQueries). */
   def bruteForceTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = emb(s, d).select($"vec_id", asDouble($"embedding").as("e"))
+    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
     val q = broadcast(v.where($"vec_id" < numQueries)
-      .select($"vec_id".as("q_id"), $"e".as("qe")))
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn")))
     import org.apache.spark.sql.expressions.Window
     q.join(v, $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", round(cosine($"qe", $"e"), 6).as("cos"))
+      .select($"q_id", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
       .where($"rn" <= k)
@@ -74,15 +82,15 @@ object Similarity {
   def annTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
       numPlanes: Int = 4): DataFrame = {
     val planes = hyperplanes(numPlanes, 64)
-    val v = emb(s, d)
-      .select($"vec_id", asDouble($"embedding").as("e"))
+    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
       .withColumn("bucket", bucketOf($"e", planes))
     val q = broadcast(v.where($"vec_id" < numQueries)
-      .select($"vec_id".as("q_id"), $"e".as("qe"), $"bucket"))
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"bucket"))
     import org.apache.spark.sql.expressions.Window
     q.join(v, Seq("bucket"))
       .where($"vec_id" =!= $"q_id")
-      .select($"q_id", $"bucket", $"vec_id", round(cosine($"qe", $"e"), 6).as("cos"))
+      .select($"q_id", $"bucket", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
       .where($"rn" <= k)
@@ -93,14 +101,14 @@ object Similarity {
   def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
       numPlanes: Int = 4): DataFrame = {
     val planes = hyperplanes(numPlanes, 64)
-    val v = emb(s, d)
-      .select($"vec_id", asDouble($"embedding").as("e"))
+    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
       .withColumn("bucket", bucketOf($"e", planes))
-    val a = v.select($"bucket", $"vec_id".as("id_a"), $"e".as("e_a"))
-    val b = v.select($"bucket", $"vec_id".as("id_b"), $"e".as("e_b"))
+    val a = v.select($"bucket", $"vec_id".as("id_a"), $"e".as("e_a"), $"nrm".as("n_a"))
+    val b = v.select($"bucket", $"vec_id".as("id_b"), $"e".as("e_b"), $"nrm".as("n_b"))
     a.join(b, Seq("bucket"))
       .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", round(cosine($"e_a", $"e_b"), 6).as("cos"))
+      .select($"id_a", $"id_b",
+        round(dot($"e_a", $"e_b") / ($"n_a" * $"n_b"), 6).as("cos"))
       .where($"cos" >= threshold)
       .orderBy($"id_a", $"id_b")
   }

@@ -23,9 +23,16 @@ object LakeIO {
   def hourPartitioned(df: DataFrame): DataFrame =
     df.withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
 
-  /** Write `df` (with a `ts` timestamp column) hour-partitioned. */
+  /** Write `df` (with a `ts` timestamp column) hour-partitioned.
+    *
+    * `repartition(ts_hour)` clusters each hour into one task before the
+    * write: without it every task opens a writer per hour it touches —
+    * up to tasks×hours tiny files (the classic small-files explosion at
+    * scale); with it, one file per hour partition.
+    */
   def writeLake(df: DataFrame, path: String): Unit =
     hourPartitioned(df)
+      .repartition(col("ts_hour"))
       .write.mode("overwrite")
       .partitionBy("ts_hour")
       .option("compression", "zstd")
