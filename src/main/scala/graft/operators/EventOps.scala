@@ -272,6 +272,48 @@ object EventOps {
         |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin),
 
+    // ── T7-ext: sliding window (10 s window, 5 s slide) — beyond the
+    //    reference's tumble-only surface (SURVEY §2.5 T7).
+    Op("sliding_window_avg",
+      (s, d) => ev(s, d)
+        .groupBy(window($"ts", "10 seconds", "5 seconds"), $"event_type")
+        .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+        .select($"window.start".as("window_start"), $"window.end".as("window_end"),
+          $"event_type", $"avg_value", $"cnt")
+        .orderBy($"window_start", $"event_type"),
+      s"""WITH e AS (
+         |  SELECT event_type, value,
+         |         (epoch_us(CAST(ts AS TIMESTAMP)) // 5000000) * 5000000 AS b
+         |  FROM events),
+         |w AS (SELECT event_type, value, unnest([b, b - 5000000]) AS ws FROM e)
+         |SELECT make_timestamp(ws) AS window_start,
+         |       make_timestamp(ws + 10000000) AS window_end, event_type,
+         |       round(${sqlExactAvg("value")}, 4) AS avg_value, count(*) AS cnt
+         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin),
+
+    // ── T7-ext: session window (10 min inactivity gap) per key.
+    Op("session_window_stats",
+      (s, d) => ev(s, d)
+        .groupBy(session_window($"ts", "10 minutes"), $"event_type")
+        .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+        .select($"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"),
+          $"event_type", $"avg_value", $"cnt")
+        .orderBy($"session_start", $"event_type"),
+      s"""WITH o AS (
+         |  SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+         |         CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+         |                           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT min(t) AS session_start, max(t) + INTERVAL 10 MINUTE AS session_end,
+         |       event_type, round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       count(*) AS cnt
+         |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
+
     // ── O5: collect per-key series (server.js:45-57 regroup per city)
     Op("collect_per_key",
       (s, d) => ev(s, d)

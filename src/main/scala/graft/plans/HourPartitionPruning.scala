@@ -1,0 +1,101 @@
+package graft.plans
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
+
+/** Iceberg-style *hidden* partition pruning for the graft lake layout
+  * (reference: trino/sql/init-tables.sql:11 `partitioning=ARRAY['hour(ts)']`
+  * — Trino prunes on raw `ts` predicates because Iceberg tracks the
+  * hour(ts) transform; Spark's directory partitioning only prunes on the
+  * physical `ts_hour` column).
+  *
+  * This optimizer rule closes that gap: for any Filter over a relation
+  * exposing both `ts: timestamp` and `ts_hour: string` (the LakeIO
+  * layout), it derives the implied `ts_hour` predicates from `ts`
+  * comparisons and `hour(ts) = k` equalities and conjoins them, so
+  * Catalyst's PruneFileSourcePartitions can skip directories. Users write
+  * `WHERE ts >= '…'` as if partitioning were invisible — at 100 TB this
+  * turns full-lake listings into a handful of hour directories.
+  *
+  * Derivations (UTC session, `ts_hour = date_format(ts,'yyyy-MM-dd-HH')`):
+  *  - `ts >= T` / `ts > T`  → `ts_hour >= hour_str(T)` (truncation-safe)
+  *  - `ts <= T` / `ts < T`  → `ts_hour <= hour_str(T)`
+  *  - `hour(ts) = k`        → `ts_hour LIKE '%-kk'` (endsWith)
+  */
+object HourPartitionPruning extends Rule[LogicalPlan] {
+
+  private val fmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd-HH").withZone(ZoneOffset.UTC)
+
+  private def hourStr(micros: Long): String =
+    fmt.format(Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)))
+
+  private def lit(s: String): Literal = Literal.create(s, StringType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val tsOpt = child.output.find(a =>
+        a.name == "ts" && a.dataType == TimestampType)
+      val hrOpt = child.output.find(a =>
+        a.name == "ts_hour" && a.dataType == StringType)
+      (tsOpt, hrOpt) match {
+        // cond already touching ts_hour ⇒ user-managed or already
+        // rewritten; leave it (also makes the rule idempotent).
+        case (Some(ts), Some(hr)) if !cond.references.contains(hr) =>
+          val derived = splitConjuncts(cond).flatMap(derive(_, ts, hr))
+          if (derived.isEmpty) f
+          else Filter(And(derived.reduce(And), cond), child)
+        case _ => f
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def derive(e: Expression, ts: Attribute, hr: Attribute): Option[Expression] =
+    e match {
+      case GreaterThanOrEqual(a: Attribute, Literal(v: Long, TimestampType))
+          if a.semanticEquals(ts) => Some(GreaterThanOrEqual(hr, lit(hourStr(v))))
+      case GreaterThan(a: Attribute, Literal(v: Long, TimestampType))
+          if a.semanticEquals(ts) => Some(GreaterThanOrEqual(hr, lit(hourStr(v))))
+      case LessThanOrEqual(a: Attribute, Literal(v: Long, TimestampType))
+          if a.semanticEquals(ts) => Some(LessThanOrEqual(hr, lit(hourStr(v))))
+      case LessThan(a: Attribute, Literal(v: Long, TimestampType))
+          if a.semanticEquals(ts) => Some(LessThanOrEqual(hr, lit(hourStr(v))))
+      // mirrored operand order
+      case GreaterThanOrEqual(Literal(v: Long, TimestampType), a: Attribute)
+          if a.semanticEquals(ts) => Some(LessThanOrEqual(hr, lit(hourStr(v))))
+      case LessThanOrEqual(Literal(v: Long, TimestampType), a: Attribute)
+          if a.semanticEquals(ts) => Some(GreaterThanOrEqual(hr, lit(hourStr(v))))
+      case GreaterThan(Literal(v: Long, TimestampType), a: Attribute)
+          if a.semanticEquals(ts) => Some(LessThanOrEqual(hr, lit(hourStr(v))))
+      case LessThan(Literal(v: Long, TimestampType), a: Attribute)
+          if a.semanticEquals(ts) => Some(GreaterThanOrEqual(hr, lit(hourStr(v))))
+      // hour(ts) = k  →  ts_hour endsWith "-kk"
+      case EqualTo(h: Hour, Literal(k: Int, IntegerType))
+          if h.child.semanticEquals(ts) => Some(EndsWith(hr, lit(f"-$k%02d")))
+      case EqualTo(Literal(k: Int, IntegerType), h: Hour)
+          if h.child.semanticEquals(ts) => Some(EndsWith(hr, lit(f"-$k%02d")))
+      case _ => None
+    }
+
+  /** Install into an existing session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => HourPartitionPruning)
+}

@@ -77,6 +77,36 @@ object LakeIO {
         |FROM events
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-06 00:00:00'
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // Same scan but with ONLY raw-ts predicates — partition pruning comes
+    // from the HourPartitionPruning optimizer rule (Iceberg hidden-
+    // partitioning parity; LakeIOSpec proves directories are skipped).
+    Op("scan_partitioned_hidden",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        graft.plans.HourPartitionPruning.install(s)
+        s.read.parquet(path)
+          .where($"ts" >= to_timestamp(lit("2024-01-12 00:00:00"))
+            && $"ts" < to_timestamp(lit("2024-01-13 00:00:00")))
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // S9 catalog introspection: register the testdata tables and list them
+    // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).
+    Op("catalog_tables",
+      (s, d) => {
+        Tables.names.foreach { n =>
+          val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
+          df.createOrReplaceTempView(n)
+        }
+        s.sql("SHOW TABLES").select($"tableName").orderBy($"tableName")
+      }, None)
   )
 }

@@ -38,7 +38,9 @@ object WeatherPipeline {
       .groupBy(window($"event_time", "5 seconds"), $"city")
       .agg(avg($"temp_d").as("avg_temperature"), count(lit(1)).as("record_count"))
       .select($"city", $"window.start".as("window_start"),
-        $"window.end".as("window_end"), $"avg_temperature", $"record_count")
+        $"window.end".as("window_end"), $"avg_temperature", $"record_count",
+        // P4 audit column (weather-aggregation.sql:45 CURRENT_TIMESTAMP)
+        current_timestamp().as("last_updated"))
 
   /** Keyed upsert store — the test stand-in for the reference's Postgres
     * sink (PRIMARY KEY (city, window_start)). The `.collect()` here is on

@@ -41,6 +41,31 @@ class LakeIOSpec extends AnyFunSuite {
     assert(kept < total, s"expected pruning: $kept < $total")
   }
 
+  test("hidden partition pruning rule: raw-ts predicate prunes directories") {
+    graft.plans.HourPartitionPruning.install(spark)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val all = spark.read.parquet(path)
+    // NO ts_hour predicate — the rule must derive it from raw ts bounds
+    val hidden = all.where($"ts" >= to_timestamp(lit("2024-01-05 00:00:00"))
+      && $"ts" < to_timestamp(lit("2024-01-06 00:00:00")))
+    val kept = filesRead(hidden)
+    val total = filesRead(all)
+    assert(kept > 0 && kept < total, s"hidden pruning: $kept < $total")
+    // and an hour-equality predicate prunes to ≤ one dir per day
+    val hourEq = all.where(hour($"ts") === 14)
+    val keptHour = filesRead(hourEq)
+    assert(keptHour > 0 && keptHour < total, s"hour-eq pruning: $keptHour < $total")
+    // results unchanged vs the un-pruned plan
+    val expected = Tables.events(spark, sf).where(hour($"ts") === 14).count()
+    assert(hourEq.count() === expected)
+  }
+
   test("lake roundtrip preserves row count and schema columns") {
     val n = spark.read.parquet(path).count()
     assert(n === Tables.events(spark, sf).count())
