@@ -14,6 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB these would be directory- or bucket-partitioned tables;
   * all readers go through this single seam so a catalog/partitioned
   * layout swap touches one file.
+  *
+  * Note: `documents` and `embeddings` are present on disk at every scale
+  * factor but undocumented in TESTDATA.md (see FIXTURES.md §B for their
+  * verified schemas).
   */
 object Tables {
   val names: Seq[String] = Seq(
