@@ -27,8 +27,11 @@ object Similarity {
     */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd native kernel (see [[graft.functions.VectorDot]]); same
+    * left-to-right accumulation as the `aggregate(zip_with(...))` fold it
+    * replaces, so values are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

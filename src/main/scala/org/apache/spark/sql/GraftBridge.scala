@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters — the
+  * standard pattern for libraries adding native Catalyst expressions
+  * (the classic-session equivalents of what `spark.sql.extensions`
+  * function injection uses internally).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
