@@ -314,6 +314,23 @@ object EventOps {
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
+    // ── Skew pattern: salted two-phase aggregation — same result as the
+    //    direct groupBy (proved by the oracle) but the hot key's rows
+    //    spread over 8 shuffle partitions first. The decimal sums make
+    //    the two-phase recombination exact, not approximately equal.
+    Op("salted_agg",
+      (s, d) => ev(s, d)
+        .withColumn("salt", pmod(hash($"event_id"), lit(8)))
+        .groupBy($"event_type", $"salt")
+        .agg(sum($"value".cast(DecimalType(18, 6))).as("psum"), count(lit(1)).as("pcnt"))
+        .groupBy($"event_type")
+        .agg(round(sum($"psum").cast("double") / sum($"pcnt"), 4).as("avg_value"),
+          sum($"pcnt").as("cnt"))
+        .orderBy($"event_type"),
+      s"""SELECT event_type, round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       count(*) AS cnt
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ── O5: collect per-key series (server.js:45-57 regroup per city)
     Op("collect_per_key",
       (s, d) => ev(s, d)
