@@ -187,6 +187,25 @@ object EventOps {
          |       count(*) AS cnt
          |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin),
 
+    // ── SQL entry path: the reference's Trino acceptance query shape
+    //    submitted as SQL text (README.md:474-476 `SELECT city,
+    //    AVG(CAST(temperature AS DOUBLE)) … GROUP BY city`) — a reference
+    //    user's SQL runs unchanged through spark.sql over the registered
+    //    view; same oracle as the DataFrame form.
+    Op("sql_groupby_avg",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_v")
+        s.sql(s"""
+          |SELECT event_type,
+          |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+          |         AS avg_value,
+          |       count(*) AS cnt
+          |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      s"""SELECT event_type,
+         |       round(${sqlExactAvg("value")}, 4) AS avg_value, count(*) AS cnt
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ── A2: batch group-by AVG over cast (README.md:474-476)
     Op("groupby_avg",
       (s, d) => ev(s, d)

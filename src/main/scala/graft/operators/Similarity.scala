@@ -100,6 +100,38 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** IVF-style ANN: a fixed set of seed centroids (vec_id < numCells —
+    * deterministic, standing in for trained k-means centroids), every
+    * vector assigned to its nearest centroid's cell via one broadcast
+    * pass, queries probe only their own cell. The inverted-file analog of
+    * [[annTopK]]'s hyperplane buckets: cell assignment is data-dependent
+    * rather than random-projection.
+    */
+  def ivfTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      numCells: Int = 16): DataFrame = {
+    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+    val cents = broadcast(v.where($"vec_id" < numCells)
+      .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn")))
+    import org.apache.spark.sql.expressions.Window
+    val assigned = v.join(cents)
+      .select($"vec_id", $"e", $"nrm", $"c_id",
+        (dot($"e", $"ce") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")))
+      .where($"rk" === 1)
+      .select($"vec_id", $"e", $"nrm", $"c_id".as("cell"))
+    val q = broadcast(assigned.where($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"cell"))
+    q.join(assigned, Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"cell", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
   def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
       numPlanes: Int = 4): DataFrame = {
@@ -141,6 +173,7 @@ object Similarity {
     // portable SQL → rows-only here, recall/integrity asserted in
     // SimilaritySpec.
     Op("similarity_ann_lsh", (s, d) => annTopK(s, d), None),
+    Op("similarity_ivf", (s, d) => ivfTopK(s, d), None),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises

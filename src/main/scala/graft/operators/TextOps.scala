@@ -25,6 +25,18 @@ object TextOps {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
+  /** Winnowing sketch: per-16-window-block minimum of rolling 8-char
+    * window hashes over the normalized text.
+    */
+  def winnowSketch(text: Column, window: Int = 8, block: Int = 16): Column = {
+    val t = lower(trim(text))
+    val hashes = transform(
+      sequence(lit(1), greatest(length(t) - (window - 1), lit(1))),
+      i => xxhash64(t.substr(i, lit(window))))
+    transform(sequence(lit(0), floor((size(hashes) - 1) / lit(block)).cast("int")),
+      b => array_min(slice(hashes, b * block + 1, lit(block))))
+  }
+
   def ops: Seq[Op] = Seq(
 
     // Tokenize + length stats.
@@ -111,6 +123,17 @@ object TextOps {
         .orderBy($"doc_id"),
       """SELECT doc_id, md5(text) AS fp, md5(lower(trim(text))) AS fp_norm
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Rolling-hash winnowing sketch (MOSS-style): hash every 8-char
+    // window of the normalized text, keep the minimum per 16-window
+    // block. Docs are compared by sketch overlap — a one-char edit
+    // perturbs at most 1-2 block minima, so near-identical docs share
+    // most sketch entries. xxhash64 isn't portable SQL → rows-only +
+    // TextOpsSpec overlap/edit-tolerance properties.
+    Op("doc_winnow_fingerprint",
+      (s, d) => docs(s, d)
+        .select($"doc_id", winnowSketch($"text").as("sketch"))
+        .orderBy($"doc_id"), None),
 
     // Per-language corpus rollup.
     Op("lang_stats",

@@ -73,6 +73,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 100000L)))
   }
 
+  test("IVF: hits share the query's cell and rank like brute force in-cell") {
+    val ivf = Similarity.ivfTopK(spark, sf, numQueries = 3, k = 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cells = rs.map(_.getLong(1)).distinct
+      assert(cells.length === 1, s"query $q probed cells ${cells.toSeq}")
+      val cos = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("similarity plans broadcast the query side (no shuffle of candidates)") {
     val plan = Similarity.bruteForceTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "query vectors must be broadcast")

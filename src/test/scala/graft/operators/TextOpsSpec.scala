@@ -41,6 +41,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("winnow sketch: deterministic, discriminative, edit-tolerant") {
+    val op = TextOps.ops.find(_.key == "doc_winnow_fingerprint").get
+    val a = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    assert(a.map(_._2).toSeq === b.map(_._2).toSeq)
+    assert(a.map(_._2).distinct.length > a.length / 2, "sketches discriminate")
+
+    // one-char edit mid-doc keeps most sketch entries
+    val base = "the quick brown fox jumps over the lazy dog while spark " +
+      "shuffles parquet partitions across the cluster every single day"
+    val edited = base.replace("lazy", "hazy")
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.winnowSketch($"text").as("s"))
+    val sk = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap = sk(1L).intersect(sk(2L)).size.toDouble / sk(1L).union(sk(2L)).size
+    assert(overlap >= 0.5, s"edit tolerance: overlap=$overlap")
+  }
+
   test("multimodal stub features are deterministic and sized right") {
     val a = Multimodal.extractFeatures(spark, sf).collect()
     val b = Multimodal.extractFeatures(spark, sf).collect()
