@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k per key as a typed [[Aggregator]] — the scale-true form
+  * of "keep the last K rows per key" (reference:
+  * visualization-server/public/index.html:336-339 `slice(-100)`).
+  *
+  * The window-function form (`row_number() OVER (PARTITION BY key ORDER
+  * BY ts DESC) <= K`) shuffles EVERY row to its key's partition before
+  * discarding all but K. This aggregator keeps a bounded buffer per key
+  * inside the partial (map-side) aggregate, so only ≤K rows per key per
+  * partition ever reach the shuffle — at 100 TB that's the difference
+  * between shuffling the table and shuffling K×keys×partitions rows.
+  *
+  * Ordering: (ts desc, event_id desc), matching the window form exactly.
+  */
+object TopKByTime {
+
+  case class In(ts: Long, event_id: Long, value: Double)
+
+  val K = 100
+
+  val agg: Aggregator[In, List[In], Seq[In]] =
+    new Aggregator[In, List[In], Seq[In]] {
+
+      private def key(r: In): (Long, Long) = (r.ts, r.event_id)
+
+      /** Keep the K largest by (ts, event_id); `buf` stays sorted asc so
+        * eviction drops the head. K is small — O(K) insert is fine.
+        */
+      private def insert(buf: List[In], r: In): List[In] = {
+        val (lt, ge) = buf.span(b => Ordering[(Long, Long)].lt(key(b), key(r)))
+        val merged = lt ::: (r :: ge)
+        if (merged.length > K) merged.drop(merged.length - K) else merged
+      }
+
+      override def zero: List[In] = Nil
+      override def reduce(b: List[In], a: In): List[In] = insert(b, a)
+      override def merge(b1: List[In], b2: List[In]): List[In] =
+        b2.foldLeft(b1)(insert)
+      override def finish(r: List[In]): Seq[In] =
+        r.reverse // desc by (ts, event_id): rank 1 = newest
+      override def bufferEncoder: Encoder[List[In]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[In]]()
+      override def outputEncoder: Encoder[Seq[In]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[In]]()
+    }
+}

@@ -350,6 +350,26 @@ object EventOps {
          |       count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ── O4 at scale: same keep-last-100 semantics through a bounded-heap
+    //    typed Aggregator — partial aggregation caps each key at 100 rows
+    //    per partition BEFORE the shuffle (see functions/TopKByTime).
+    //    Same oracle as keep_last_100.
+    Op("keep_last_100_agg",
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKByTime.agg)
+        ev(s, d)
+          .groupBy($"event_type")
+          .agg(topk(unix_micros($"ts"), $"event_id", $"value").as("top"))
+          .select($"event_type", posexplode($"top").as(Seq("pos", "r")))
+          .select($"event_type", $"r.event_id".as("event_id"),
+            $"r.value".as("value"), ($"pos" + 1).cast("long").as("rn"))
+          .orderBy($"event_type", $"rn")
+      },
+      """SELECT event_type, event_id, value, rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin),
+
     // ── O5: collect per-key series (server.js:45-57 regroup per city)
     Op("collect_per_key",
       (s, d) => ev(s, d)

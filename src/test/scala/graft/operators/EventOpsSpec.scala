@@ -74,6 +74,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("keep_last_100_agg runs as a two-phase (partial) object aggregate") {
+    val op = EventOps.ops.find(_.key == "keep_last_100_agg").get
+    val df = op.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // typed Aggregator → ObjectHashAggregate, with a partial (map-side)
+    // phase capping each key's buffer before the shuffle
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(plan.contains("partial_topkbytime") || plan.contains("partial_"),
+      plan.take(400))
+  }
+
   test("filter ops only keep qualifying rows") {
     val hourOp = EventOps.ops.find(_.key == "filter_hour").get
     assert(hourOp.run(spark, sf).where(hour($"ts") =!= 14).count() === 0)
