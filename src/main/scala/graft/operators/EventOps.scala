@@ -333,6 +333,49 @@ object EventOps {
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
+    // ── Window analytics: per-key delta vs previous event (lag) — the
+    //    change-detection primitive of the serving layer.
+    Op("lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        ev(s, d)
+          .select($"event_type", $"event_id", $"value",
+            round($"value" - lag($"value", 1).over(w), 4).as("delta"))
+          .orderBy($"event_type", $"event_id")
+      },
+      """SELECT event_type, event_id, value,
+        |  round(value - lag(value, 1) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id), 4) AS delta
+        |FROM events ORDER BY event_type, event_id""".stripMargin),
+
+    // ── Window analytics: trailing moving average over the last 4 events
+    //    per key (frame-bounded window aggregation).
+    Op("moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+          .rowsBetween(-3, 0)
+        ev(s, d)
+          .select($"event_type", $"event_id",
+            round(avg($"value").over(w), 4).as("ma4"))
+          .orderBy($"event_type", $"event_id")
+      },
+      """SELECT event_type, event_id,
+        |  round(avg(value) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+        |FROM events ORDER BY event_type, event_id""".stripMargin),
+
+    // ── Exact median per key (percentile_cont 0.5, linear interpolation).
+    Op("median_value",
+      (s, d) => ev(s, d)
+        .groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"event_type"),
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_v,
+        |       count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ── Skew pattern: salted two-phase aggregation — same result as the
     //    direct groupBy (proved by the oracle) but the hot key's rows
     //    spread over 8 shuffle partitions first. The decimal sums make

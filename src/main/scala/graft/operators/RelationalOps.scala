@@ -111,6 +111,25 @@ object RelationalOps {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
 
+    // Hierarchical rollup: revenue by (region, nation) with subtotals —
+    // GROUPING SETS exercise over the broadcast dimension chain.
+    Op("rollup_revenue",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("num_orders"), moneySum($"o_totalprice").as("total_rev"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first),
+      """SELECT r_name, n_name, count(*) AS num_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin),
+
     // Semi-join + distinct count: customers with high-value orders per segment.
     Op("segment_stats",
       (s, d) => {
