@@ -93,6 +93,15 @@ object EventOps {
       """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // ── Full-table scan baseline (README.md:468 `SELECT * FROM weather`)
+    //    — also the raw scan-throughput number in the bench.
+    Op("scan_full",
+      (s, d) => ev(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        .orderBy($"event_id"),
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // ── P5: hour-extract filter, partition-aligned (README.md:471)
     Op("filter_hour",
       (s, d) => ev(s, d)
@@ -225,14 +234,14 @@ object EventOps {
         .agg(exactAvg($"value").as("avg_value"), count(lit(1)).as("cnt"))
         .groupBy($"event_type")
         .agg(round(avg($"avg_value"), 4).as("overall_avg"), sum($"cnt").as("total_cnt"))
-        .orderBy($"total_cnt".desc, $"event_type"),
+        .orderBy($"overall_avg".desc, $"event_type"),
       s"""WITH w AS (
          |  SELECT $sqlWinStart AS ws, event_type,
          |         ${sqlExactAvg("value")} AS avg_value, count(*) AS cnt
          |  FROM events GROUP BY 1, 2)
          |SELECT event_type, round(avg(avg_value), 4) AS overall_avg,
          |       CAST(sum(cnt) AS BIGINT) AS total_cnt
-         |FROM w GROUP BY event_type ORDER BY total_cnt DESC, event_type""".stripMargin),
+         |FROM w GROUP BY event_type ORDER BY overall_avg DESC, event_type""".stripMargin),
 
     // ── A4: global stats (index.html:432-449 dashboard stats bar)
     Op("global_stats",
