@@ -98,6 +98,42 @@ object LakeIO {
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
         |ORDER BY event_id""".stripMargin),
 
+    // Source-format breadth: CSV sink → source roundtrip (identity vs the
+    // parquet truth, proving both directions). Timestamps travel as
+    // formatted strings — the reference's own wire convention (P3).
+    Op("csv_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_fmt/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "/events_csv"
+        Tables.events(s, d)
+          .select($"event_id", date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+            $"event_type", $"value")
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read.option("header", "true")
+          .schema("event_id LONG, ts_str STRING, event_type STRING, value DOUBLE")
+          .csv(path)
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // JSON-lines sink → source roundtrip (the reference's wire format,
+    // server.py:70 json.dumps).
+    Op("jsonl_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_fmt/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "/events_jsonl"
+        Tables.events(s, d)
+          .select($"event_id", $"event_type", $"value", $"user_id")
+          .write.mode("overwrite").json(path)
+        s.read
+          .schema("event_id LONG, event_type STRING, value DOUBLE, user_id LONG")
+          .json(path)
+          .select($"event_id", $"event_type", $"value", $"user_id")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, event_type, value, user_id
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // S9 catalog introspection: register the testdata tables and list them
     // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).
     Op("catalog_tables",

@@ -84,6 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T7: streaming session window merges a burst, splits on a gap") {
+    val input = MemoryStream[WeatherRecord]
+    val agg = WeatherPipeline.parse(input.toDF())
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("event_time"), "10 seconds"),
+        org.apache.spark.sql.functions.col("city"))
+      .count()
+      .selectExpr("city", "session_window.start as s", "session_window.end as e", "count")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        WeatherRecord("A", "1.0", "2024-01-01 10:00:00"),
+        WeatherRecord("A", "2.0", "2024-01-01 10:00:06"),  // within gap → merge
+        WeatherRecord("A", "3.0", "2024-01-01 10:00:30"))  // > gap → new session
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:00:16.0", 2L),
+        ("2024-01-01 10:00:30.0", "2024-01-01 10:00:40.0", 1L)))
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
