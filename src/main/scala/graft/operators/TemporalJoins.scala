@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Temporal join operators Spark lacks natively — as-of join and range
+  * join — composed Spark-first from existing relational algebra (the (a)
+  * tier of the custom-operator ladder) with scale-safe shapes:
+  *
+  * - As-of: union + keyed last-non-null window — ONE shuffle on the key,
+  *   no inequality join, no per-row probing. The classic distributed
+  *   merge-asof.
+  * - Range: bucketized equi-join on coarse time buckets + exact filter —
+  *   turns an inequality join (cartesian-per-key in naive engines) into
+  *   an equi-join whose cost is Σ bucket-pair sizes.
+  */
+object TemporalJoins {
+
+  /** For each left event (clicks), attach the most recent right event
+    * (errors) of the same user with r.ts <= l.ts (inclusive). Inner
+    * semantics: clicks with no prior error are dropped — matching DuckDB
+    * `ASOF JOIN`.
+    */
+  def asofJoin(s: SparkSession, d: String,
+      leftType: String = "click", rightType: String = "error"): DataFrame = {
+    val ev = Tables.events(s, d)
+    // dedupe right on (user_id, ts): keep max event_id so equal-ts rows
+    // are deterministic on both engines
+    val rWin = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val r = ev.where($"event_type" === rightType)
+      .withColumn("rn", row_number().over(rWin)).where($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id", $"value", lit(0).as("side"))
+    val l = ev.where($"event_type" === leftType)
+      .select($"user_id", $"ts", $"event_id", $"value", lit(1).as("side"))
+    // union ordered by (ts, side): right rows at equal ts sort first →
+    // inclusive r.ts <= l.ts
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("r_value",
+        last(when($"side" === 0, $"value"), ignoreNulls = true).over(w))
+      .withColumn("r_ts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .where($"side" === 1 && $"r_value".isNotNull)
+      .select($"event_id", $"user_id", $"ts", $"value",
+        $"r_ts", $"r_value")
+      .orderBy($"event_id")
+  }
+
+  /** Events joined to the per-key sessions containing them (interval
+    * containment), bucketized: sessions explode to the hour buckets they
+    * span, events join on (key, hour bucket) equi-keys, then the exact
+    * range predicate filters. Session end is exclusive (Spark
+    * session_window semantics: end = last event + gap).
+    */
+  def rangeJoinSessions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val sessions = ev
+      .groupBy(session_window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("sess_n"))
+      .select($"event_type".as("s_type"),
+        $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"sess_n")
+    val bucket = 3600L // 1 hour in seconds
+    val sessB = sessions.withColumn("b",
+      explode(sequence(
+        floor(unix_timestamp($"s_start") / bucket).cast("long"),
+        floor((unix_timestamp($"s_end") - 1) / bucket).cast("long"))))
+    val evB = ev.select($"event_id", $"event_type", $"ts")
+      .withColumn("b", floor(unix_timestamp($"ts") / bucket).cast("long"))
+    evB.join(sessB, evB("event_type") === sessB("s_type") && evB("b") === sessB("b"))
+      .where($"ts" >= $"s_start" && $"ts" < $"s_end")
+      .select($"event_id", $"event_type", $"s_start", $"s_end", $"sess_n")
+      .orderBy($"event_id")
+  }
+
+  def ops: Seq[Op] = Seq(
+
+    Op("asof_join",
+      (s, d) => asofJoin(s, d),
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |          ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'error')
+        |  WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS r_ts, r.value AS r_value
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin),
+
+    Op("range_join_sessions",
+      (s, d) => rangeJoinSessions(s, d),
+      """WITH w AS (
+        |  SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |         CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sid AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w),
+        |sess AS (
+        |  SELECT event_type AS s_type, min(t) AS s_start,
+        |         max(t) + INTERVAL 10 MINUTE AS s_end, count(*) AS sess_n
+        |  FROM sid GROUP BY event_type, sid)
+        |SELECT e.event_id, e.event_type, s.s_start, s.s_end, s.sess_n
+        |FROM events e JOIN sess s
+        |  ON e.event_type = s.s_type
+        | AND CAST(e.ts AS TIMESTAMP) >= s.s_start
+        | AND CAST(e.ts AS TIMESTAMP) < s.s_end
+        |ORDER BY e.event_id""".stripMargin),
+
+    // Distinct-count sketch: HLL++ approx vs exact — no cross-engine
+    // oracle (sketch internals differ), accuracy bound in the spec.
+    Op("approx_distinct_users",
+      (s, d) => Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          countDistinct($"user_id").as("exact_users"))
+        .orderBy($"event_type"), None)
+  )
+}

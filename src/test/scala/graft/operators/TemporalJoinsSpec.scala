@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark.{spark, sf}
+
+class TemporalJoinsSpec extends AnyFunSuite {
+
+  test("asof join: every match is the latest right row at or before left ts") {
+    val rows = TemporalJoins.asofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getTimestamp(4).after(r.getTimestamp(2)),
+        s"r_ts ${r.getTimestamp(4)} must be <= ts ${r.getTimestamp(2)}")
+    }
+  }
+
+  test("asof join plan: one window pass, no inequality join") {
+    val plan = TemporalJoins.asofJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "asof must compose via union+window, not an inequality join")
+    assert(plan.contains("Window"), plan.take(300))
+  }
+
+  test("range join: containment holds and plan is an equi-join") {
+    val df = TemporalJoins.rangeJoinSessions(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, e) = (r.getTimestamp(2), r.getTimestamp(3))
+      assert(s.before(e))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "bucketized range join must be an equi-join")
+  }
+
+  test("approx distinct sketch stays within 5% of exact") {
+    TemporalJoins.ops.find(_.key == "approx_distinct_users").get
+      .run(spark, sf).collect().foreach { r =>
+        val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"approx=$approx exact=$exact")
+      }
+  }
+}
