@@ -22,21 +22,32 @@ import graft.syntax._
   * partition key. No collects, no driver-side loops.
   *
   * Determinism for the DuckDB oracle: money-like doubles in this dataset
-  * are exactly 2-decimal, so sums/averages go through DECIMAL(18,6) (exact,
-  * order-independent) and are cast back to double — bit-identical between
-  * Spark's parallel partial aggregation and DuckDB's sequential fold.
+  * are exactly 2-decimal, so averages go through exact integer cents
+  * (order-independent) and a fixed IEEE division order — bit-identical
+  * between Spark's parallel partial aggregation and DuckDB's sequential
+  * fold, with no rounding at compare boundaries.
   */
 object EventOps {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  /** Exact order-independent average of a ≤2dp double column. */
-  private def exactAvg(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
+  /** Exact integer cents of a ≤2dp double column. */
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
 
-  /** DuckDB rendering of [[exactAvg]]. */
+  /** Exact order-independent average of a ≤2dp double column, bit-
+    * identical across engines: integer cent sum (exact, any aggregation
+    * order) → two correctly-rounded IEEE divisions in a fixed order.
+    * No trailing round() — rounding a converted double can flip at a
+    * half boundary when the other engine's conversion is 1 ulp away
+    * (bitten at sf0.1 by DuckDB's scaled-int128 → double double-rounding).
+    */
+  private def exactAvg(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0 / count(lit(1))
+
+  /** DuckDB rendering of [[exactAvg]] — identical operation order. */
   private def sqlExactAvg(c: String): String =
-    s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+    s"CAST(CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*)"
 
   /** 5-second tumbling window start/end, the reference's TUMBLE grid
     * (weather-aggregation.sql:42). DuckDB mirrors Spark's epoch-floor.
@@ -52,7 +63,7 @@ object EventOps {
   def tumbleAvg(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(window($"ts", "5 seconds"), $"event_type")
-      .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+      .agg(exactAvg($"value").as("avg_value"), count(lit(1)).as("cnt"))
       .select(
         $"window.start".as("window_start"),
         $"window.end".as("window_end"),
@@ -192,7 +203,7 @@ object EventOps {
       (s, d) => tumbleAvg(s, d),
       s"""SELECT $sqlWinStart AS window_start, $sqlWinEnd AS window_end,
          |       event_type,
-         |       round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       ${sqlExactAvg("value")} AS avg_value,
          |       count(*) AS cnt
          |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin),
 
@@ -206,24 +217,24 @@ object EventOps {
         ev(s, d).createOrReplaceTempView("events_v")
         s.sql(s"""
           |SELECT event_type,
-          |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+          |       CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*)
           |         AS avg_value,
           |       count(*) AS cnt
           |FROM events_v GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
       s"""SELECT event_type,
-         |       round(${sqlExactAvg("value")}, 4) AS avg_value, count(*) AS cnt
+         |       ${sqlExactAvg("value")} AS avg_value, count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // ── A2: batch group-by AVG over cast (README.md:474-476)
     Op("groupby_avg",
       (s, d) => ev(s, d)
         .groupBy($"event_type")
-        .agg(round(exactAvg($"value".cast("string").cast("double")), 4).as("avg_value"),
+        .agg(exactAvg($"value".cast("string").cast("double")).as("avg_value"),
           count(lit(1)).as("cnt"))
         .orderBy($"event_type"),
       s"""SELECT event_type,
-         |       round(${sqlExactAvg("CAST(CAST(value AS VARCHAR) AS DOUBLE)")}, 4) AS avg_value,
+         |       ${sqlExactAvg("CAST(CAST(value AS VARCHAR) AS DOUBLE)")} AS avg_value,
          |       count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
@@ -247,11 +258,11 @@ object EventOps {
     Op("global_stats",
       (s, d) => ev(s, d)
         .agg(count(lit(1)).as("n"),
-          round(exactAvg($"value"), 4).as("avg_value"),
+          exactAvg($"value").as("avg_value"),
           min($"value").as("min_value"),
           max($"value").as("max_value"),
           countDistinct($"user_id").as("n_users")),
-      s"""SELECT count(*) AS n, round(${sqlExactAvg("value")}, 4) AS avg_value,
+      s"""SELECT count(*) AS n, ${sqlExactAvg("value")} AS avg_value,
          |       min(value) AS min_value, max(value) AS max_value,
          |       count(DISTINCT user_id) AS n_users
          |FROM events""".stripMargin),
@@ -305,7 +316,7 @@ object EventOps {
     Op("sliding_window_avg",
       (s, d) => ev(s, d)
         .groupBy(window($"ts", "10 seconds", "5 seconds"), $"event_type")
-        .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+        .agg(exactAvg($"value").as("avg_value"), count(lit(1)).as("cnt"))
         .select($"window.start".as("window_start"), $"window.end".as("window_end"),
           $"event_type", $"avg_value", $"cnt")
         .orderBy($"window_start", $"event_type"),
@@ -316,14 +327,14 @@ object EventOps {
          |w AS (SELECT event_type, value, unnest([b, b - 5000000]) AS ws FROM e)
          |SELECT make_timestamp(ws) AS window_start,
          |       make_timestamp(ws + 10000000) AS window_end, event_type,
-         |       round(${sqlExactAvg("value")}, 4) AS avg_value, count(*) AS cnt
+         |       ${sqlExactAvg("value")} AS avg_value, count(*) AS cnt
          |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin),
 
     // ── T7-ext: session window (10 min inactivity gap) per key.
     Op("session_window_stats",
       (s, d) => ev(s, d)
         .groupBy(session_window($"ts", "10 minutes"), $"event_type")
-        .agg(round(exactAvg($"value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+        .agg(exactAvg($"value").as("avg_value"), count(lit(1)).as("cnt"))
         .select($"session_window.start".as("session_start"),
           $"session_window.end".as("session_end"),
           $"event_type", $"avg_value", $"cnt")
@@ -338,7 +349,7 @@ object EventOps {
          |                           ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM o)
          |SELECT min(t) AS session_start, max(t) + INTERVAL 10 MINUTE AS session_end,
-         |       event_type, round(${sqlExactAvg("value")}, 4) AS avg_value,
+         |       event_type, ${sqlExactAvg("value")} AS avg_value,
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
@@ -393,12 +404,12 @@ object EventOps {
       (s, d) => ev(s, d)
         .withColumn("salt", pmod(hash($"event_id"), lit(8)))
         .groupBy($"event_type", $"salt")
-        .agg(sum($"value".cast(DecimalType(18, 6))).as("psum"), count(lit(1)).as("pcnt"))
+        .agg(sum(cents($"value")).as("psum"), count(lit(1)).as("pcnt"))
         .groupBy($"event_type")
-        .agg(round(sum($"psum").cast("double") / sum($"pcnt"), 4).as("avg_value"),
+        .agg((sum($"psum").cast("double") / 100.0 / sum($"pcnt")).as("avg_value"),
           sum($"pcnt").as("cnt"))
         .orderBy($"event_type"),
-      s"""SELECT event_type, round(${sqlExactAvg("value")}, 4) AS avg_value,
+      s"""SELECT event_type, ${sqlExactAvg("value")} AS avg_value,
          |       count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 

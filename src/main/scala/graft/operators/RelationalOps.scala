@@ -20,9 +20,18 @@ import graft.syntax._
   */
 object RelationalOps {
 
-  /** Exact money sum: 2-dp doubles via decimal, back to double. */
+  /** Exact money sum, bit-identical across engines: decimal sum (exact,
+    * order-independent), re-scaled to DECIMAL(24,4) so the scaled integer
+    * stays < 2^53 and the final double conversion is a single correctly-
+    * rounded operation on both engines (DuckDB's int128-scaled decimals
+    * double-round on direct conversion — bitten at sf0.1).
+    */
   private def moneySum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(24, 4)).cast("double")
+
+  /** Exact integer cents of a ≤2dp double column (for exact averages). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
 
   /** TPC-H Q1-style pricing summary over lineitem. */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
@@ -33,9 +42,9 @@ object RelationalOps {
         moneySum($"l_quantity").as("sum_qty"),
         moneySum($"l_extendedprice").as("sum_base_price"),
         sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
-          .cast("double").as("sum_disc_price"),
-        round(moneySum($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
-        round(moneySum($"l_extendedprice") / count(lit(1)), 4).as("avg_price"),
+          .cast(DecimalType(24, 4)).cast("double").as("sum_disc_price"),
+        (sum(cents($"l_quantity")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(cents($"l_extendedprice")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag", $"l_linestatus")
 
@@ -44,11 +53,11 @@ object RelationalOps {
     Op("q1_pricing",
       (s, d) => pricingSummary(s, d),
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_price,
         |  count(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,11 +70,11 @@ object RelationalOps {
         .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
-          .cast("double").as("revenue"))
+          .cast(DecimalType(24, 4)).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"o_orderkey")
         .limit(10),
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
@@ -80,7 +89,7 @@ object RelationalOps {
           moneySum($"o_totalprice").as("total_rev"))
         .orderBy($"n_name"),
       """SELECT n_name, count(*) AS num_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS total_rev
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -97,11 +106,11 @@ object RelationalOps {
         .where($"r_name" === "ASIA")
         .groupBy($"n_name")
         .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
-          .cast("double").as("revenue"),
+          .cast(DecimalType(24, 4)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name"),
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -122,7 +131,7 @@ object RelationalOps {
         .agg(count(lit(1)).as("num_orders"), moneySum($"o_totalprice").as("total_rev"))
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first),
       """SELECT r_name, n_name, count(*) AS num_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS total_rev
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -138,12 +147,12 @@ object RelationalOps {
           .join(highOrders, $"c_custkey" === $"o_custkey", "left_semi")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_customers"),
-            round(sum($"c_acctbal".cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+            (sum(cents($"c_acctbal")).cast("double") / 100.0 / count(lit(1)))
               .as("avg_acctbal"))
           .orderBy($"c_mktsegment")
       },
       """SELECT c_mktsegment, count(*) AS n_customers,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_acctbal
+        |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_acctbal
         |FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
