@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Similarity, TemporalJoins, TextOps}
+import graft.plans.HourPartitionPruning
+import graft.sources.LakeIO
+import graft.streaming.WeatherPipeline
+
+/** Public facade of the engine — the API a user of the reference pipeline
+  * programs against after switching to this library. Everything is
+  * DataFrame-in/DataFrame-out; the keyed driver queries in [[SparkEntry]]
+  * are thin wrappers over these.
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.install(spark)                       // hidden-partition pruning
+  * Graft.lake.write(events, "/lake/events")   // hour-partitioned ZSTD
+  * Graft.dedup.nearDups(corpus, 0.8)          // MinHash+LSH near-dups
+  * Graft.similarity.topK(embeddings, 5, 10)   // cosine top-k
+  * }}}
+  */
+object Graft {
+
+  /** Install the engine's Catalyst extensions into an existing session
+    * (or set `spark.sql.extensions=graft.plans.GraftExtensions`).
+    */
+  def install(spark: SparkSession): Unit = HourPartitionPruning.install(spark)
+
+  object lake {
+    /** Hour-partitioned ZSTD parquet write (expects a `ts` column). */
+    def write(df: DataFrame, path: String): Unit = LakeIO.writeLake(df, path)
+    /** Partition-pruned range scan over a lake table. */
+    def scan(spark: SparkSession, path: String, startTs: String, endTs: String): DataFrame =
+      LakeIO.prunedScan(spark, path, startTs, endTs)
+  }
+
+  object dedup {
+    /** Exact near-duplicate pairs (jaccard ≥ threshold) over a
+      * (doc_id, text) corpus — MinHash+LSH candidates, exact verify.
+      */
+    def nearDups(corpus: DataFrame, threshold: Double): DataFrame =
+      Dedup.nearDupPairs(corpus, threshold)
+    /** Per-doc winnowing sketch column (rolling-hash fingerprint). */
+    def winnowSketch(text: Column): Column = TextOps.winnowSketch(text)
+  }
+
+  object similarity {
+    /** Exact cosine top-k of every vector against the query set
+      * (vec_id < numQueries) over a (vec_id, embedding) table.
+      */
+    def topK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+      Similarity.bruteForceTopK(embeddings, numQueries, k)
+    /** LSH-bucketed approximate variant (the scale path). */
+    def annTopK(embeddings: DataFrame, numQueries: Int, k: Int, numPlanes: Int = 4): DataFrame =
+      Similarity.annTopK(embeddings, numQueries, k, numPlanes)
+    /** Embedding near-dup pairs at a cosine threshold. */
+    def cosineDedup(embeddings: DataFrame, threshold: Double): DataFrame =
+      Similarity.cosineDedup(embeddings, threshold, 4)
+    /** Codegen'd dot product over two array<double> columns. */
+    def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+  }
+
+  object temporal {
+    /** Distributed merge-asof (see [[TemporalJoins.asofJoin]] for the
+      * union+window composition details).
+      */
+    def asofJoin(s: SparkSession, dir: String): DataFrame = TemporalJoins.asofJoin(s, dir)
+  }
+
+  object streaming {
+    /** The reference speed layer: parse → watermark → 5 s tumble × key →
+      * avg/count → keyed upsert (see [[WeatherPipeline]]).
+      */
+    def weatherPipeline: WeatherPipeline.type = WeatherPipeline
+  }
+}

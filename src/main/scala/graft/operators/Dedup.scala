@@ -98,12 +98,13 @@ object Dedup {
     }
   }
 
-  /** Doc → distinct shingle set (compiled kernel). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
-    import s.implicits.{newProductEncoder, rddToDatasetHolder, localSeqToDatasetHolder}
+  /** Doc → distinct shingle set (compiled kernel). Expects columns
+    * `doc_id: long`, `text: string` — any corpus DataFrame works.
+    */
+  def shingleSets(docsDf: DataFrame): DataFrame = {
     implicit val tupEnc = org.apache.spark.sql.Encoders.product[(Long, String)]
     implicit val outEnc = org.apache.spark.sql.Encoders.product[(Long, Array[String])]
-    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, MinHashKernel.shingles(t)) }
       .filter(_._2.nonEmpty)
       .toDF("doc_id", "sh")
@@ -126,12 +127,16 @@ object Dedup {
     * heavy shingle arrays never enter a shuffle until the (much smaller)
     * verify join.
     */
-  def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    nearDupPairs(docs(s, d), threshold)
+
+  /** DataFrame-first form: near-dup pairs over any (doc_id, text) corpus. */
+  def nearDupPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
     // Materialize the per-doc shingle sets once: they feed the signature
     // pass and both verify-join legs (≈3× recompute of the tokenize+
     // shingle+hash pipeline otherwise). Doc-id + shingles is tiny
     // relative to the corpus; MEMORY_AND_DISK spills safely at scale.
-    val sh = shingleSets(s, d)
+    val sh = shingleSets(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = lshBuckets(sh)
     val cands = l.select($"band", $"bh", $"doc_id".as("doc_a"))

@@ -45,8 +45,12 @@ object Similarity {
     v.withColumn("nrm", norm($"e"))
 
   /** Exact top-k neighbours for each query vector (vec_id < numQueries). */
-  def bruteForceTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+  def bruteForceTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteForceTopK(emb(s, d), numQueries, k)
+
+  /** DataFrame-first form over any (vec_id, embedding: array<float|double>). */
+  def bruteForceTopK(embDf: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
     val q = broadcast(v.where($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn")))
     import org.apache.spark.sql.expressions.Window
@@ -83,9 +87,13 @@ object Similarity {
     * bucket integrity and subset-of-bruteforce ordering.
     */
   def annTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 4): DataFrame =
+    annTopK(emb(s, d), numQueries, k, numPlanes)
+
+  /** DataFrame-first form over any (vec_id, embedding) table. */
+  def annTopK(embDf: DataFrame, numQueries: Int, k: Int, numPlanes: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, 64)
-    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
       .withColumn("bucket", bucketOf($"e", planes))
     val q = broadcast(v.where($"vec_id" < numQueries)
       .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"bucket"))
@@ -134,9 +142,13 @@ object Similarity {
 
   /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
   def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 4): DataFrame =
+    cosineDedup(emb(s, d), threshold, numPlanes)
+
+  /** DataFrame-first form over any (vec_id, embedding) table. */
+  def cosineDedup(embDf: DataFrame, threshold: Double, numPlanes: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, 64)
-    val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
       .withColumn("bucket", bucketOf($"e", planes))
     val a = v.select($"bucket", $"vec_id".as("id_a"), $"e".as("e_a"), $"nrm".as("n_a"))
     val b = v.select($"bucket", $"vec_id".as("id_b"), $"e".as("e_b"), $"nrm".as("n_b"))
