@@ -66,6 +66,13 @@ object Graft {
       * union+window composition details).
       */
     def asofJoin(s: SparkSession, dir: String): DataFrame = TemporalJoins.asofJoin(s, dir)
+    /** Native as-of join over arbitrary DataFrames — custom LogicalPlan/
+      * Strategy/SparkPlan, single-pass sorted merge (long key + epoch-
+      * micro time columns; right columns pre-renamed).
+      */
+    def asofJoinNative(l: DataFrame, r: DataFrame, lKey: String, rKey: String,
+        lTime: String, rTime: String): DataFrame =
+      graft.plans.AsOfJoin(l, r, lKey, rKey, lTime, rTime)
   }
 
   object streaming {

@@ -52,6 +52,25 @@ object TemporalJoins {
       .orderBy($"event_id")
   }
 
+  /** Same as-of semantics through the NATIVE custom operator
+    * ([[graft.plans.AsOfJoin]]: LogicalPlan + Strategy + SparkPlan,
+    * single-pass sorted merge, O(1) retained state per partition).
+    */
+  def asofJoinNative(s: SparkSession, d: String,
+      leftType: String = "click", rightType: String = "error"): DataFrame = {
+    val ev = Tables.events(s, d)
+    val rWin = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val r = ev.where($"event_type" === rightType)
+      .withColumn("rn", row_number().over(rWin)).where($"rn" === 1)
+      .select($"user_id".as("r_user_id"), unix_micros($"ts").as("r_t"),
+        $"ts".as("r_ts"), $"value".as("r_value"))
+    val l = ev.where($"event_type" === leftType)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("l_t"), $"ts", $"value")
+    graft.plans.AsOfJoin(l, r, "user_id", "r_user_id", "l_t", "r_t")
+      .select($"event_id", $"user_id", $"ts", $"value", $"r_ts", $"r_value")
+      .orderBy($"event_id")
+  }
+
   /** Events joined to the per-key sessions containing them (interval
     * containment), bucketized: sessions explode to the hour buckets they
     * span, events join on (key, hour bucket) equi-keys, then the exact
@@ -83,6 +102,23 @@ object TemporalJoins {
 
     Op("asof_join",
       (s, d) => asofJoin(s, d),
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |          ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'error')
+        |  WHERE rn = 1),
+        |l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS r_ts, r.value AS r_value
+        |FROM l ASOF JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin),
+
+    Op("asof_join_native",
+      (s, d) => asofJoinNative(s, d),
       """WITH r AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)

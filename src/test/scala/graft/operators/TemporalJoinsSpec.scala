@@ -35,6 +35,19 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "bucketized range join must be an equi-join")
   }
 
+  test("native as-of operator: row-identical to the composed form, custom exec in plan") {
+    val native = TemporalJoins.asofJoinNative(spark, sf)
+    val composed = TemporalJoins.asofJoin(spark, sf)
+    assert(native.collect().map(_.toString).toSeq ===
+      composed.collect().map(_.toString).toSeq)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(400))
+    // the join itself is the custom exec fed by exchanges+sorts; the only
+    // Window allowed is the right-side dedup prep, not a join-side
+    // union+last_value fallback
+    assert(!plan.contains("last("), "native path must not fall back to the window-last form")
+  }
+
   test("approx distinct sketch stays within 5% of exact") {
     TemporalJoins.ops.find(_.key == "approx_distinct_users").get
       .run(spark, sf).collect().foreach { r =>
