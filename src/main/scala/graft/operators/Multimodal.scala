@@ -60,6 +60,41 @@ object Multimodal {
       .toDF()
   }
 
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, thumb: Array[Byte])
+
+  /** STUB resize: aspect-preserving fit into maxDim; a real decoder would
+    * transform pixels — the stub emits a deterministic truncated payload
+    * as the "thumbnail" so the schema/flow is end-to-end testable.
+    */
+  def resize(s: SparkSession, d: String, maxDim: Int = 256): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord].mapPartitions(_.map { r =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(r.width, r.height))
+      val (w, h) = (math.max(1, (r.width * scale).toInt),
+        math.max(1, (r.height * scale).toInt))
+      ResizedMedia(r.doc_id, r.width, r.height, w, h,
+        r.payload.take(math.min(r.payload.length, w * h / 8)))
+    }).toDF()
+  }
+
+  case class FrameSample(doc_id: Long, frame_idx: Int, offset: Long)
+
+  /** STUB frame sampling for video payloads: every k-th "frame" as a
+    * (doc_id, frame_idx, byte offset) row — one row per sampled frame,
+    * the explode-shaped stage a real video pipeline needs.
+    */
+  def sampleFrames(s: SparkSession, d: String, everyK: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord]
+      .filter(_.media_type == "video/mp4")
+      .flatMap { r =>
+        val frames = (r.payload.length % 16) + 1
+        (0 until frames by everyK).map(i =>
+          FrameSample(r.doc_id, i, i.toLong * 4096))
+      }.toDF()
+  }
+
   def ops: Seq[Op] = Seq(
     // The oracle checks the deterministic parts of the pipeline (payload
     // byte length, metadata arithmetic, stub feature formula) end-to-end.
@@ -71,6 +106,27 @@ object Multimodal {
         |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 16 + 1 ELSE 1 END AS INT) AS frames_sampled,
         |  CAST(ascii(substr(text, 1, 1)) * 31 + octet_length(encode(text)) % 97 AS DOUBLE) AS feature0
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Resize stage: metadata arithmetic is oracle-checkable; thumb bytes
+    // are covered by the determinism spec.
+    Op("multimodal_resize",
+      (s, d) => resize(s, d).select($"doc_id", $"width", $"height", $"out_w", $"out_h")
+        .orderBy($"doc_id"),
+      """SELECT doc_id,
+        |  CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 8) * 90 + 180 AS INT) AS height,
+        |  CAST(greatest(1, trunc(((doc_id % 8) * 160 + 320) * least(1.0, 256.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180)))) AS INT) AS out_w,
+        |  CAST(greatest(1, trunc(((doc_id % 8) * 90 + 180) * least(1.0, 256.0 / greatest((doc_id % 8) * 160 + 320, (doc_id % 8) * 90 + 180)))) AS INT) AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Frame-sample stage: one row per sampled frame of each video payload.
+    Op("multimodal_frame_sample",
+      (s, d) => sampleFrames(s, d).orderBy($"doc_id", $"frame_idx"),
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 4096 AS BIGINT) AS offset
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, octet_length(encode(text)) % 16 + 1, 4)) AS i
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }
