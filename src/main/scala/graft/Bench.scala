@@ -18,14 +18,16 @@ object Bench {
     // one-time ingest (a lake is written once, queried many times).
     graft.sources.Tables.events(spark, sfDir).groupBy("event_type").count().count()
     graft.sources.LakeIO.ensureLake(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed (sorted) execution order so per-query timings are comparable
+    // across rounds — Map iteration order is hash-dependent
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist: sbt prefixes forked stdout with "[info] ", which broke

@@ -353,6 +353,20 @@ object EventOps {
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
+    // ── Set operation: users who clicked but never purchased (EXCEPT —
+    //    anti-join shaped at scale, one shuffle per side on the key).
+    Op("except_users",
+      (s, d) => {
+        val ev0 = ev(s, d)
+        ev0.where($"event_type" === "click").select($"user_id").distinct()
+          .except(ev0.where($"event_type" === "purchase").select($"user_id").distinct())
+          .orderBy($"user_id")
+      },
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin),
+
     // ── Window analytics: per-key delta vs previous event (lag) — the
     //    change-detection primitive of the serving layer.
     Op("lag_delta",
