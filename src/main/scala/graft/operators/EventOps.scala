@@ -353,6 +353,51 @@ object EventOps {
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
+    // ── Data profiling: one-pass per-column stats — the data-quality
+    //    primitive every ingest pipeline runs before training.
+    Op("profile_events",
+      (s, d) => ev(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count($"event_type").as("type_nonnull"),
+        countDistinct($"event_type").as("type_distinct"),
+        countDistinct($"user_id").as("user_distinct"),
+        min($"value").as("value_min"),
+        max($"value").as("value_max"),
+        exactAvg($"value").as("value_avg"),
+        min($"ts").as("ts_min"),
+        max($"ts").as("ts_max")),
+      s"""SELECT count(*) AS n_rows,
+         |  count(event_type) AS type_nonnull,
+         |  count(DISTINCT event_type) AS type_distinct,
+         |  count(DISTINCT user_id) AS user_distinct,
+         |  min(value) AS value_min, max(value) AS value_max,
+         |  ${sqlExactAvg("value")} AS value_avg,
+         |  min(CAST(ts AS TIMESTAMP)) AS ts_min,
+         |  max(CAST(ts AS TIMESTAMP)) AS ts_max
+         |FROM events""".stripMargin),
+
+    // ── Dead-letter pattern: tolerant parse with quarantine — rows whose
+    //    (deterministically corrupted) payload fails JSON parsing are
+    //    split out instead of dropped, with per-disposition counts.
+    Op("quarantine_split",
+      (s, d) => {
+        val dirty = ev(s, d).withColumn("props2",
+          when($"event_id" % 97 === 0, lit("{corrupt")).otherwise($"props"))
+        dirty
+          .withColumn("parsed",
+            from_json($"props2", StructType(Seq(StructField("k", IntegerType)))))
+          .withColumn("disposition",
+            when($"parsed".isNotNull && $"parsed.k".isNotNull, "ok")
+              .otherwise("quarantined"))
+          .groupBy($"disposition")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"disposition")
+      },
+      """SELECT CASE WHEN event_id % 97 != 0 AND json_valid(props)
+        |            AND json_extract_string(props, '$.k') IS NOT NULL
+        |       THEN 'ok' ELSE 'quarantined' END AS disposition, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY disposition""".stripMargin),
+
     // ── Set operation: users who clicked but never purchased (EXCEPT —
     //    anti-join shaped at scale, one shuffle per side on the key).
     Op("except_users",

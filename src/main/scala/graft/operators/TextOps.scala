@@ -135,6 +135,47 @@ object TextOps {
         .select($"doc_id", winnowSketch($"text").as("sketch"))
         .orderBy($"doc_id"), None),
 
+    // TF-IDF-lite top terms per document: score = tf × (N/df) — the log
+    // damping is dropped so scores are exact integer ratios (log() libm
+    // results differ across engines at the ulp level and would poison
+    // rank comparisons; the ranking layer is what's under test).
+    Op("tfidf_top_terms",
+      (s, d) => {
+        val terms = docs(s, d)
+          .select($"doc_id", explode(toks($"text")).as("term"))
+          .where(length($"term") > 0)
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).count()
+        import org.apache.spark.sql.expressions.Window
+        tf.join(df, "term")
+          .withColumn("score", $"tf".cast("double") * n / $"df")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")).cast("long"))
+          .where($"rk" <= 3)
+          .select($"doc_id", $"term", $"tf", $"df", $"score", $"rk")
+          .orderBy($"doc_id", $"rk")
+      },
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |         CAST(df.df AS BIGINT) AS df,
+        |         CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS score
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
     // Per-language corpus rollup.
     Op("lang_stats",
       (s, d) => docs(s, d)
