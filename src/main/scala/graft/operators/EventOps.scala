@@ -398,19 +398,21 @@ object EventOps {
         |       THEN 'ok' ELSE 'quarantined' END AS disposition, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY disposition""".stripMargin),
 
-    // ── Set operation: users who clicked but never purchased (EXCEPT —
-    //    anti-join shaped at scale, one shuffle per side on the key).
+    // ── Set operation: (user, day) pairs with a click but no purchase
+    //    (EXCEPT — anti-join shaped at scale, one shuffle per side).
     Op("except_users",
       (s, d) => {
         val ev0 = ev(s, d)
-        ev0.where($"event_type" === "click").select($"user_id").distinct()
-          .except(ev0.where($"event_type" === "purchase").select($"user_id").distinct())
-          .orderBy($"user_id")
+        def pairs(t: String) = ev0.where($"event_type" === t)
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+        pairs("click").except(pairs("purchase")).orderBy($"user_id", $"day")
       },
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      """SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
         |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin),
+        |SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin),
 
     // ── Window analytics: per-key delta vs previous event (lag) — the
     //    change-detection primitive of the serving layer.
