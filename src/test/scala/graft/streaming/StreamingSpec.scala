@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S1 streaming: rate source → weather-record shape → windowed agg") {
+    import org.apache.spark.sql.functions._
+    // the reference's generator (10 records / 5 s) as a rate-source stream
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+      .select(
+        concat(lit("city_"), (col("value") % 10).cast("string")).as("city"),
+        round((col("value") % 233280L) / 233280.0 * 120, 2).cast("string")
+          .as("temperature"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+    val store = new UpsertStore
+    val q = WeatherPipeline.run(src, store)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (store.size == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(store.size > 0, "rate-source pipeline produced no windows")
+      assert(store.snapshot.keys.forall(_._1.startsWith("city_")))
+    } finally q.stop()
+  }
+
   test("T7: streaming session window merges a burst, splits on a gap") {
     val input = MemoryStream[WeatherRecord]
     val agg = WeatherPipeline.parse(input.toDF())
