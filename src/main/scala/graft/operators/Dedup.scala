@@ -14,9 +14,11 @@ import graft.syntax._
   * - Candidate generation is ALWAYS bucket-join shaped — explode to
   *   (bucket, doc) and self-join on the bucket key. Never an all-pairs
   *   crossJoin: cost is Σ bucket_size², not n².
-  * - Signatures are built from built-in codegen'd expressions
-  *   (`split`/`transform`/`aggregate`/`xxhash64`) — a pure map stage, no
-  *   UDF serialization, no shuffle until the bucket groupBy.
+  * - Signatures are a pure map stage — the hot path uses the compiled
+  *   [[Dedup.MinHashKernel]] (see its scaladoc for the measured
+  *   HOF-vs-kernel numbers); the column-expression forms remain the
+  *   semantic reference used by the specs. No shuffle until the bucket
+  *   groupBy.
   * - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
   */
 object Dedup {
