@@ -25,7 +25,24 @@ object Graft {
   /** Install the engine's Catalyst extensions into an existing session
     * (or set `spark.sql.extensions=graft.plans.GraftExtensions`).
     */
-  def install(spark: SparkSession): Unit = HourPartitionPruning.install(spark)
+  def install(spark: SparkSession): Unit = {
+    HourPartitionPruning.install(spark)
+    graft.plans.AsOfJoinStrategy.install(spark)
+  }
+
+  /** The SCALE.md cluster profile as code: apply to a builder for a
+    * large-cluster deployment (values sized for ~4000 cores / 100 TB;
+    * see SCALE.md for the derivation).
+    */
+  def clusterDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "8000")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.files.maxPartitionBytes", "256m")
+    .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    .config("spark.sql.session.timeZone", "UTC")
 
   object lake {
     /** Hour-partitioned ZSTD parquet write (expects a `ts` column). */
