@@ -65,12 +65,13 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: numPlanes × dim, values in [-1, 1]
-    * from an LCG keyed on (plane, dim) — reproducible across sessions.
+    * from an LCG keyed on (seed, plane, dim) — reproducible across
+    * sessions; distinct seeds give independent hash tables.
     */
-  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Int = 0): Seq[Seq[Double]] =
     (0 until numPlanes).map { p =>
       (0 until dim).map { i =>
-        val h = (p * 1315423911L + i * 2654435761L) % 100003L
+        val h = ((p + seed * 97L) * 1315423911L + i * 2654435761L) % 100003L
         (h.toDouble / 100003.0) * 2.0 - 1.0
       }
     }
@@ -94,19 +95,34 @@ object Similarity {
     annTopK(emb(s, d), numQueries, k, numPlanes)
 
   /** DataFrame-first form over any (vec_id, embedding) table. */
-  def annTopK(embDf: DataFrame, numQueries: Int, k: Int, numPlanes: Int): DataFrame = {
-    val planes = hyperplanes(numPlanes, 64)
-    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
-      .withColumn("bucket", bucketOf($"e", planes))
+  def annTopK(embDf: DataFrame, numQueries: Int, k: Int, numPlanes: Int): DataFrame =
+    annTopK(embDf, numQueries, k, numPlanes, numTables = 1)
+
+  /** L-tables form: `numTables` independent hyperplane families; a
+    * vector hashes into one bucket PER table and a query's candidates
+    * are the union over its tables' (multiprobed) buckets — the standard
+    * LSH recall lever (each table is an independent chance to co-bucket
+    * a true neighbour; misses are (1-p)^L).
+    */
+  def annTopK(embDf: DataFrame, numQueries: Int, k: Int, numPlanes: Int,
+      numTables: Int): DataFrame = {
+    val v0 = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
+    val tableBuckets = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketOf($"e", hyperplanes(numPlanes, 64, seed = t)).as("bucket"))
+    }: _*)
+    val v = v0.withColumn("tb", explode(tableBuckets))
+      .select($"vec_id", $"e", $"nrm", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
     val masks = typedlit(0L +: (0 until numPlanes).map(i => 1L << i))
     val q = broadcast(v.where($"vec_id" < numQueries)
-      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"), $"tbl",
         explode(transform(masks, m => $"bucket".bitwiseXOR(m))).as("bucket")))
     import org.apache.spark.sql.expressions.Window
-    q.join(v, Seq("bucket"))
+    q.join(v, Seq("tbl", "bucket"))
       .where($"vec_id" =!= $"q_id")
-      .select($"q_id", $"bucket", $"vec_id",
+      .select($"q_id", $"vec_id",
         round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
+      .distinct() // a neighbour found via several tables/probes counts once
       .withColumn("rn", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
       .where($"rn" <= k)

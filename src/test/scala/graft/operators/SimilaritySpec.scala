@@ -39,7 +39,7 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // multiprobe: every (q, hit) bucket pair differs in at most one plane bit
     ann.foreach { r =>
-      val (q, hit) = (r.getLong(0), r.getLong(2))
+      val (q, hit) = (r.getLong(0), r.getLong(1))
       assert(java.lang.Long.bitCount(buckets(q) ^ buckets(hit)) <= 1,
         s"q=$q hit=$hit outside the multiprobe radius")
     }
@@ -48,7 +48,7 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2)))).toMap
     ann.groupBy(_.getLong(0)).foreach { case (q, rs) =>
-      val annIds = rs.sortBy(_.getLong(4)).map(_.getLong(2)).toSeq
+      val annIds = rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
       val expected = bf(q)
         .filter(p => java.lang.Long.bitCount(buckets(p._1) ^ buckets(q)) <= 1)
         .map(_._1).take(annIds.size).toSeq
