@@ -414,6 +414,51 @@ object EventOps {
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin),
 
+    // ── INTERSECT: (user, day) pairs active in both click AND purchase.
+    Op("intersect_users",
+      (s, d) => {
+        val ev0 = ev(s, d)
+        def pairs(t: String) = ev0.where($"event_type" === t)
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+        pairs("click").intersect(pairs("purchase")).orderBy($"user_id", $"day")
+      },
+      """SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin),
+
+    // ── CUBE: event counts with all (type × hour-of-day) subtotal combos.
+    Op("cube_counts",
+      (s, d) => ev(s, d)
+        .withColumn("hr", hour($"ts").cast("long"))
+        .cube($"event_type", $"hr")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type".asc_nulls_first, $"hr".asc_nulls_first),
+      """SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |       count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, hr)
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin),
+
+    // ── PIVOT: per-day counts pivoted to one column per event type
+    //    (portable CASE-aggregation form on the oracle side).
+    Op("pivot_daily_counts",
+      (s, d) => ev(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day")
+        .pivot("event_type", Seq("click", "purchase", "signup", "view", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"day"),
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+
     // ── Window analytics: per-key delta vs previous event (lag) — the
     //    change-detection primitive of the serving layer.
     Op("lag_delta",

@@ -133,6 +133,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T7: stream-stream interval join with watermarks") {
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[WeatherRecord]
+    val errors = MemoryStream[WeatherRecord]
+    def side(m: MemoryStream[WeatherRecord], name: String) =
+      WeatherPipeline.parse(m.toDF())
+        .select(col("city").as(s"${name}_city"),
+          col("event_time").as(s"${name}_time"),
+          col("temp_d").as(s"${name}_temp"))
+        .withWatermark(s"${name}_time", "10 seconds")
+    // each click joined to errors of the same city within the prior 30 s
+    val joined = side(clicks, "c").join(side(errors, "e"),
+      expr("""c_city = e_city AND
+              e_time >= c_time - INTERVAL 30 seconds AND e_time <= c_time"""))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      errors.addData(WeatherRecord("A", "1.0", "2024-01-01 10:00:00"))
+      clicks.addData(
+        WeatherRecord("A", "2.0", "2024-01-01 10:00:20"),  // within 30s → match
+        WeatherRecord("A", "3.0", "2024-01-01 10:01:10"),  // > 30s after → no match
+        WeatherRecord("B", "4.0", "2024-01-01 10:00:10"))  // other key → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("c_city", "c_temp", "e_temp").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("A", 2.0, 1.0)))
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
