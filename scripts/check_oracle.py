@@ -31,6 +31,10 @@ for name, sql in sorted(oracle.items()):
     got = got[sorted(got.columns)]
     if len(exp) != len(got):
         print(f'FAIL {name}: ROWS exp={len(exp)} got={len(got)}'); fails += 1; continue
+    dt = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+          if str(exp[c].dtype) != str(got[c].dtype)]
+    if dt:
+        print(f'FAIL {name}: DTYPES {dt}'); fails += 1; continue
     bad = []
     for c in exp.columns:
         a = exp[c].astype(str).values

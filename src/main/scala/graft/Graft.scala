@@ -28,6 +28,10 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     HourPartitionPruning.install(spark)
     graft.plans.AsOfJoinStrategy.install(spark)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "vector_dot",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorDot].getName, "vector_dot"),
+      children => graft.functions.VectorDot(children.head, children(1)))
   }
 
   /** The SCALE.md cluster profile as code: apply to a builder for a

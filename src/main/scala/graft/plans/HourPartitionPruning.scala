@@ -94,8 +94,19 @@ object HourPartitionPruning extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
 }
 
-/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` entry point:
+  * the pruning rule, the as-of strategy, and the engine's native SQL
+  * functions (so the SQL text path can call `vector_dot(a, b)`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => HourPartitionPruning)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorDot].getName, "vector_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorDot(children(0), children(1))))
+  }
 }

@@ -15,4 +15,14 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a native function into an EXISTING session's registry (the
+    * runtime equivalent of `SparkSessionExtensions.injectFunction`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        info, builder)
 }

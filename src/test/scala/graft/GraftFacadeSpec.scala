@@ -32,6 +32,13 @@ class GraftFacadeSpec extends AnyFunSuite {
       "nearest to e_x must be the 0.9-aligned vector, then the orthogonal one")
   }
 
+  test("install registers vector_dot for the SQL surface") {
+    Graft.install(spark)
+    val d = spark.sql("SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(d === 11.0)
+  }
+
   test("lake write + pruned scan over a custom stream table") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_facade_lake").toString
