@@ -50,6 +50,29 @@ object LakeIO {
       .where($"ts" >= to_timestamp(lit(startTs)) && $"ts" < to_timestamp(lit(endTs)))
   }
 
+  /** Compact a fragmented lake partition-by-partition: rewrite each
+    * `ts_hour` directory's many small files into ~`targetBytes` files —
+    * the maintenance job every streaming-ingested lake needs (micro-batch
+    * commits at 10 s cadence fragment badly; reference:
+    * register-connector.sh:30). Clustering by ts_hour keeps the rewrite
+    * one-file-per-partition-per-task, same as [[writeLake]].
+    */
+  def compact(s: SparkSession, path: String, targetBytes: Long = 256L << 20): Unit = {
+    val df = s.read.parquet(path)
+    val tmp = path + "_compacting"
+    df.repartition(col("ts_hour"))
+      .write.mode("overwrite").partitionBy("ts_hour")
+      .option("compression", "zstd").parquet(tmp)
+    val dir = new java.io.File(path)
+    val bak = new java.io.File(path + "_old")
+    dir.renameTo(bak)
+    new java.io.File(tmp).renameTo(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(bak)
+  }
+
   /** v1 = ts_hour directory layout; bump on layout change to invalidate. */
   def lakePath(sfDir: String): String =
     "/tmp/graft_lake/v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"

@@ -66,6 +66,42 @@ class LakeIOSpec extends AnyFunSuite {
     assert(hourEq.count() === expected)
   }
 
+  test("compaction collapses fragmented partitions without losing rows") {
+    import graft.SharedSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lake"
+    // fragment: 8 writer tasks into few hours → many small files per dir
+    val df = Tables.events(spark, sf).limit(2000).repartition(8)
+      .withColumn("ts_hour", org.apache.spark.sql.functions
+        .date_format($"ts", "yyyy-MM-dd-HH"))
+    df.write.partitionBy("ts_hour").parquet(dir)
+    def parquetFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).map(_.toSeq.flatMap(c =>
+          if (c.isDirectory) walk(c) else Seq(c))).getOrElse(Nil)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val hours = spark.read.parquet(dir).select("ts_hour").distinct().count()
+    val before = parquetFiles
+    assert(before > hours, s"fixture should be fragmented: $before files / $hours dirs")
+    val n0 = spark.read.parquet(dir).count()
+    LakeIO.compact(spark, dir)
+    assert(parquetFiles.toLong === hours, "one file per partition after compaction")
+    assert(spark.read.parquet(dir).count() === n0)
+  }
+
+  test("schema evolution: widened batches merge on read (S6 parity)") {
+    import graft.SharedSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "extra").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")), "old rows null-fill new cols")
+    assert(rows(1).getDouble(rows(1).fieldIndex("extra")) === 9.5)
+  }
+
   test("lake roundtrip preserves row count and schema columns") {
     val n = spark.read.parquet(path).count()
     assert(n === Tables.events(spark, sf).count())
