@@ -414,6 +414,28 @@ object EventOps {
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin),
 
+    // ── Incremental aggregation: a materialized pre-cutoff aggregate
+    //    merged with the post-cutoff delta must equal the full recompute
+    //    (the incremental-view-maintenance pattern behind P8's "since"
+    //    polling — only the delta is scanned on refresh). The oracle IS
+    //    the full recompute, so the merge algebra is what's checked.
+    Op("incremental_agg",
+      (s, d) => {
+        val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+        def partial(df: DataFrame) = df.groupBy($"event_type")
+          .agg(sum(cents($"value")).as("pc"), count(lit(1)).as("pn"))
+        val base  = partial(ev(s, d).where($"ts" <  cutoff))
+        val delta = partial(ev(s, d).where($"ts" >= cutoff))
+        base.unionByName(delta)
+          .groupBy($"event_type")
+          .agg((sum($"pc").cast("double") / 100.0 / sum($"pn")).as("avg_value"),
+            sum($"pn").as("cnt"))
+          .orderBy($"event_type")
+      },
+      s"""SELECT event_type, ${sqlExactAvg("value")} AS avg_value,
+         |       count(*) AS cnt
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ── INTERSECT: (user, day) pairs active in both click AND purchase.
     Op("intersect_users",
       (s, d) => {

@@ -28,4 +28,11 @@ class RegistrySpec extends AnyFunSuite {
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("unknown table name fails fast with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.load(spark, sf, "no_such_table")
+    }
+    assert(e.getMessage.contains("unknown table"))
+  }
 }
