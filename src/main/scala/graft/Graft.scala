@@ -82,6 +82,13 @@ object Graft {
     def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
   }
 
+  object text {
+    /** Winnowing sketch column (see dedup.winnowSketch). */
+    def winnowSketch(text: Column): Column = TextOps.winnowSketch(text)
+    /** English stopword list used by the language-ID heuristic. */
+    def stopwords: Seq[String] = TextOps.Stopwords
+  }
+
   object temporal {
     /** Distributed merge-asof (see [[TemporalJoins.asofJoin]] for the
       * union+window composition details).

@@ -481,6 +481,27 @@ object EventOps {
         |  count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
 
+    // ── UNPIVOT/melt: the pivoted daily counts back to long form
+    //    (wide→long reshaping; oracle via portable UNION ALL).
+    Op("unpivot_daily_counts",
+      (s, d) => ev(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"day")
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(count(lit(1))).na.fill(0L)
+        .unpivot(Array($"day"), Array($"click", $"purchase"), "event_type", "n")
+        .orderBy($"day", $"event_type"),
+      """WITH p AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT day, event_type, n FROM (
+        |  SELECT day, 'click' AS event_type, click AS n FROM p
+        |  UNION ALL
+        |  SELECT day, 'purchase' AS event_type, purchase AS n FROM p)
+        |ORDER BY day, event_type""".stripMargin),
+
     // ── Window analytics: per-key delta vs previous event (lag) — the
     //    change-detection primitive of the serving layer.
     Op("lag_delta",
