@@ -297,6 +297,20 @@ object EventOps {
       """SELECT event_id, event_type, value FROM events
         |ORDER BY value DESC, event_id LIMIT 10""".stripMargin),
 
+    // ── O2 on the serving table: latest aggregated windows
+    //    (README.md:491 `SELECT * FROM weather ORDER BY window_start
+    //    DESC LIMIT 10` — top-N over the AGGREGATE, not the raw stream).
+    Op("topn_windows",
+      (s, d) => tumbleAvg(s, d)
+        .orderBy($"window_start".desc, $"event_type")
+        .limit(10),
+      s"""SELECT * FROM (
+         |  SELECT $sqlWinStart AS window_start, $sqlWinEnd AS window_end,
+         |         event_type, ${sqlExactAvg("value")} AS avg_value,
+         |         count(*) AS cnt
+         |  FROM events GROUP BY 1, 2, 3)
+         |ORDER BY window_start DESC, event_type LIMIT 10""".stripMargin),
+
     // ── O4: keep-last-100 per key (index.html:336-339 slice(-100))
     Op("keep_last_100",
       (s, d) => ev(s, d)
