@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run writes straight through to stdout, NOT via the sbt logger —
+// otherwise every line gets an "[info] " prefix, which broke the driver's
+// parse of Bench's JSON metric line (VERDICT r2 "What's wrong" #5).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

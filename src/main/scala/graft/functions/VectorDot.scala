@@ -37,13 +37,34 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vector_dot"
 
+  /** True when either input's element type is declared nullable — only
+    * then does the kernel pay a per-element null check (a null element
+    * or a length mismatch raises instead of silently producing a wrong
+    * dot product).
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
+  })
+
+  private def raiseBadInput(xs: Int, ys: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"vector_dot: length mismatch ($xs vs $ys)")
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) raiseBadInput(n, y.numElements())
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+        throw new IllegalArgumentException(s"vector_dot: null element at index $i")
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,10 +73,23 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // null-element guard only compiled in when the schema says elements
+      // can be null — the common containsNull=false path stays a tight FMA loop
+      val nullGuard =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+             |  throw new IllegalArgumentException("vector_dot: null element at index " + $i);
+             |}""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $s;

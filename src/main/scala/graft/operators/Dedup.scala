@@ -25,12 +25,18 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** Word k-shingles of the lowercased text, distinct. */
+  /** Word k-shingles of the lowercased text, distinct. Texts shorter
+    * than k tokens yield an empty array (an unguarded
+    * `sequence(0, size-k)` would count DOWN for size < k and emit
+    * negative-index garbage slices).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = split(lower(text), " ")
-    array_distinct(
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    when(size(t) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Deterministic odd multipliers/offsets for the affine minhash family. */

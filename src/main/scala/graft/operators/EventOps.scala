@@ -354,12 +354,12 @@ object EventOps {
           $"event_type", $"avg_value", $"cnt")
         .orderBy($"session_start", $"event_type"),
       s"""WITH o AS (
-         |  SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+         |  SELECT event_type, value, event_id, CAST(ts AS TIMESTAMP) AS t,
          |         CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
          |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
          |  FROM events),
          |s AS (
-         |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+         |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
          |                           ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM o)
          |SELECT min(t) AS session_start, max(t) + INTERVAL 10 MINUTE AS session_end,
@@ -596,14 +596,23 @@ object EventOps {
         |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin),
 
-    // ── O5: collect per-key series (server.js:45-57 regroup per city)
+    // ── O5: collect per-key series (server.js:45-57 regroup per city).
+    //    The collected list is emitted CSV-serialized (sorted as longs
+    //    first, then stringified) — the driver's pandas harness can't
+    //    sort top-level array columns, and a joined string carries the
+    //    identical information with the same row/hash semantics.
     Op("collect_per_key",
       (s, d) => ev(s, d)
         .groupBy($"event_type")
-        .agg(sort_array(collect_list($"event_id")).as("ids"),
+        .agg(
+          array_join(
+            transform(sort_array(collect_list($"event_id")),
+              x => x.cast("string")), ",").as("ids"),
           count(lit(1)).as("cnt"))
         .orderBy($"event_type"),
-      """SELECT event_type, list(event_id ORDER BY event_id) AS ids, count(*) AS cnt
+      """SELECT event_type,
+        |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
+        |       count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

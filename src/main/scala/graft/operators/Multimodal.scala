@@ -42,11 +42,17 @@ object Multimodal {
       (($"doc_id" % 8) * 90 + 180).cast("int").as("height"))
 
   /** STUB decode: a real implementation would hand `payload` to a codec.
-    * Deterministic fake: features from byte length + first byte.
+    * Deterministic fake: features from byte length + first code point
+    * (decoded from the leading UTF-8 bytes, max 4, so it agrees with the
+    * oracle's `ascii(substr(text,1,1))` for non-ASCII content too).
     */
   private def fakeDecode(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    val first = if (n > 0) (r.payload(0) & 0xFF) else 0
+    val first =
+      if (n > 0)
+        new String(r.payload, 0, math.min(4, r.payload.length),
+          java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      else 0
     val frames = if (r.media_type == "video/mp4") (n % 16).toInt + 1 else 1
     MediaFeatures(r.doc_id, n, r.width, r.height, frames,
       (first * 31 + n % 97).toDouble)

@@ -91,8 +91,8 @@ object Similarity {
     * cost, still ≪ brute force).
     */
   def annTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
-      numPlanes: Int = 4): DataFrame =
-    annTopK(emb(s, d), numQueries, k, numPlanes)
+      numPlanes: Int = 4, numTables: Int = 4): DataFrame =
+    annTopK(emb(s, d), numQueries, k, numPlanes, numTables)
 
   /** DataFrame-first form over any (vec_id, embedding) table. */
   def annTopK(embDf: DataFrame, numQueries: Int, k: Int, numPlanes: Int): DataFrame =
@@ -204,8 +204,10 @@ object Similarity {
 
     // LSH-bucketed ANN and cosine near-dup: hash-family semantics are not
     // portable SQL → rows-only here, recall/integrity asserted in
-    // SimilaritySpec.
-    Op("similarity_ann_lsh", (s, d) => annTopK(s, d), None),
+    // SimilaritySpec. The keyed entry runs the L=4-tables configuration —
+    // the setting the recall ladder measured at 82%→100% vs L=1's 56%
+    // (SCALE.md) — not the single-table default.
+    Op("similarity_ann_lsh", (s, d) => annTopK(s, d, numTables = 4), None),
     Op("similarity_ivf", (s, d) => ivfTopK(s, d), None),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return

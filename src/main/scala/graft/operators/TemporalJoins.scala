@@ -41,14 +41,17 @@ object TemporalJoins {
     // inclusive r.ts <= l.ts
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The matched right row travels as ONE struct through a single
+    // last(ignoreNulls) so r_ts/r_value always come from the same row —
+    // a right row whose value is NULL still wins the match (ASOF JOIN
+    // matches on time, not value non-nullness).
     l.unionByName(r)
-      .withColumn("r_value",
-        last(when($"side" === 0, $"value"), ignoreNulls = true).over(w))
-      .withColumn("r_ts",
-        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
-      .where($"side" === 1 && $"r_value".isNotNull)
+      .withColumn("r_match",
+        last(when($"side" === 0, struct($"ts", $"value")),
+          ignoreNulls = true).over(w))
+      .where($"side" === 1 && $"r_match".isNotNull)
       .select($"event_id", $"user_id", $"ts", $"value",
-        $"r_ts", $"r_value")
+        $"r_match.ts".as("r_ts"), $"r_match.value".as("r_value"))
       .orderBy($"event_id")
   }
 
@@ -142,7 +145,7 @@ object TemporalJoins {
         |              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |sid AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+        |  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
         |                           ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM w),
         |sess AS (

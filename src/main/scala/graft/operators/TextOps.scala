@@ -130,9 +130,15 @@ object TextOps {
     // perturbs at most 1-2 block minima, so near-identical docs share
     // most sketch entries. xxhash64 isn't portable SQL → rows-only +
     // TextOpsSpec overlap/edit-tolerance properties.
+    // The sketch is emitted CSV-serialized (array<long> → joined string):
+    // the driver's pandas harness can't sort top-level array columns, and
+    // the joined form carries identical information. Still rows-only
+    // (xxhash64 isn't portable SQL).
     Op("doc_winnow_fingerprint",
       (s, d) => docs(s, d)
-        .select($"doc_id", winnowSketch($"text").as("sketch"))
+        .select($"doc_id",
+          array_join(transform(winnowSketch($"text"), x => x.cast("string")), ",")
+            .as("sketch"))
         .orderBy($"doc_id"), None),
 
     // TF-IDF-lite top terms per document: score = tf × (N/df) — the log
@@ -147,10 +153,13 @@ object TextOps {
         val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
         val df = terms.select($"doc_id", $"term").distinct()
           .groupBy($"term").agg(count(lit(1)).as("df"))
-        val n = docs(s, d).count()
+        // Corpus size joined in lazily (1-row broadcast) rather than an
+        // eager docs.count() job fired during query construction.
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
         import org.apache.spark.sql.expressions.Window
         tf.join(df, "term")
-          .withColumn("score", $"tf".cast("double") * n / $"df")
+          .crossJoin(broadcast(n))
+          .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")
           .withColumn("rk", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")).cast("long"))
           .where($"rk" <= 3)

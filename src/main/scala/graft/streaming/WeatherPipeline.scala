@@ -43,21 +43,48 @@ object WeatherPipeline {
         current_timestamp().as("last_updated"))
 
   /** Keyed upsert store — the test stand-in for the reference's Postgres
-    * sink (PRIMARY KEY (city, window_start)). The `.collect()` here is on
-    * the *aggregated* micro-batch (one row per refined window×key — small
-    * by construction); a production deployment swaps this body for a JDBC
-    * MERGE over the same batch DataFrame.
+    * sink (PRIMARY KEY (city, window_start)). Writes happen PARTITION-SIDE
+    * via `foreachPartition`: each task resolves its target by id and
+    * upserts its own rows, so the driver is never in the data path (no
+    * `collect()`). A production deployment replaces the registry lookup in
+    * the partition body with "open JDBC connection, batched MERGE" — the
+    * exact same shape.
+    *
+    * The closure captures only the store id (a Long); tasks resolve the
+    * backing map through the companion registry (same JVM in local mode;
+    * a real cluster's version of this lookup is the JDBC connection pool).
     */
   final class UpsertStore {
-    private val m = scala.collection.concurrent.TrieMap[(String, java.sql.Timestamp), (java.sql.Timestamp, Double, Long)]()
-    def upsert(batch: DataFrame): Unit =
-      batch.collect().foreach { r =>
-        m.put((r.getAs[String]("city"), r.getAs[java.sql.Timestamp]("window_start")),
-          (r.getAs[java.sql.Timestamp]("window_end"),
-            r.getAs[Double]("avg_temperature"), r.getAs[Long]("record_count")))
+    private val id = UpsertStore.register()
+    def upsert(batch: DataFrame): Unit = {
+      val storeId = id
+      batch.foreachPartition { (rows: Iterator[Row]) =>
+        val m = UpsertStore.resolve(storeId)
+        rows.foreach { r =>
+          m.put((r.getAs[String]("city"), r.getAs[java.sql.Timestamp]("window_start")),
+            (r.getAs[java.sql.Timestamp]("window_end"),
+              r.getAs[Double]("avg_temperature"), r.getAs[Long]("record_count")))
+        }
       }
-    def snapshot: Map[(String, java.sql.Timestamp), (java.sql.Timestamp, Double, Long)] = m.toMap
-    def size: Int = m.size
+    }
+    def snapshot: Map[(String, java.sql.Timestamp), (java.sql.Timestamp, Double, Long)] =
+      UpsertStore.resolve(id).toMap
+    def size: Int = UpsertStore.resolve(id).size
+  }
+
+  object UpsertStore {
+    type K = (String, java.sql.Timestamp)
+    type V = (java.sql.Timestamp, Double, Long)
+    private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val stores =
+      scala.collection.concurrent.TrieMap[Long, scala.collection.concurrent.TrieMap[K, V]]()
+    private def register(): Long = {
+      val id = nextId.getAndIncrement()
+      stores.put(id, scala.collection.concurrent.TrieMap[K, V]())
+      id
+    }
+    private[WeatherPipeline] def resolve(id: Long): scala.collection.concurrent.TrieMap[K, V] =
+      stores(id)
   }
 
   /** Wire source → agg → upsert sink; update mode (T4), per-micro-batch

@@ -29,7 +29,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("ANN results come from hamming≤1 probe buckets, ranked like brute force") {
-    val ann = Similarity.annTopK(spark, sf, numQueries = 3, k = 5).collect()
+    // single-table config: the hamming≤1 assertion only holds within one
+    // hyperplane family (the keyed query runs L=4 — see the recall test)
+    val ann = Similarity.annTopK(spark, sf, numQueries = 3, k = 5, numTables = 1).collect()
     assert(ann.nonEmpty)
     val planes = Similarity.hyperplanes(4, 64)
     val buckets = graft.sources.Tables.embeddings(spark, sf)
@@ -85,6 +87,31 @@ class SimilaritySpec extends AnyFunSuite {
       val cos = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
       assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
     }
+  }
+
+  test("L=4 ANN recall@10 >= 0.8 on planted clustered vectors") {
+    // 24 clusters × 50 members in 64-dim: center from a seeded RNG,
+    // members = center + small noise → true top-10 of any query is
+    // dominated by its own cluster, the regime LSH is built for.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(24)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 1200).map { i =>
+      val c = centers(i % 24)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(df, numQueries = 5, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = Similarity.annTopK(df, numQueries = 5, k = 10, numPlanes = 4, numTables = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      ann.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: ${recalls.toSeq})")
   }
 
   test("similarity plans broadcast the query side (no shuffle of candidates)") {

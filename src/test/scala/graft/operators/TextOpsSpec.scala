@@ -43,8 +43,9 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("winnow sketch: deterministic, discriminative, edit-tolerant") {
     val op = TextOps.ops.find(_.key == "doc_winnow_fingerprint").get
-    val a = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
-    val b = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    // keyed query emits the sketch CSV-serialized (harness can't sort arrays)
+    val a = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = op.run(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
     assert(a.map(_._2).toSeq === b.map(_._2).toSeq)
     assert(a.map(_._2).distinct.length > a.length / 2, "sketches discriminate")
