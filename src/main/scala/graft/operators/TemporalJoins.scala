@@ -166,6 +166,17 @@ object TemporalJoins {
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
+        .orderBy($"event_type"), None),
+
+    // Mergeable KMV distinct sketch (native TypedImperativeAggregate,
+    // functions/KmvSketch.scala): set-union merge across partitions —
+    // merge(sk(A), sk(B)) IS sk(A∪B), proved in KmvSketchSpec. Hash
+    // family isn't portable SQL → rows-only.
+    Op("approx_distinct_kmv",
+      (s, d) => Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(graft.functions.KmvSketch.kmvDistinct($"user_id").as("kmv_users"),
+          countDistinct($"user_id").as("exact_users"))
         .orderBy($"event_type"), None)
   )
 }

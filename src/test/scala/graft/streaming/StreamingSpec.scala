@@ -163,6 +163,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T7: stream-stream LEFT OUTER interval join emits null-padded row after watermark") {
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[WeatherRecord]
+    val errors = MemoryStream[WeatherRecord]
+    def side(m: MemoryStream[WeatherRecord], name: String) =
+      WeatherPipeline.parse(m.toDF())
+        .select(col("city").as(s"${name}_city"),
+          col("event_time").as(s"${name}_time"),
+          col("temp_d").as(s"${name}_temp"))
+        .withWatermark(s"${name}_time", "5 seconds")
+    val joined = side(clicks, "c").join(side(errors, "e"),
+      expr("""c_city = e_city AND
+              e_time >= c_time - INTERVAL 30 seconds AND e_time <= c_time"""),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_lo")
+      .outputMode("append").start()
+    try {
+      errors.addData(WeatherRecord("A", "1.0", "2024-01-01 10:00:00"))
+      clicks.addData(
+        WeatherRecord("A", "2.0", "2024-01-01 10:00:20"),  // within 30s → match
+        WeatherRecord("B", "4.0", "2024-01-01 10:00:10"))  // no error → null-padded
+      q.processAllAvailable()
+      // the unmatched B row can only emit once BOTH watermarks prove no
+      // error can still arrive for its 30 s window — advance them
+      clicks.addData(WeatherRecord("ZC", "0.0", "2024-01-01 10:20:00"))
+      errors.addData(WeatherRecord("ZE", "0.0", "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      clicks.addData(WeatherRecord("ZC", "0.0", "2024-01-01 10:21:00"))
+      errors.addData(WeatherRecord("ZE", "0.0", "2024-01-01 10:21:00"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_lo")
+        .filter(col("c_city").isin("A", "B"))
+        .select("c_city", "c_temp", "e_temp").collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("A", 2.0, Some(1.0)),
+        ("B", 4.0, None)), "inner match plus watermark-confirmed outer row")
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
