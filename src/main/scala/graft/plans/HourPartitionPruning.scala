@@ -55,12 +55,15 @@ object HourPartitionPruning extends Rule[LogicalPlan] {
       }
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  /** Public so the DataSourceV2 lake source (GraftLakeSource) can run the
+    * same ts→ts_hour derivation at the scan-builder boundary.
+    */
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)
   }
 
-  private def derive(e: Expression, ts: Attribute, hr: Attribute): Option[Expression] =
+  def derive(e: Expression, ts: Attribute, hr: Attribute): Option[Expression] =
     e match {
       case GreaterThanOrEqual(a: Attribute, Literal(v: Long, TimestampType))
           if a.semanticEquals(ts) => Some(GreaterThanOrEqual(hr, lit(hourStr(v))))

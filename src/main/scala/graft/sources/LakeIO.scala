@@ -102,10 +102,31 @@ object LakeIO {
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-06 00:00:00'
         |ORDER BY event_id""".stripMargin),
 
-    // Same scan but with ONLY raw-ts predicates — partition pruning comes
-    // from the HourPartitionPruning optimizer rule (Iceberg hidden-
-    // partitioning parity; LakeIOSpec proves directories are skipped).
+    // Same scan but with ONLY raw-ts predicates — hidden-partition pruning
+    // at the SOURCE: the graft-lake DataSourceV2 scan builder rewrites the
+    // ts bounds into ts_hour partition filters before file listing
+    // (org.apache.spark.sql.graft.GraftLakeSource; LakeIOSpec proves the
+    // V2 scan plans fewer files and carries PartitionFilters).
     Op("scan_partitioned_hidden",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .where($"ts" >= to_timestamp(lit("2024-01-12 00:00:00"))
+            && $"ts" < to_timestamp(lit("2024-01-13 00:00:00")))
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // Session-rule variant of hidden pruning (HourPartitionPruning
+    // optimizer Rule over a plain V1 parquet scan) — the path for lakes
+    // read WITHOUT the graft-lake source, e.g. through an existing
+    // catalog. Same semantics, pruning proved separately in LakeIOSpec.
+    Op("scan_partitioned_rule",
       (s, d) => {
         val path = ensureLake(s, d)
         graft.plans.HourPartitionPruning.install(s)

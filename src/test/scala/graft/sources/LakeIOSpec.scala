@@ -66,6 +66,54 @@ class LakeIOSpec extends AnyFunSuite {
     assert(hourEq.count() === expected)
   }
 
+  test("graft-lake V2 source: raw-ts predicate becomes a source-level PartitionFilter") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    def scanOf(df: org.apache.spark.sql.DataFrame): ParquetScan =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan
+      }.collect { case p: ParquetScan => p }
+        .getOrElse(fail("expected a V2 ParquetScan in the plan"))
+    def filesPlanned(scan: ParquetScan): Int =
+      scan.toBatch.planInputPartitions().map {
+        case fp: FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+
+    val all = spark.read.format("graft-lake").load(path)
+    // NO ts_hour predicate — the scan builder must derive it from raw ts
+    val hidden = all.where($"ts" >= to_timestamp(lit("2024-01-05 00:00:00"))
+      && $"ts" < to_timestamp(lit("2024-01-06 00:00:00")))
+    val hiddenScan = scanOf(hidden)
+    assert(hiddenScan.partitionFilters.nonEmpty,
+      "derived ts_hour predicates must land in the scan's partitionFilters")
+    assert(hiddenScan.partitionFilters.forall(
+      _.references.forall(_.name == "ts_hour")))
+    val total = filesPlanned(scanOf(all))
+    val kept = filesPlanned(hiddenScan)
+    assert(kept > 0 && kept < total, s"V2 hidden pruning: $kept < $total")
+    // exact same rows as the un-pruned truth
+    val expected = Tables.events(spark, sf)
+      .where($"ts" >= to_timestamp(lit("2024-01-05 00:00:00"))
+        && $"ts" < to_timestamp(lit("2024-01-06 00:00:00")))
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    val got = hidden.select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("graft-lake V2 source: column pruning reaches the parquet read schema") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    val narrow = spark.read.format("graft-lake").load(path)
+      .select($"event_id", $"value")
+    val scan = narrow.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.collect { case p: ParquetScan => p }.getOrElse(fail("no V2 scan"))
+    assert(scan.readDataSchema.fieldNames.toSet === Set("event_id", "value"),
+      "projection must prune the V2 read schema")
+  }
+
   test("compaction collapses fragmented partitions without losing rows") {
     import graft.SharedSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/lake"
