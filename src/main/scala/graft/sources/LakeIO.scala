@@ -73,6 +73,71 @@ object LakeIO {
     rm(bak)
   }
 
+  /** Write-side schema evolution (S6 parity with the reference's
+    * `evolve-schema-enabled`, register-connector.sh:29): the table's
+    * evolved schema lives in a `_graft_schema.json` metadata file, updated
+    * transactionally-enough for a single-writer lake (write-new + rename).
+    * Appends may ADD nullable columns; type changes are rejected loudly.
+    *
+    * Readers ([[readEvolved]], and the graft-lake V2 source's schema
+    * inference) take the union schema from metadata — one tiny file read —
+    * instead of a `mergeSchema` footer sweep over every data file, which
+    * at 100 TB is a driver-side listing+footer job over ~10^5 files.
+    * Parquet scans null-fill columns absent from old files natively.
+    */
+  def evolveAppend(df: DataFrame, path: String): Unit = {
+    val withHour = hourPartitioned(df)
+    tableSchema(path) match {
+      case Some(current) =>
+        val curByName = current.fields.map(f => f.name -> f).toMap
+        withHour.schema.fields.foreach { f =>
+          curByName.get(f.name).foreach { old =>
+            require(old.dataType == f.dataType,
+              s"schema evolution cannot change ${f.name}: ${old.dataType} -> ${f.dataType}")
+          }
+        }
+        val added = withHour.schema.fields.filterNot(f => curByName.contains(f.name))
+        writeSchemaFile(path,
+          org.apache.spark.sql.types.StructType(current.fields ++ added.map(_.copy(nullable = true))))
+      case None =>
+        writeSchemaFile(path, withHour.schema)
+    }
+    withHour
+      .repartition(col("ts_hour"))
+      .write.mode("append")
+      .partitionBy("ts_hour")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** Read with the evolved union schema from table metadata (no
+    * mergeSchema sweep); falls back to plain inference for pre-evolution
+    * lakes.
+    */
+  def readEvolved(s: SparkSession, path: String): DataFrame =
+    tableSchema(path) match {
+      case Some(schema) => s.read.schema(schema).parquet(path)
+      case None         => s.read.parquet(path)
+    }
+
+  def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new java.io.File(path, "_graft_schema.json")
+    if (!f.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def writeSchemaFile(path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) dir.mkdirs()
+    val tmp = new java.io.File(path, "._graft_schema.json.tmp")
+    java.nio.file.Files.write(tmp.toPath, schema.json.getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(path, "_graft_schema.json"))
+    ()
+  }
+
   /** v1 = ts_hour directory layout; bump on layout change to invalidate. */
   def lakePath(sfDir: String): String =
     "/tmp/graft_lake/v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"

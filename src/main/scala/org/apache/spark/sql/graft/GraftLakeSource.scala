@@ -39,6 +39,15 @@ import graft.plans.HourPartitionPruning
 class GraftLakeSource extends ParquetDataSourceV2 {
   override def shortName(): String = "graft-lake"
 
+  /** Schema comes from the lake's `_graft_schema.json` table metadata when
+    * present (write-side evolution, LakeIO.evolveAppend) — one small file
+    * read instead of a footer sweep; falls back to parquet inference.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    getPaths(options).headOption
+      .flatMap(graft.sources.LakeIO.tableSchema)
+      .getOrElse(super.inferSchema(options))
+
   override def getTable(options: CaseInsensitiveStringMap): Table =
     new GraftLakeTable(super.getTable(options).asInstanceOf[ParquetTable])
 

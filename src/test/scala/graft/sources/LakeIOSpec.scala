@@ -150,6 +150,34 @@ class LakeIOSpec extends AnyFunSuite {
     assert(rows(1).getDouble(rows(1).fieldIndex("extra")) === 9.5)
   }
 
+  test("write-side schema evolution: evolveAppend commits the union schema to table metadata") {
+    import graft.SharedSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_w").toString + "/lake"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    LakeIO.evolveAppend(
+      Seq((1L, t("2024-01-01 10:00:00"), "a")).toDF("id", "ts", "v"), dir)
+    // widened batch: new nullable column arrives on the write side
+    LakeIO.evolveAppend(
+      Seq((2L, t("2024-01-01 11:00:00"), "b", 9.5)).toDF("id", "ts", "v", "extra"), dir)
+    // metadata carries the union; NO mergeSchema option anywhere
+    val meta = LakeIO.tableSchema(dir).get
+    assert(meta.fieldNames.contains("extra"))
+    val rows = LakeIO.readEvolved(spark, dir).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")), "old files null-fill new cols")
+    assert(rows(1).getDouble(rows(1).fieldIndex("extra")) === 9.5)
+    // the V2 source reads the evolved schema from metadata too
+    val v2 = spark.read.format("graft-lake").load(dir)
+    assert(v2.columns.contains("extra"))
+    assert(v2.orderBy("id").collect()(1).getDouble(v2.columns.indexOf("extra")) === 9.5)
+    // incompatible type change is rejected loudly
+    intercept[IllegalArgumentException] {
+      LakeIO.evolveAppend(
+        Seq(("x", t("2024-01-01 12:00:00"), "c")).toDF("id", "ts", "v"), dir)
+    }
+  }
+
   test("lake roundtrip preserves row count and schema columns") {
     val n = spark.read.parquet(path).count()
     assert(n === Tables.events(spark, sf).count())
