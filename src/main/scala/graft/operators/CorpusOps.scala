@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Corpus-curation operators — the batch patterns a training-data pipeline
+  * runs at 100 TB that aren't per-document transforms: incremental dedup
+  * against an existing corpus, deterministic content-hash splits/sampling,
+  * weighted mixture composition, and the composed curation pipeline.
+  * (North-star surface per the build brief; reference analog is the
+  * serving layer's filter+aggregate loops, server.py:52-77.)
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Native bloom-filter aggregate over `xxhash64(c)` — the Catalyst
+    * expression Spark's InjectRuntimeFilter uses, exposed as a Column.
+    * `numBits = 10×items` ≈ 1% false-positive rate.
+    */
+  def bloomAgg(c: Column, expectedItems: Long): Column =
+    GraftBridge.column(new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(c)),
+      Literal(expectedItems), Literal(expectedItems * 10L), 0, 0)
+      .toAggregateExpression())
+
+  /** `might_contain(<scalar-subquery bloom>, xxhash64(c))`: the bloom is
+    * computed ONCE by a scalar subquery (driver-held sketch, shipped to
+    * executors as a constant — InjectRuntimeFilter's own construction),
+    * so the probe is a map-side predicate with no join and no shuffle.
+    */
+  def mightContain(bloomDf: DataFrame, c: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(GraftBridge.scalarSubquery(bloomDf)),
+      GraftBridge.expression(xxhash64(c))))
+
+  /** Incremental dedup of a new batch against an existing corpus.
+    *
+    * 100 TB shape: the corpus fingerprint set is far too large to
+    * broadcast, and an anti-join shuffles the WHOLE batch against the
+    * WHOLE corpus. The bloom prefilter cuts that: docs whose fingerprint
+    * the bloom rules out (no false negatives) are kept with NO join at
+    * all; only the might-contain candidates — true dups plus the ~1%
+    * false-positive tail — pay the exact anti-join shuffle. The result is
+    * exact: bloom errors only ever ADD candidates, and the anti-join
+    * removes them.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      expectedCorpusSize: Long): DataFrame = {
+    val bloomDf = corpus.select(bloomAgg($"fp", expectedCorpusSize).as("bf"))
+    val maybeSeen = mightContain(bloomDf, $"fp")
+    val definitelyNew = batch.where(!maybeSeen)
+    val candidates = batch.where(maybeSeen)
+      .join(corpus.select($"fp"), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(candidates)
+  }
+
+  /** Normalized-content fingerprint (portable md5, as dedup_exact). */
+  private def fpNorm(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+
+  /** Deterministic 256-bucket content-hash of the doc id: the first two
+    * hex chars of md5. String comparison on 2 lowercase hex digits ==
+    * numeric comparison, and the SAME doc lands in the SAME bucket on
+    * every run and every engine — the property train/val/test splits and
+    * reproducible downsampling actually require (a `rand()` sample is
+    * neither reproducible nor portable).
+    */
+  private def hashBucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 2)
+
+  private val stops = TextOps.Stopwords
+  private def stopList = stops.map("'" + _ + "'").mkString(",")
+
+  def ops: Seq[Op] = Seq(
+
+    // Incremental dedup: batch = doc_id % 5 == 0 arriving against the
+    // corpus of the rest. Exact result (oracle NOT EXISTS) through the
+    // bloom-prefilter plan — CorpusOpsSpec asserts the plan shape (bloom
+    // scalar subquery + anti-join) and equality with the naive anti-join.
+    Op("dedup_incremental_bloom",
+      (s, d) => {
+        val all = docs(s, d).select($"doc_id", fpNorm($"text").as("fp"))
+        val batch = all.where($"doc_id" % 5 === 0)
+        val corpus = all.where($"doc_id" % 5 =!= 0)
+        incrementalDedup(batch, corpus, expectedCorpusSize = 1000000L)
+          .orderBy($"doc_id")
+      },
+      """SELECT b.doc_id, md5(lower(trim(b.text))) AS fp
+        |FROM documents b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 5 <> 0
+        |      AND md5(lower(trim(c.text))) = md5(lower(trim(b.text))))
+        |ORDER BY doc_id""".stripMargin),
+
+    // Deterministic train/val/test assignment: 204/26/26 of the 256
+    // md5 buckets ≈ 80/10/10. Map-only — no shuffle, no state, and the
+    // split is stable under corpus growth (a doc never changes split).
+    Op("split_hash_assign",
+      (s, d) => docs(s, d)
+        .select($"doc_id", hashBucket($"doc_id").as("bucket"))
+        .withColumn("split",
+          when($"bucket" < "cc", "train")
+            .when($"bucket" < "e6", "val")
+            .otherwise("test"))
+        .orderBy($"doc_id"),
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Weighted mixture composition: per-source sampling rates applied via
+    // the same deterministic buckets (even sources 25% = bucket < '40',
+    // odd sources 75% = bucket < 'c0'), reported as kept-vs-total per
+    // source. One scan, map-side sample, single small aggregation.
+    Op("mixture_weighted",
+      (s, d) => docs(s, d)
+        .select($"source",
+          hashBucket($"doc_id").as("bucket"),
+          (substring($"source", 4, 8).cast("int") % 2).as("par"))
+        .withColumn("thr", when($"par" === 0, "40").otherwise("c0"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("total"),
+          sum(when($"bucket" < $"thr", 1L).otherwise(0L)).as("kept"))
+        .orderBy($"source"),
+      """SELECT source, CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '40' ELSE 'c0' END)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // The composed curation pipeline — quality gate, stopword-ratio
+    // language gate, exact dedup (min doc_id per normalized fingerprint),
+    // token accounting — as ONE declarative plan: scan → map → single
+    // fingerprint shuffle. This is the whole point of declaring operators
+    // as DataFrame transforms: composition doesn't add passes.
+    Op("pipeline_curate",
+      (s, d) => {
+        val t = split(lower($"text"), " ")
+        val stopsArr = array(stops.map(lit): _*)
+        val scored = docs(s, d).select(
+          $"doc_id",
+          fpNorm($"text").as("fp_norm"),
+          size(t).cast("long").as("ws_tokens"),
+          round(least(lit(1.0), size(t).cast("double") / 100.0)
+            * (lit(1.0) - round(
+              length(regexp_replace(lower($"text"), "[a-z0-9 ]", "")).cast("double")
+                / length($"text"), 4)), 4).as("score"),
+          round(size(filter(t, x => array_contains(stopsArr, x))).cast("double")
+            / size(t), 4).as("stop_ratio"))
+        scored
+          .where($"score" >= 0.3 && $"stop_ratio" >= 0.05)
+          .groupBy($"fp_norm")
+          .agg(min($"doc_id").as("doc_id"),
+            min_by($"ws_tokens", $"doc_id").as("ws_tokens"),
+            min_by($"score", $"doc_id").as("score"))
+          .select($"doc_id", $"fp_norm", $"ws_tokens", $"score")
+          .orderBy($"doc_id")
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id, md5(lower(trim(text))) AS fp_norm,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+         |    round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0)
+         |      * (1.0 - round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4)), 4) AS score,
+         |    round(CAST(len(list_filter(string_split(lower(text), ' '),
+         |        x -> list_contains([$stopList], x))) AS DOUBLE)
+         |      / len(string_split(lower(text), ' ')), 4) AS stop_ratio
+         |  FROM documents)
+         |SELECT min(doc_id) AS doc_id, fp_norm,
+         |       min_by(ws_tokens, doc_id) AS ws_tokens,
+         |       min_by(score, doc_id) AS score
+         |FROM scored
+         |WHERE score >= 0.3 AND stop_ratio >= 0.05
+         |GROUP BY fp_norm ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -16,6 +16,15 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a 1-row/1-col DataFrame as a scalar-subquery expression — the
+    * construction Spark's own InjectRuntimeFilter uses to hand a
+    * driver-computed sketch (e.g. a bloom filter) to executor-side
+    * predicates as a constant.
+    */
+  def scalarSubquery(df: DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed))
+
   /** Register a native function into an EXISTING session's registry (the
     * runtime equivalent of `SparkSessionExtensions.injectFunction`).
     */

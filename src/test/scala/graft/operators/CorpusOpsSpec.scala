@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.{spark, sf}
+
+class CorpusOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def fp = md5(lower(trim($"text")).cast("binary"))
+
+  test("incremental bloom dedup equals the naive anti-join, through the bloom plan") {
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", fp.as("fp"))
+    val batch = all.where($"doc_id" % 5 === 0)
+    val corpus = all.where($"doc_id" % 5 =!= 0)
+
+    val viaBloom = CorpusOps.incrementalDedup(batch, corpus, 1000000L)
+    // plan shape: a bloom might_contain probe fed by a scalar subquery,
+    // plus the exact anti-join on the candidate branch only
+    val plan = viaBloom.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1500))
+    assert(plan.toLowerCase.contains("scalar-subquery"), plan.take(1500))
+    assert(viaBloom.queryExecution.sparkPlan.toString.contains("LeftAnti"))
+
+    val naive = batch.join(corpus.select($"fp"), Seq("fp"), "left_anti")
+    val a = viaBloom.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val b = naive.select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
+  test("bloom prefilter: definitely-new docs bypass the join (no false negatives)") {
+    // planted: corpus {a,b}, batch {b (dup), c, d}; bloom must never rule
+    // out b, and c/d must survive regardless of bloom false positives
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "fp")
+    val batch = Seq((10L, "bbb"), (11L, "ccc"), (12L, "ddd")).toDF("doc_id", "fp")
+    val out = CorpusOps.incrementalDedup(batch, corpus, 100L)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(11L, 12L))
+  }
+
+  test("hash split is deterministic and approximately 80/10/10") {
+    val q = CorpusOps.ops.find(_.key == "split_hash_assign").get
+    val out = q.run(spark, sf).cache()
+    val n = out.count().toDouble
+    val frac = out.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.797) < 0.08, frac.toString)
+    assert(frac("val") > 0.03 && frac("test") > 0.03, frac.toString)
+    // determinism: same assignment on a second run
+    val again = q.run(spark, sf)
+    assert(out.unionByName(again).distinct().count() === out.count())
+    out.unpersist()
+  }
+
+  test("pipeline_curate: gates drop rows, dedup keeps min doc_id per fingerprint") {
+    val out = CorpusOps.ops.find(_.key == "pipeline_curate").get
+      .run(spark, sf).cache()
+    val n = out.count()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(n > 0 && n < total, s"gates should drop some of $total, kept $n")
+    assert(out.select($"fp_norm").distinct().count() === n, "one row per fingerprint")
+    // single plan: one fp_norm aggregation exchange + the final sort's
+    // range exchange, nothing else (counted as physical Exchange nodes —
+    // the AQE plan STRING repeats them in its initial-plan section)
+    val shuffles = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.size
+    assert(shuffles <= 2, s"curate pipeline must stay one-shuffle-ish, saw $shuffles")
+    out.unpersist()
+  }
+}
