@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TemporalJoins, TextOps}
+import graft.operators.{CorpusOps, Dedup, Similarity, TemporalJoins, TextOps}
 import graft.plans.HourPartitionPruning
 import graft.sources.LakeIO
-import graft.streaming.WeatherPipeline
+import graft.streaming.{StreamingDedup, WeatherPipeline}
 
 /** Public facade of the engine — the API a user of the reference pipeline
   * programs against after switching to this library. Everything is
@@ -54,6 +54,39 @@ object Graft {
     /** Partition-pruned range scan over a lake table. */
     def scan(spark: SparkSession, path: String, startTs: String, endTs: String): DataFrame =
       LakeIO.prunedScan(spark, path, startTs, endTs)
+    /** Hidden-partition V2 read: raw `ts` predicates prune directories at
+      * the source (`GraftLakeSource`), no session rule needed.
+      */
+    def read(spark: SparkSession, path: String): DataFrame =
+      spark.read.format("graft-lake").load(path)
+    /** Schema-evolving append: new nullable columns widen the table
+      * metadata; readers get the union without a mergeSchema sweep.
+      */
+    def evolveAppend(df: DataFrame, path: String): Unit =
+      LakeIO.evolveAppend(df, path)
+    /** Read with the evolved union schema from table metadata. */
+    def readEvolved(spark: SparkSession, path: String): DataFrame =
+      LakeIO.readEvolved(spark, path)
+  }
+
+  object corpus {
+    /** Exact incremental dedup of `batch` against `existing` (both carry
+      * an `fp` fingerprint column): bloom prefilter, anti-join only for
+      * might-contain candidates.
+      */
+    def incrementalDedup(batch: DataFrame, existing: DataFrame,
+        expectedCorpusSize: Long): DataFrame =
+      CorpusOps.incrementalDedup(batch, existing, expectedCorpusSize)
+    /** Deterministic 256-bucket content hash ('00'..'ff') for
+      * reproducible splits/sampling.
+      */
+    def hashBucket(id: Column): Column = CorpusOps.hashBucket(id)
+    /** Native bloom-filter aggregate (scalar-subquery-able sketch). */
+    def bloomAgg(c: Column, expectedItems: Long): Column =
+      CorpusOps.bloomAgg(c, expectedItems)
+    /** Mergeable KMV distinct-count sketch aggregate. */
+    def kmvDistinct(c: Column, k: Int = 1024): Column =
+      graft.functions.KmvSketch.kmvDistinct(c, k)
   }
 
   object dedup {
@@ -108,5 +141,7 @@ object Graft {
       * avg/count → keyed upsert (see [[WeatherPipeline]]).
       */
     def weatherPipeline: WeatherPipeline.type = WeatherPipeline
+    /** Stateful streaming dedup (unbounded horizon). */
+    def dedup: StreamingDedup.type = StreamingDedup
   }
 }

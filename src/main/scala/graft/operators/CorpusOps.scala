@@ -72,7 +72,7 @@ object CorpusOps {
     * reproducible downsampling actually require (a `rand()` sample is
     * neither reproducible nor portable).
     */
-  private def hashBucket(id: Column): Column =
+  def hashBucket(id: Column): Column =
     substring(md5(id.cast("string").cast("binary")), 1, 2)
 
   private val stops = TextOps.Stopwords

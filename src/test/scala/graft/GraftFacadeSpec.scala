@@ -51,5 +51,30 @@ class GraftFacadeSpec extends AnyFunSuite {
     val got = Graft.lake.scan(spark, dir, "2024-03-01 00:00:00", "2024-03-02 00:00:00")
       .select("id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(1L, 2L))
+    // and the V2 read prunes the same range from raw ts predicates
+    import org.apache.spark.sql.functions.{col, to_timestamp => tots, lit => l}
+    val v2 = Graft.lake.read(spark, dir)
+      .where(col("ts") >= tots(l("2024-03-01 00:00:00"))
+        && col("ts") < tots(l("2024-03-02 00:00:00")))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(v2.toSeq === Seq(1L, 2L))
+  }
+
+  test("corpus.incrementalDedup and hashBucket over custom tables") {
+    val existing = Seq("aaa", "bbb").map(Tuple1(_)).toDF("fp")
+    val batch = Seq((10L, "bbb"), (11L, "ccc")).toDF("doc_id", "fp")
+    val kept = Graft.corpus.incrementalDedup(batch, existing, 100L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(11L))
+    // hashBucket: 2 lowercase hex chars, deterministic
+    val b = Seq(42L).toDF("id")
+      .select(Graft.corpus.hashBucket($"id").as("b")).head.getString(0)
+    assert(b.matches("[0-9a-f]{2}"))
+    assert(Seq(42L).toDF("id").select(Graft.corpus.hashBucket($"id"))
+      .head.getString(0) === b)
+    // kmvDistinct: exact under k
+    val d = (1 to 50).map(_.toLong).toDF("v")
+      .agg(Graft.corpus.kmvDistinct($"v").as("d")).head.getLong(0)
+    assert(d === 50L)
   }
 }
