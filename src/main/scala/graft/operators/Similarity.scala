@@ -213,6 +213,37 @@ object Similarity {
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
     // the 0.95 path with planted near-duplicates.
-    Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35), None)
+    Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35), None),
+
+    // Per-label centroids (the k-means/IVF training step) as a
+    // distributed vector aggregation: posexplode to (label, pos, x),
+    // partial+final sum per dimension — one shuffle of labels×64 partial
+    // rows regardless of vector count. Exactness across engines: each
+    // float is rounded at 6 dp (tie-free — floats are dyadic, a decimal
+    // ...5 tail at digit 7 is not representable) then summed as
+    // DECIMAL(18,6) (order-independent exact), and the single double
+    // division at the end is identical on identical operands.
+    Op("embedding_centroids",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{posexplode, round => rnd}
+        emb(s, d)
+          .select($"label".cast("long").as("label"), posexplode($"embedding"))
+          .select($"label", $"pos".cast("long").as("pos"),
+            rnd($"col".cast("double"), 6).cast("decimal(18,6)").as("xd"))
+          .groupBy($"label", $"pos")
+          .agg(sum($"xd").as("sdec"), count(lit(1)).as("n"))
+          .select($"label", $"pos",
+            ($"sdec".cast("double") / $"n").as("c"), $"n")
+          .orderBy($"label", $"pos")
+      },
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |       CAST(sum(xd) AS DOUBLE) / count(*) AS c,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)
   )
 }
