@@ -30,13 +30,27 @@ object LakeIO {
     * up to tasks×hours tiny files (the classic small-files explosion at
     * scale); with it, one file per hour partition.
     */
-  def writeLake(df: DataFrame, path: String): Unit =
-    hourPartitioned(df)
+  def writeLake(df: DataFrame, path: String): Unit = {
+    val withHour = hourPartitioned(df)
+    withHour
       .repartition(col("ts_hour"))
       .write.mode("overwrite")
       .partitionBy("ts_hour")
       .option("compression", "zstd")
       .parquet(path)
+    commitMetadata(path, withHour.schema)
+  }
+
+  /** Commit-time metadata: union schema + file manifest, so graft-lake V2
+    * reads plan with ZERO filesystem listing and zero footer reads (the
+    * walk below runs once per commit, on the single writer — not per
+    * query, not per reader).
+    */
+  private def commitMetadata(path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    writeSchemaFile(path, schema)
+    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
+  }
 
   /** Read back with a [start, end) `ts` range, pruned via `ts_hour`. The
     * extra ts_hour bounds are the hour-truncations of the range endpoints,
@@ -71,6 +85,7 @@ object LakeIO {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(bak)
+    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
   }
 
   /** Write-side schema evolution (S6 parity with the reference's
@@ -108,6 +123,7 @@ object LakeIO {
       .partitionBy("ts_hour")
       .option("compression", "zstd")
       .parquet(path)
+    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
   }
 
   /** Read with the evolved union schema from table metadata (no
@@ -138,9 +154,11 @@ object LakeIO {
     ()
   }
 
-  /** v1 = ts_hour directory layout; bump on layout change to invalidate. */
+  /** v2 = ts_hour layout + commit metadata (schema file + manifest);
+    * bump on layout change to invalidate.
+    */
   def lakePath(sfDir: String): String =
-    "/tmp/graft_lake/v1_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    "/tmp/graft_lake/v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
 
   /** Write once, scan many: skip the write when the committed marker is
     * already present (a lake table is immutable-once-committed; rebuilding

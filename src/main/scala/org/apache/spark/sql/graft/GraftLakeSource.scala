@@ -56,20 +56,43 @@ class GraftLakeSource extends ParquetDataSourceV2 {
 }
 
 /** Wraps the V2 ParquetTable, swapping in the hidden-partition scan
-  * builder. Read/write capabilities, schema, and the directory-derived
-  * partitioning metadata all come from the inner table.
+  * builder. When the lake carries commit metadata (`_graft_manifest.tsv`
+  * + `_graft_schema.json`, written by LakeIO's writers), BOTH planning
+  * inputs come from metadata — schema from the table-metadata file and
+  * the file list from a [[ManifestFileIndex]] — so constructing and
+  * scanning the table does ZERO filesystem listing and ZERO footer
+  * reads. Without metadata it degrades to the inner ParquetTable's
+  * standard inference.
   */
 class GraftLakeTable(inner: ParquetTable) extends Table
     with SupportsRead with SupportsWrite {
 
+  private val rootDir: Option[String] = inner.paths.headOption
+  private lazy val manifest = rootDir.flatMap(ManifestFileIndex.read)
+  private lazy val metaSchema = rootDir.flatMap(graft.sources.LakeIO.tableSchema)
+
   override def name(): String = "graft_lake:" + inner.name
-  override def schema(): StructType = inner.schema
-  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def schema(): StructType = metaSchema.getOrElse(inner.schema)
+  override def partitioning(): Array[Transform] = manifest match {
+    case Some((partCol, _)) =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity(partCol))
+    case None => inner.partitioning()
+  }
   override def properties(): java.util.Map[String, String] = inner.properties()
   override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(inner.newScanBuilder(options))
+    (manifest, metaSchema) match {
+      case (Some((partCol, entries)), Some(full)) =>
+        val idx = new ManifestFileIndex(inner.sparkSession,
+          new org.apache.hadoop.fs.Path(rootDir.get), entries, partCol,
+          Some(full))
+        val dataSchema = StructType(full.fields.filterNot(_.name == partCol))
+        new GraftLakeScanBuilder(ParquetScanBuilder(
+          inner.sparkSession, idx, full, dataSchema, options))
+      case _ =>
+        new GraftLakeScanBuilder(inner.newScanBuilder(options))
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     inner.newWriteBuilder(info)

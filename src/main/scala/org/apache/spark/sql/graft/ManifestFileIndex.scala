@@ -1,0 +1,130 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File index backed by the lake's commit manifest instead of filesystem
+  * listing — the Iceberg idea (manifests over listing; reference:
+  * trino/sql/init-tables.sql Iceberg tables) applied to the graft lake.
+  *
+  * `spark.read.parquet` on a partitioned directory pays an EAGER recursive
+  * listing of every partition directory at table-construction time —
+  * O(dirs + files) driver-side filesystem calls before the first byte of
+  * planning, and again per query. At 100 TB (~10^4 hour dirs, ~10^5-10^6
+  * files, object-store latency per call) that listing IS the planning
+  * cost. The manifest — written once at commit by the single writer —
+  * replaces it with one small sequential file read; partition pruning then
+  * happens in memory against the manifest's partition values via the
+  * inherited `listFiles(partitionFilters)`.
+  *
+  * Manifest format (`_graft_manifest.tsv`, tab-separated):
+  * {{{
+  *   #partcol <column>
+  *   <partValue> <relativeFilePath> <sizeBytes> <mtimeMs>
+  * }}}
+  */
+class ManifestFileIndex(
+    spark: SparkSession,
+    root: Path,
+    entries: Seq[ManifestFileIndex.Entry],
+    partCol: String,
+    userSpecifiedSchema: Option[StructType])
+  extends PartitioningAwareFileIndex(spark, Map.empty, userSpecifiedSchema) {
+
+  private val statusByDir: Map[Path, Array[FileStatus]] =
+    entries.groupBy(_.partValue).map { case (pv, es) =>
+      val dir = new Path(root, s"$partCol=$pv")
+      dir -> es.map { e =>
+        new FileStatus(e.size, false, 1, 128L << 20, e.mtime,
+          new Path(root, e.relPath))
+      }.toArray
+    }
+
+  override val rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSpec(): PartitionSpec = {
+    val col = StructType(Seq(StructField(partCol, StringType, nullable = true)))
+    val parts = statusByDir.keys.toSeq.sortBy(_.toString).map { dir =>
+      val value = dir.getName.substring(partCol.length + 1)
+      PartitionPath(
+        InternalRow(UTF8String.fromString(value)), dir)
+    }
+    PartitionSpec(col, parts)
+  }
+
+  override def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = mutable.LinkedHashMap.empty[Path, FileStatus]
+    statusByDir.toSeq.sortBy(_._1.toString).foreach { case (_, fs) =>
+      fs.foreach(f => m += (f.getPath -> f))
+    }
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] = statusByDir
+
+  override def refresh(): Unit = ()
+}
+
+object ManifestFileIndex {
+  final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long)
+
+  val ManifestName = "_graft_manifest.tsv"
+
+  /** Read the manifest if present: (partition column, entries). */
+  def read(rootDir: String): Option[(String, Seq[Entry])] = {
+    val f = new java.io.File(rootDir, ManifestName)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val it = lines.iterator()
+      if (!it.hasNext) None
+      else {
+        val header = it.next()
+        if (!header.startsWith("#partcol\t")) None
+        else {
+          val partCol = header.substring("#partcol\t".length)
+          val buf = Seq.newBuilder[Entry]
+          while (it.hasNext) {
+            val parts = it.next().split('\t')
+            if (parts.length == 4)
+              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
+          }
+          Some((partCol, buf.result()))
+        }
+      }
+    }
+  }
+
+  /** Walk the lake ONCE (at write commit — the only time listing is
+    * justified) and write the manifest atomically (tmp + rename).
+    */
+  def commit(rootDir: String, partCol: String): Unit = {
+    val root = new java.io.File(rootDir)
+    if (!root.exists()) return
+    val sb = new StringBuilder(s"#partcol\t$partCol\n")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .sortBy(_.getName)
+    dirs.foreach { d =>
+      val pv = d.getName.substring(partCol.length + 1)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .foreach { f =>
+          sb.append(pv).append('\t').append(d.getName + "/" + f.getName)
+            .append('\t').append(f.length()).append('\t')
+            .append(f.lastModified()).append('\n')
+        }
+    }
+    val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(rootDir, ManifestName))
+    ()
+  }
+}

@@ -86,6 +86,9 @@ class LakeIOSpec extends AnyFunSuite {
     val hidden = all.where($"ts" >= to_timestamp(lit("2024-01-05 00:00:00"))
       && $"ts" < to_timestamp(lit("2024-01-06 00:00:00")))
     val hiddenScan = scanOf(hidden)
+    assert(hiddenScan.fileIndex.isInstanceOf[org.apache.spark.sql.graft.ManifestFileIndex],
+      "committed lake must plan from the manifest, not filesystem listing: " +
+        hiddenScan.fileIndex.getClass.getName)
     assert(hiddenScan.partitionFilters.nonEmpty,
       "derived ts_hour predicates must land in the scan's partitionFilters")
     assert(hiddenScan.partitionFilters.forall(
