@@ -548,6 +548,28 @@ object EventOps {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
         |FROM events ORDER BY event_type, event_id""".stripMargin),
 
+    // ── Rank-family window analytics: ntile deciles, percent_rank,
+    // cume_dist per key (deterministic via the event_id tie-break; the
+    // rank→double math is identical IEEE on both engines given unique
+    // ordering). One window shuffle on event_type.
+    Op("rank_analytics",
+      (s, d) => {
+        val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+        ev(s, d)
+          .select($"event_type", $"event_id", $"value",
+            ntile(10).over(w).cast("long").as("decile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy($"event_type", $"event_id")
+      },
+      """SELECT event_type, event_id, value,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin),
+
     // ── Exact median per key (percentile_cont 0.5, linear interpolation).
     Op("median_value",
       (s, d) => ev(s, d)

@@ -52,6 +52,15 @@ object LakeIO {
     org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
   }
 
+  /** Metadata commit after an external append (streaming foreachBatch):
+    * keeps any already-evolved union schema, else records the batch's.
+    */
+  def commitAfterAppend(path: String,
+      batchSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (tableSchema(path).isEmpty) writeSchemaFile(path, batchSchema)
+    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
+  }
+
   /** Read back with a [start, end) `ts` range, pruned via `ts_hour`. The
     * extra ts_hour bounds are the hour-truncations of the range endpoints,
     * so the rewrite is exactly Iceberg's hidden-partition pruning.

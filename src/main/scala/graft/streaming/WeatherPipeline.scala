@@ -114,4 +114,28 @@ object WeatherPipeline {
       .partitionBy("ts_hour")
       .format("parquet")
       .start(path)
+
+  /** [[lakeSink]] + table metadata: each micro-batch appends
+    * hour-partitioned parquet AND refreshes the commit manifest + schema
+    * file, so graft-lake V2 readers of a LIVE streaming table still plan
+    * from metadata (zero listing) and see every committed batch — the
+    * streaming side of the Iceberg-commit parity (register-connector.sh:30
+    * commits on the same cadence).
+    */
+  def lakeSinkCommitted(source: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    parse(source)
+      .withColumn("ts_hour", date_format($"event_time", "yyyy-MM-dd-HH"))
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("ts_hour")
+          .option("compression", "zstd")
+          .parquet(path)
+        graft.sources.LakeIO.commitAfterAppend(path, batch.schema)
+      }
+      .start()
 }

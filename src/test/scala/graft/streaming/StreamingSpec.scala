@@ -205,6 +205,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T5/S6: committed streaming sink refreshes the manifest; V2 reads see every batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake_m").toString
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.lakeSinkCommitted(input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      input.addData(WeatherRecord("B", "20.0", "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$dir/data/_graft_manifest.tsv").exists(),
+        "each micro-batch must refresh the commit manifest")
+      // V2 read plans from the manifest and sees both batches
+      val v2 = spark.read.format("graft-lake").load(s"$dir/data")
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+      val scan = v2.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan
+      }.collect { case p: ParquetScan => p }.getOrElse(fail("no V2 scan"))
+      assert(scan.fileIndex.isInstanceOf[org.apache.spark.sql.graft.ManifestFileIndex])
+      assert(v2.count() === 2)
+      assert(v2.select("ts_hour").distinct().collect().map(_.getString(0)).sorted
+        === Array("2024-01-01-10", "2024-01-01-11"))
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
