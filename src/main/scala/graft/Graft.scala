@@ -67,6 +67,12 @@ object Graft {
     /** Read with the evolved union schema from table metadata. */
     def readEvolved(spark: SparkSession, path: String): DataFrame =
       LakeIO.readEvolved(spark, path)
+    /** Time travel: read the lake as of a committed snapshot version
+      * (frozen manifest + frozen schema; appends never delete files).
+      */
+    def readSnapshot(spark: SparkSession, path: String, version: Int): DataFrame =
+      spark.read.format("graft-lake")
+        .option("versionAsOf", version.toString).load(path)
   }
 
   object corpus {

@@ -41,18 +41,27 @@ class GraftLakeSource extends ParquetDataSourceV2 {
 
   /** Schema comes from the lake's `_graft_schema.json` table metadata when
     * present (write-side evolution, LakeIO.evolveAppend) — one small file
-    * read instead of a footer sweep; falls back to parquet inference.
+    * read instead of a footer sweep; with `versionAsOf`, from that
+    * snapshot's frozen schema (a pre-evolution snapshot reads with its
+    * OWN narrower schema). Falls back to parquet inference.
     */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    getPaths(options).headOption
-      .flatMap(graft.sources.LakeIO.tableSchema)
-      .getOrElse(super.inferSchema(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = getPaths(options).headOption
+    val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val fromMeta = (path, version) match {
+      case (Some(p), Some(v)) => ManifestFileIndex.snapshotSchema(p, v)
+      case (Some(p), None)    => graft.sources.LakeIO.tableSchema(p)
+      case _                  => None
+    }
+    fromMeta.getOrElse(super.inferSchema(options))
+  }
 
   override def getTable(options: CaseInsensitiveStringMap): Table =
     new GraftLakeTable(super.getTable(options).asInstanceOf[ParquetTable])
 
   override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
-    new GraftLakeTable(super.getTable(options, schema).asInstanceOf[ParquetTable])
+    new GraftLakeTable(super.getTable(options, schema).asInstanceOf[ParquetTable],
+      schemaOverride = Some(schema))
 }
 
 /** Wraps the V2 ParquetTable, swapping in the hidden-partition scan
@@ -64,12 +73,14 @@ class GraftLakeSource extends ParquetDataSourceV2 {
   * reads. Without metadata it degrades to the inner ParquetTable's
   * standard inference.
   */
-class GraftLakeTable(inner: ParquetTable) extends Table
+class GraftLakeTable(inner: ParquetTable,
+    schemaOverride: Option[StructType] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   private val rootDir: Option[String] = inner.paths.headOption
-  private lazy val manifest = rootDir.flatMap(ManifestFileIndex.read)
-  private lazy val metaSchema = rootDir.flatMap(graft.sources.LakeIO.tableSchema)
+  private lazy val manifest = rootDir.flatMap(ManifestFileIndex.read(_))
+  private lazy val metaSchema =
+    schemaOverride.orElse(rootDir.flatMap(graft.sources.LakeIO.tableSchema))
 
   override def name(): String = "graft_lake:" + inner.name
   override def schema(): StructType = metaSchema.getOrElse(inner.schema)
@@ -81,8 +92,19 @@ class GraftLakeTable(inner: ParquetTable) extends Table
   override def properties(): java.util.Map[String, String] = inner.properties()
   override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    (manifest, metaSchema) match {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel: `.option("versionAsOf", v)` reads snapshot v's frozen
+    // manifest + schema (appends never delete files, so old snapshots
+    // stay readable — Iceberg snapshot semantics)
+    val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val (snapManifest, snapSchema) = version match {
+      case Some(v) =>
+        val m = rootDir.flatMap(ManifestFileIndex.read(_, Some(v)))
+        require(m.isDefined, s"no snapshot version $v under ${rootDir.getOrElse("?")}")
+        (m, rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, v)).orElse(metaSchema))
+      case None => (manifest, metaSchema)
+    }
+    (snapManifest, snapSchema) match {
       case (Some((partCol, entries)), Some(full)) =>
         val idx = new ManifestFileIndex(inner.sparkSession,
           new org.apache.hadoop.fs.Path(rootDir.get), entries, partCol,
@@ -93,6 +115,7 @@ class GraftLakeTable(inner: ParquetTable) extends Table
       case _ =>
         new GraftLakeScanBuilder(inner.newScanBuilder(options))
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     inner.newWriteBuilder(info)

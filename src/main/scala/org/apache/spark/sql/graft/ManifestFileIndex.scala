@@ -75,10 +75,17 @@ object ManifestFileIndex {
   final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long)
 
   val ManifestName = "_graft_manifest.tsv"
+  val SnapshotDir = "_graft_snapshots"
 
-  /** Read the manifest if present: (partition column, entries). */
-  def read(rootDir: String): Option[(String, Seq[Entry])] = {
-    val f = new java.io.File(rootDir, ManifestName)
+  /** Read the manifest if present: (partition column, entries).
+    * With `version = Some(v)`, reads snapshot v's manifest (time travel);
+    * otherwise the current manifest.
+    */
+  def read(rootDir: String, version: Option[Int] = None): Option[(String, Seq[Entry])] = {
+    val f = version match {
+      case Some(v) => new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+      case None    => new java.io.File(rootDir, ManifestName)
+    }
     if (!f.exists()) None
     else {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
@@ -125,6 +132,46 @@ object ManifestFileIndex {
     val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
     tmp.renameTo(new java.io.File(rootDir, ManifestName))
+
+    // snapshot log: the same manifest becomes snapshot v = HEAD+1, plus a
+    // frozen copy of the current schema metadata; HEAD advances by atomic
+    // rename LAST, so a reader never observes a half-written snapshot.
+    // Appends never delete data files, so every previous snapshot's file
+    // list stays valid — that is what makes `versionAsOf` reads work.
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    snapDir.mkdirs()
+    val v = headVersion(rootDir).getOrElse(0) + 1
+    java.nio.file.Files.write(
+      new java.io.File(snapDir, s"manifest-$v.tsv").toPath,
+      sb.toString.getBytes("UTF-8"))
+    val schemaFile = new java.io.File(rootDir, "_graft_schema.json")
+    if (schemaFile.exists())
+      java.nio.file.Files.copy(schemaFile.toPath,
+        new java.io.File(snapDir, s"schema-$v.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val headTmp = new java.io.File(snapDir, ".HEAD.tmp")
+    java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
+    headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
     ()
+  }
+
+  /** Latest committed snapshot version, if any. */
+  def headVersion(rootDir: String): Option[Int] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", "HEAD")
+    if (!f.exists()) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    ).toOption
+  }
+
+  /** Snapshot v's frozen schema, if recorded. */
+  def snapshotSchema(rootDir: String, v: Int): Option[StructType] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"schema-$v.json")
+    if (!f.exists()) None
+    else scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .asInstanceOf[StructType]
+    ).toOption
   }
 }

@@ -181,6 +181,30 @@ class LakeIOSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel: versionAsOf reads the frozen snapshot manifest and schema") {
+    import graft.SharedSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/lake"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    LakeIO.writeLake(
+      Seq((1L, t("2024-01-01 10:00:00"), "a")).toDF("id", "ts", "v"), dir)
+    LakeIO.evolveAppend(
+      Seq((2L, t("2024-01-01 11:00:00"), "b", 9.5)).toDF("id", "ts", "v", "extra"), dir)
+    // HEAD: both rows, evolved schema
+    val head = spark.read.format("graft-lake").load(dir)
+    assert(head.count() === 2 && head.columns.contains("extra"))
+    // snapshot 1: only the first commit's rows, pre-evolution schema
+    val v1 = graft.Graft.lake.readSnapshot(spark, dir, 1)
+    assert(v1.count() === 1)
+    assert(!v1.columns.contains("extra"),
+      "snapshot 1 must read with its own frozen (narrower) schema")
+    assert(v1.select("id").head.getLong(0) === 1L)
+    // unknown version fails loudly
+    intercept[Exception] {
+      graft.Graft.lake.readSnapshot(spark, dir, 99).count()
+    }
+  }
+
   test("lake roundtrip preserves row count and schema columns") {
     val n = spark.read.parquet(path).count()
     assert(n === Tables.events(spark, sf).count())
