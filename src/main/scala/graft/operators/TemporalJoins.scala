@@ -177,6 +177,23 @@ object TemporalJoins {
         .groupBy($"event_type")
         .agg(graft.functions.KmvSketch.kmvDistinct($"user_id").as("kmv_users"),
           countDistinct($"user_id").as("exact_users"))
-        .orderBy($"event_type"), None)
+        .orderBy($"event_type"), None),
+
+    // SpaceSaving heavy hitters (functions/TopKSketch.scala): top-10
+    // users by event count through the mergeable sketch. With distinct
+    // users ≤ k=4096 at every test SF the sketch runs in its exact
+    // regime (no eviction anywhere), so the result is oracle-exact;
+    // TopKSketchSpec exercises the eviction/merge bounds with tiny k.
+    Op("approx_top_users",
+      (s, d) => Tables.events(s, d)
+        .agg(graft.functions.TopKSketch.approxTopK(
+          $"user_id".cast("string")).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item".as("user"), $"e.est".as("cnt"))
+        .orderBy($"cnt".desc, $"user")
+        .limit(10),
+      """SELECT CAST(user_id AS VARCHAR) AS user,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY cnt DESC, user LIMIT 10""".stripMargin)
   )
 }
