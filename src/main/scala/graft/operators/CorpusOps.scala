@@ -50,6 +50,11 @@ object CorpusOps {
     * false-positive tail — pay the exact anti-join shuffle. The result is
     * exact: bloom errors only ever ADD candidates, and the anti-join
     * removes them.
+    *
+    * Regime boundary (measured, SCALE.md): if the corpus fits the
+    * broadcast threshold, use a plain broadcast anti-join instead — the
+    * bloom build only pays for itself when the corpus can't broadcast and
+    * batch shuffle bytes cross a network.
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
       expectedCorpusSize: Long): DataFrame = {
