@@ -160,5 +160,68 @@ class GraftLakeScanBuilder(inner: ParquetScanBuilder) extends ScanBuilder
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     inner.supportCompletePushDown(aggregation)
 
-  override def build(): Scan = inner.build()
+  override def build(): Scan = {
+    val built = inner.build()
+    built match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        GraftLakeScan(p)
+      case other => other
+    }
+  }
+}
+
+/** Runtime (dynamic-partition-pruning) filtering for the graft-lake scan.
+  *
+  * Spark's V2 `FileScan` does not implement `SupportsRuntimeFiltering`,
+  * so a V2 parquet relation never receives the partition values a
+  * broadcast dimension join discovers at runtime — the classic DPP win
+  * (scan only the hours a filtered dim selects) silently disappears when
+  * leaving the V1 path. This wrapper restores it: it advertises the
+  * partition columns as filterable, and on `filter(...)` folds the
+  * runtime `IN`/`=` predicates into the delegate scan's partition
+  * filters, re-planning input partitions against the (manifest-backed)
+  * file index. Delegation keeps the vectorized reader and stats.
+  */
+case class GraftLakeScan(
+    initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+  import org.apache.spark.sql.{sources => f}
+
+  @transient private var filtered:
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = _
+  private def current = if (filtered != null) filtered else initial
+
+  override def readSchema(): StructType = initial.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    current.toBatch.planInputPartitions()
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    current.toBatch.createReaderFactory()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+  override def description(): String = current.description()
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    initial.fileIndex.partitionSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[f.Filter]): Unit = {
+    val partFields = initial.fileIndex.partitionSchema.fields.map(sf =>
+      sf.name -> AttributeReference(sf.name, sf.dataType)()).toMap
+    val exprs = filters.toSeq.flatMap {
+      case f.In(name, values) if partFields.contains(name) =>
+        Some(In(partFields(name),
+          values.toSeq.map(Literal.create(_, partFields(name).dataType))))
+      case f.EqualTo(name, v) if partFields.contains(name) =>
+        Some(EqualTo(partFields(name), Literal.create(v, partFields(name).dataType)))
+      case _ => None // unsupported runtime filters are an optimization only
+    }
+    if (exprs.nonEmpty)
+      filtered = current.copy(
+        partitionFilters = current.partitionFilters ++ exprs)
+  }
 }

@@ -73,8 +73,10 @@ class LakeIOSpec extends AnyFunSuite {
     def scanOf(df: org.apache.spark.sql.DataFrame): ParquetScan =
       df.queryExecution.executedPlan.collectFirst {
         case b: BatchScanExec => b.scan
-      }.collect { case p: ParquetScan => p }
-        .getOrElse(fail("expected a V2 ParquetScan in the plan"))
+      }.collect {
+        case p: ParquetScan => p
+        case g: org.apache.spark.sql.graft.GraftLakeScan => g.initial
+      }.getOrElse(fail("expected a V2 ParquetScan in the plan"))
     def filesPlanned(scan: ParquetScan): Int =
       scan.toBatch.planInputPartitions().map {
         case fp: FilePartition => fp.files.length
@@ -105,6 +107,57 @@ class LakeIOSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("graft-lake V2 source: runtime (DPP) filtering prunes partitions from a dim join") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val fact = spark.read.format("graft-lake").load(path)
+    def files(s: org.apache.spark.sql.connector.read.Scan): Int =
+      s.toBatch.planInputPartitions().collect {
+        case fp: FilePartition => fp.files.length
+      }.sum
+    // contract: the scan advertises partition columns as runtime-filterable
+    // and an IN filter re-plans input partitions against the manifest index
+    val g = fact.queryExecution.executedPlan.collectFirst {
+      case x: BatchScanExec => x.scan
+    }.collect { case s: org.apache.spark.sql.graft.GraftLakeScan => s }
+      .getOrElse(fail("expected GraftLakeScan"))
+    assert(g.filterAttributes().map(_.toString).toSeq === Seq("ts_hour"))
+    val before = files(g)
+    // two partition values that actually exist in this SF's lake
+    val hours = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("ts_hour=")).map(_.getName.stripPrefix("ts_hour="))
+      .sorted.take(2)
+    assert(hours.length === 2)
+    g.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("ts_hour", hours.toArray[Any])))
+    val after = files(g)
+    assert(after > 0 && after < before, s"runtime IN must prune: $after < $before")
+
+    // end-to-end: Spark inserts the dynamic-pruning subquery for a
+    // broadcast dim join on the partition column (impossible for stock V2
+    // parquet — FileScan has no SupportsRuntimeFiltering)
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val dim = spark.range(24).selectExpr(
+      "concat('2024-01-05-', lpad(cast(id as string), 2, '0')) as hr",
+      "cast(id as int) as h")
+    withUseStatsOff {
+      val j = spark.read.format("graft-lake").load(path)
+        .join(bc(dim.where($"h" === 3)), $"ts_hour" === $"hr")
+      assert(j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "DPP subquery must be inserted into the V2 scan's runtime filters")
+      val expected = Tables.events(spark, sf)
+        .where(date_format($"ts", "yyyy-MM-dd-HH") === "2024-01-05-03").count()
+      assert(j.count() === expected)
+    }
+  }
+
+  private def withUseStatsOff[T](body: => T): T = {
+    val k = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, old)
+  }
+
   test("graft-lake V2 source: column pruning reaches the parquet read schema") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -112,7 +165,10 @@ class LakeIOSpec extends AnyFunSuite {
       .select($"event_id", $"value")
     val scan = narrow.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan
-    }.collect { case p: ParquetScan => p }.getOrElse(fail("no V2 scan"))
+    }.collect {
+      case p: ParquetScan => p
+      case g: org.apache.spark.sql.graft.GraftLakeScan => g.initial
+    }.getOrElse(fail("no V2 scan"))
     assert(scan.readDataSchema.fieldNames.toSet === Set("event_id", "value"),
       "projection must prune the V2 read schema")
   }

@@ -222,7 +222,10 @@ class StreamingSpec extends AnyFunSuite {
       import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
       val scan = v2.queryExecution.executedPlan.collectFirst {
         case b: BatchScanExec => b.scan
-      }.collect { case p: ParquetScan => p }.getOrElse(fail("no V2 scan"))
+      }.collect {
+        case p: ParquetScan => p
+        case g: org.apache.spark.sql.graft.GraftLakeScan => g.initial
+      }.getOrElse(fail("no V2 scan"))
       assert(scan.fileIndex.isInstanceOf[org.apache.spark.sql.graft.ManifestFileIndex])
       assert(v2.count() === 2)
       assert(v2.select("ts_hour").distinct().collect().map(_.getString(0)).sorted
