@@ -66,6 +66,38 @@ object CorpusOps {
     definitelyNew.unionByName(candidates)
   }
 
+  /** How many items to size the bloom for, given a KMV cardinality
+    * estimate: k=1024 ⇒ ~3% relative standard error, so +10% headroom
+    * (>3σ) keeps the realized false-positive rate at the designed ~1%
+    * even when the sketch under-estimates. Floor of 1024 avoids
+    * degenerate tiny filters.
+    */
+  def bloomSizeFor(estimate: Long): Long =
+    math.max(estimate + estimate / 10L, 1024L)
+
+  /** KMV-sized variant of [[incrementalDedup]] for callers that don't
+    * know the corpus cardinality. One statistics job (a mergeable KMV
+    * sketch, [[graft.functions.KmvSketch]]) returns a single long to the
+    * driver and sizes the bloom — the same planning-time stats collection
+    * `ANALYZE TABLE` / InjectRuntimeFilter's CBO row count performs, not
+    * a data materialization (PlanShapeSpec's no-driver-collect guarantee
+    * is about rows, and the returned plan stays fully lazy).
+    *
+    * 100 TB note: the stats job is a scan + one 8 KiB sketch per
+    * partition; sizing from it beats a guessed `expectedItems` in both
+    * directions (an over-guess wastes executor memory on every probe
+    * task, an under-guess inflates the false-positive tail that pays the
+    * exact anti-join). Spark caps runtime bloom filters via
+    * `spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}`;
+    * raise those in cluster conf when the corpus exceeds 4M fingerprints.
+    */
+  def incrementalDedupAuto(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val est = corpus
+      .select(graft.functions.KmvSketch.kmvDistinct($"fp").as("n"))
+      .head().getLong(0)
+    incrementalDedup(batch, corpus, bloomSizeFor(est))
+  }
+
   /** Normalized-content fingerprint (portable md5, as dedup_exact). */
   private def fpNorm(text: Column): Column =
     md5(lower(trim(text)).cast("binary"))
@@ -89,12 +121,13 @@ object CorpusOps {
     // corpus of the rest. Exact result (oracle NOT EXISTS) through the
     // bloom-prefilter plan — CorpusOpsSpec asserts the plan shape (bloom
     // scalar subquery + anti-join) and equality with the naive anti-join.
+    // Bloom sized by the KMV statistics job, not a caller guess.
     Op("dedup_incremental_bloom",
       (s, d) => {
         val all = docs(s, d).select($"doc_id", fpNorm($"text").as("fp"))
         val batch = all.where($"doc_id" % 5 === 0)
         val corpus = all.where($"doc_id" % 5 =!= 0)
-        incrementalDedup(batch, corpus, expectedCorpusSize = 1000000L)
+        incrementalDedupAuto(batch, corpus)
           .orderBy($"doc_id")
       },
       """SELECT b.doc_id, md5(lower(trim(b.text))) AS fp

@@ -40,6 +40,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(11L, 12L))
   }
 
+  test("KMV-auto-sized bloom dedup: estimate within sketch error, result exact") {
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", fp.as("fp"))
+    val batch = all.where($"doc_id" % 5 === 0)
+    val corpus = all.where($"doc_id" % 5 =!= 0)
+
+    // the statistics job: KMV estimate tracks the exact distinct count
+    val est = corpus
+      .select(graft.functions.KmvSketch.kmvDistinct($"fp").as("n"))
+      .head().getLong(0)
+    val exact = corpus.select($"fp").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.10,
+      s"KMV estimate $est vs exact $exact drifted past 10%")
+
+    // sizing keeps headroom above the estimate and floors tiny corpora
+    assert(CorpusOps.bloomSizeFor(est) >= est)
+    assert(CorpusOps.bloomSizeFor(10L) === 1024L)
+
+    // end-to-end: auto-sized plan is still exact vs the naive anti-join
+    val auto = CorpusOps.incrementalDedupAuto(batch, corpus)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("might_contain"))
+    val a = auto.select($"doc_id").collect().map(_.getLong(0)).sorted
+    val naive = batch.join(corpus.select($"fp"), Seq("fp"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.toSeq === naive.toSeq)
+  }
+
   test("hash split is deterministic and approximately 80/10/10") {
     val q = CorpusOps.ops.find(_.key == "split_hash_assign").get
     val out = q.run(spark, sf).cache()
