@@ -179,6 +179,23 @@ object TemporalJoins {
           countDistinct($"user_id").as("exact_users"))
         .orderBy($"event_type"), None),
 
+    // Mergeable t-digest quantiles (functions/TDigest.scala): per-type
+    // p50/p95/p99 of value through the k1-scale merging digest, with the
+    // exact percentile alongside for reference. Merge order isn't
+    // bit-deterministic (sketch semantics) → rows-only; accuracy and
+    // merge bounds proved in TDigestSpec.
+    Op("quantile_tdigest",
+      (s, d) => {
+        import graft.functions.TDigest.tdigestQuantile
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(tdigestQuantile($"value", 0.5).as("p50"),
+            tdigestQuantile($"value", 0.95).as("p95"),
+            tdigestQuantile($"value", 0.99).as("p99"),
+            expr("percentile(value, 0.5)").as("exact_p50"))
+          .orderBy($"event_type")
+      }, None),
+
     // SpaceSaving heavy hitters (functions/TopKSketch.scala): top-10
     // users by event count through the mergeable sketch. With distinct
     // users ≤ k=4096 at every test SF the sketch runs in its exact

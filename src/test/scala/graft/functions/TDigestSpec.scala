@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark.{spark, sf}
+
+class TDigestSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def sketchOf(xs: Seq[Double], compression: Double = 100): TDigestBuffer = {
+    val b = new TDigestBuffer(compression)
+    xs.foreach(b.add(_))
+    b
+  }
+
+  // deterministic LCG so the spec never flakes
+  private def lcg(n: Int, seed: Long = 42): Seq[Double] = {
+    var s = seed
+    Seq.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble)
+    }
+  }
+
+  test("quantile accuracy: ≤1% q-space error on 100k uniform values") {
+    val xs = lcg(100000)
+    val sorted = xs.sorted.toIndexedSeq
+    val b = sketchOf(xs)
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = b.quantile(q)
+      // uniform(0,1): value IS the quantile, so |est − q| is q-space error
+      assert(math.abs(est - q) < 0.01, s"q=$q est=$est")
+      val exact = sorted((q * (xs.size - 1)).toInt)
+      assert(math.abs(est - exact) < 0.01, s"q=$q est=$est exact=$exact")
+    }
+    // size bound: O(compression) centroids regardless of input size
+    assert(b.centroidCount < 2 * 100 + 10, s"centroids=${b.centroidCount}")
+  }
+
+  test("merge preserves the error bound (8-shard merge tree ≈ global sketch)") {
+    val xs = lcg(80000, seed = 7)
+    val shards = xs.grouped(10000).map(sketchOf(_)).toSeq
+    val merged = shards.reduce { (a, c) => a.mergeIn(c); a }
+    for (q <- Seq(0.05, 0.5, 0.95))
+      assert(math.abs(merged.quantile(q) - q) < 0.015,
+        s"q=$q est=${merged.quantile(q)}")
+    assert(merged.centroidCount < 2 * 100 + 10)
+  }
+
+  test("exact tails: min and max are anchored") {
+    val b = sketchOf(Seq(5.0, 1.0, 9.0, 3.0))
+    assert(b.quantile(0.0) === 1.0)
+    assert(b.quantile(1.0) === 9.0)
+  }
+
+  test("end-to-end: grouped aggregate tracks the exact percentile on events") {
+    val out = graft.operators.TemporalJoins.ops
+      .find(_.key == "quantile_tdigest").get.run(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p95, p99, exact) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(p50 - exact) <= 0.05 * math.max(1.0, math.abs(exact)),
+        s"${r.getString(0)}: p50=$p50 exact=$exact")
+      assert(p50 <= p95 && p95 <= p99, s"monotone: $p50 $p95 $p99")
+    }
+  }
+
+  test("serialization roundtrips through the aggregate's codec") {
+    val agg = TDigestQuantileAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), q = 0.5)
+    val b = sketchOf(lcg(5000, seed = 3))
+    val back = agg.deserialize(agg.serialize(b))
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(back.quantile(q) - b.quantile(q)) < 1e-12)
+  }
+}
