@@ -367,6 +367,40 @@ object EventOps {
          |       count(*) AS cnt
          |FROM s GROUP BY event_type, sid ORDER BY session_start, event_type""".stripMargin),
 
+    // ── Session-gap parameter sweep: sessionize under FOUR candidate
+    //    inactivity gaps in one scan — the tuning loop that picks a gap
+    //    parameter normally re-runs sessionization per candidate; here
+    //    the lag diff is computed once (one window shuffle), the gap
+    //    list is exploded afterwards, and one aggregation counts
+    //    session breaks per (type, gap). Break semantics match
+    //    session_window_stats (diff >= gap starts a new session).
+    Op("session_gap_sweep",
+      (s, d) => {
+        val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        val gaps = Seq(1, 5, 10, 30)
+        ev(s, d)
+          .withColumn("d_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .select($"event_type", $"d_us",
+            explode(array(gaps.map(g => lit(g.toLong)): _*)).as("gap_min"))
+          .groupBy($"event_type", $"gap_min")
+          .agg(sum(when($"d_us".isNull || $"d_us" >= $"gap_min" * 60000000L, 1L)
+            .otherwise(0L)).as("sessions"),
+            count(lit(1)).as("events"))
+          .orderBy($"event_type", $"gap_min")
+      },
+      """WITH o AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |               PARTITION BY event_type
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS d_us
+        |  FROM events),
+        |g AS (SELECT event_type, d_us, unnest([1, 5, 10, 30]) AS gap_min FROM o)
+        |SELECT event_type, CAST(gap_min AS BIGINT) AS gap_min,
+        |       CAST(sum(CASE WHEN d_us IS NULL OR d_us >= gap_min * 60000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
+        |       CAST(count(*) AS BIGINT) AS events
+        |FROM g GROUP BY 1, 2 ORDER BY event_type, gap_min""".stripMargin),
+
     // ── Data profiling: one-pass per-column stats — the data-quality
     //    primitive every ingest pipeline runs before training.
     Op("profile_events",

@@ -86,6 +86,26 @@ class EventOpsSpec extends AnyFunSuite {
       plan.take(400))
   }
 
+  test("session_gap_sweep: one window pass, sessions monotone in the gap") {
+    val op = EventOps.ops.find(_.key == "session_gap_sweep").get
+    val df = op.run(spark, sf)
+    // one scan: exactly one Window exec despite four gap parameters
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    assert(windows === 1, s"gap sweep must sessionize in one pass, saw $windows")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // a larger gap can only merge sessions, never split them
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val byGap = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byGap.zip(byGap.tail).forall { case (a, b) => b <= a },
+        s"$t: sessions must be non-increasing in gap, got ${byGap.toSeq}")
+      // every event alone is an upper bound; one session is the floor
+      assert(byGap.head <= rs.head.getLong(3) && byGap.last >= 1)
+    }
+  }
+
   test("filter ops only keep qualifying rows") {
     val hourOp = EventOps.ops.find(_.key == "filter_hour").get
     assert(hourOp.run(spark, sf).where(hour($"ts") =!= 14).count() === 0)
