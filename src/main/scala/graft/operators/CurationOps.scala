@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+import graft.syntax._
+
+/** Pre-training corpus curation beyond dedup: benchmark-contamination
+  * detection, repetition-based quality filtering (Gopher-style), denylist
+  * redaction, stratified sampling, and context-window packing. These are
+  * the document-set operations a 100 TB training-data pipeline runs after
+  * ingestion and before tokenization (north-star surface per the build
+  * brief; the reference's closest analog is its serving-layer filter
+  * loops, server.py:52-77 — here each is one declarative Spark plan).
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Raw word n-grams (NOT distinct — repetition analysis needs counts). */
+  private def ngrams(t: Column, n: Int): Column =
+    transform(sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", slice(t, i + 1, lit(n))))
+
+  def ops: Seq[Op] = Seq(
+
+    // Benchmark-contamination check: which corpus docs share any 3-gram
+    // with the (small) held-out eval set. 100 TB shape: the eval side is
+    // KBs–MBs, so it is exploded and BROADCAST — the corpus side's grams
+    // are probed map-side with no shuffle of corpus bytes; only the
+    // per-doc hit aggregation shuffles (doc_id, gram) pairs that actually
+    // matched. Never a cartesian, never an eval-side shuffle.
+    Op("contamination_ngram",
+      (s, d) => {
+        val sh = docs(s, d).select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+        val evalSide = sh.where($"doc_id" % 19 === 0)
+          .select($"doc_id".as("eval_id"), explode($"sh").as("g"))
+        val corpus = sh.where($"doc_id" % 19 =!= 0)
+          .select($"doc_id", explode($"sh").as("g"))
+        corpus.join(broadcast(evalSide), Seq("g"))
+          .groupBy($"doc_id")
+          .agg(countDistinct($"eval_id").as("eval_hits"),
+            countDistinct($"g").as("shared_ngrams"))
+          .orderBy($"doc_id")
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                for i in range(1, len(toks) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |e AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 19 = 0),
+        |c AS (SELECT doc_id, g FROM g WHERE doc_id % 19 <> 0)
+        |SELECT c.doc_id, count(DISTINCT e.eval_id) AS eval_hits,
+        |       count(DISTINCT c.g) AS shared_ngrams
+        |FROM c JOIN e USING (g)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin),
+
+    // Gopher-style repetition quality gate: duplicate-word fraction and
+    // duplicate-bigram fraction, map-only (pure column math inside one
+    // codegen stage — no shuffle, no UDF). Thresholds chosen to split the
+    // synthetic corpus (~50% keep); on real data they'd be config.
+    Op("quality_repetition",
+      (s, d) => {
+        val t = split(lower($"text"), " ")
+        val bi = ngrams(t, 2)
+        docs(s, d).select(
+          $"doc_id",
+          round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+            .as("dup_word_frac"),
+          round(lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi), 4)
+            .as("dup_bigram_frac"))
+          .withColumn("keep", $"dup_word_frac" <= 0.55 && $"dup_bigram_frac" <= 0.06)
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |        [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS bi
+        |      FROM t),
+        |m AS (SELECT doc_id,
+        |        round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS dup_word_frac,
+        |        round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 4) AS dup_bigram_frac
+        |      FROM b)
+        |SELECT doc_id, dup_word_frac, dup_bigram_frac,
+        |       (dup_word_frac <= 0.55 AND dup_bigram_frac <= 0.06) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Denylist scrub: count + replace sensitive terms (stand-in for PII
+    // regexes — the synthetic corpus has no emails/phones, the machinery
+    // is identical). Map-only regexp in one codegen stage; the redacted
+    // text is fingerprinted rather than materialized in the comparison.
+    Op("redact_denylist",
+      (s, d) => docs(s, d).select(
+        $"doc_id",
+        regexp_count($"text", lit("\\b(customer|vector)\\b")).cast("long").as("n_hits"),
+        md5(regexp_replace($"text", "\\b(customer|vector)\\b", "[TERM]")
+          .cast("binary")).as("redacted_fp"))
+        .orderBy($"doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b')) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(text, '\b(customer|vector)\b', '[TERM]', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Stratified sample: first 50 docs per language by content-hash order
+    // — deterministic (same sample every run/engine, unlike rand()) and
+    // balanced across strata. One hash-partitioned window per lang.
+    Op("sample_stratified",
+      (s, d) => {
+        val w = Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+        docs(s, d).select($"doc_id", $"lang")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 50)
+          .orderBy($"lang", $"rk")
+      },
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin),
+
+    // Context-window packing: docs streamed per language in doc_id order
+    // into 512-token bins (bin = tokens-before / 512 — the deterministic
+    // closed form of greedy sequential fill). Reported as per-bin doc and
+    // token counts. One window + one aggregation; at 100 TB the lang
+    // partition is the natural packing unit and bins never cross it.
+    Op("pack_greedy",
+      (s, d) => {
+        val toks = size(split(lower($"text"), " ")).cast("long")
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d).select($"doc_id", $"lang", toks.as("toks"))
+          .withColumn("bin",
+            floor((sum($"toks").over(w) - $"toks") / lit(512.0)).cast("long"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+          .orderBy($"lang", $"bin")
+      },
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT *,
+        |        sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - toks AS bef
+        |      FROM b)
+        |SELECT lang, CAST(floor(bef / 512.0) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+  )
+}
