@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
@@ -145,6 +145,124 @@ object LakeIO {
       case None         => s.read.parquet(path)
     }
 
+  /** Copy-on-write MERGE (upsert) keyed on `key`: rows of `updates` whose
+    * key exists replace the stored row; new keys are inserted. The lake's
+    * answer to the reference's JDBC `INSERT ... ON CONFLICT` upsert
+    * (register-connector.sh:29 / UpsertStore), at table scale.
+    *
+    * 100 TB shape: only the partitions the updates TOUCH are rewritten —
+    * affected `ts_hour` values are collected (partition VALUES, metadata-
+    * scale like DPP, never data rows), their live files are anti-joined
+    * against the update keys, and survivors ∪ updates are written as NEW
+    * files. Old files stay on disk and stay referenced by earlier
+    * snapshots (time travel across the merge), but the new manifest lists
+    * only untouched-partition files plus the rewritten ones — the
+    * manifest, not the directory, defines liveness (Iceberg CoW
+    * semantics). Read the table back via `format("graft-lake")`; a raw
+    * directory scan would see both generations.
+    */
+  def mergeInto(s: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+    val withHour = hourPartitioned(updates)
+    val affected: Set[String] =
+      withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
+    require(cur.isDefined, s"mergeInto: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
+    val rewritten = {
+      if (touched.isEmpty) withHour
+      else {
+        val existing = hourPartitioned(
+          s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+        val survivors = existing
+          .join(withHour.select(col(key)).distinct(), Seq(key), "left_anti")
+        survivors.select(withHour.columns.map(col).toIndexedSeq: _*).unionByName(withHour)
+      }
+    }
+    writeCow(s, path, partCol, rewritten, untouched)
+  }
+
+  /** Copy-on-write DELETE: rows matching `cond` are removed (SQL DELETE
+    * semantics — a NULL predicate keeps the row). Same partition-granular
+    * rewrite as [[mergeInto]]: untouched partitions keep their files.
+    */
+  def deleteWhere(s: SparkSession, path: String, cond: Column): Unit = {
+    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
+    require(cur.isDefined, s"deleteWhere: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    val full = hourPartitioned(
+      s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
+    val affected: Set[String] =
+      full.where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
+    if (touched.isEmpty) return
+    val survivors = hourPartitioned(
+      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+      .where(coalesce(!cond, lit(true)))
+    writeCow(s, path, partCol, survivors, untouched)
+  }
+
+  /** Shared copy-on-write tail: stage the rewritten partitions, move the
+    * staged files into the live directories under a version-unique name,
+    * and commit untouched + new entries as the next snapshot.
+    */
+  private def writeCow(s: SparkSession, path: String, partCol: String,
+      rewritten: DataFrame,
+      untouched: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry]): Unit = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val v = ManifestFileIndex.headVersion(path).getOrElse(0) + 1
+    val stage = path + s"_stage_v$v"
+    rewritten
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .option("compression", "zstd").parquet(stage)
+    val stageDir = new java.io.File(stage)
+    val newEntries = Seq.newBuilder[ManifestFileIndex.Entry]
+    Option(stageDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .sortBy(_.getName)
+      .foreach { d =>
+        val pv = d.getName.substring(partCol.length + 1)
+        val destDir = new java.io.File(path, d.getName)
+        destDir.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .foreach { f =>
+            val dest = new java.io.File(destDir, s"m$v-${f.getName}")
+            java.nio.file.Files.move(f.toPath, dest.toPath)
+            newEntries += ManifestFileIndex.Entry(
+              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified())
+          }
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(stageDir)
+    ManifestFileIndex.commitEntries(path, partCol, untouched ++ newEntries.result())
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED between two snapshots —
+    * exactly the files in `toV`'s manifest absent from `fromV`'s. For an
+    * append-only lake this is the per-commit change stream a downstream
+    * incremental pipeline consumes instead of re-scanning the table
+    * (Iceberg incremental read). File-granular: no data is diffed, only
+    * manifests — planning cost is two small metadata reads.
+    */
+  def readIncrement(s: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val from = ManifestFileIndex.read(path, Some(fromV))
+      .map(_._2.map(_.relPath).toSet)
+      .getOrElse(sys.error(s"readIncrement: no snapshot $fromV under $path"))
+    val to = ManifestFileIndex.read(path, Some(toV))
+      .getOrElse(sys.error(s"readIncrement: no snapshot $toV under $path"))._2
+    val added = to.filterNot(e => from.contains(e.relPath))
+    if (added.isEmpty)
+      hourPartitioned(readEvolved(s, path)).limit(0)
+    else
+      hourPartitioned(s.read.parquet(added.map(e => path + "/" + e.relPath): _*))
+  }
+
   def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
     val f = new java.io.File(path, "_graft_schema.json")
     if (!f.exists()) None
@@ -161,6 +279,13 @@ object LakeIO {
     java.nio.file.Files.write(tmp.toPath, schema.json.getBytes("UTF-8"))
     tmp.renameTo(new java.io.File(path, "_graft_schema.json"))
     ()
+  }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
   }
 
   /** v2 = ts_hour layout + commit metadata (schema file + manifest);
@@ -269,6 +394,65 @@ object LakeIO {
       },
       """SELECT event_id, event_type, value, user_id
         |FROM events ORDER BY event_id""".stripMargin),
+
+    // Copy-on-write MERGE end-to-end, oracle-checked: build the lake,
+    // upsert a batch (doubled values for event_id%7, fresh inserts for
+    // %13 shifted by 1e6), read back through the manifest-planned V2
+    // source. Only update-touched hour partitions are rewritten; the
+    // pre-merge snapshot stays readable (LakeMergeSpec proves both).
+    Op("lake_merge_upsert",
+      (s, d) => {
+        val path = "/tmp/graft_lake/v2_merge_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+        rmDir(path) // fresh per run: merge mutates table state
+        val base = Tables.events(s, d)
+          .select($"event_id", $"ts", $"event_type", $"value")
+        writeLake(base, path)
+        val upd = base.where($"event_id" % 7 === 0)
+          .withColumn("value", $"value" * 2)
+          .unionByName(base.where($"event_id" % 13 === 0)
+            .withColumn("event_id", $"event_id" + 1000000L))
+        mergeInto(s, path, upd, "event_id")
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |upd AS (
+        |  SELECT event_id, ts, event_type, value * 2 AS value
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, ts, event_type, value
+        |  FROM base WHERE event_id % 13 = 0)
+        |SELECT event_id, ts, event_type, value FROM upd
+        |UNION ALL
+        |SELECT b.event_id, b.ts, b.event_type, b.value FROM base b
+        |WHERE b.event_id NOT IN (SELECT event_id FROM upd)
+        |ORDER BY event_id""".stripMargin),
+
+    // Snapshot-diff incremental read: write Jan 1-15 (snapshot 1), append
+    // Jan 16+ (snapshot 2), read ONLY the increment from the manifest
+    // diff — the change stream a downstream incremental pipeline consumes
+    // instead of re-scanning 100 TB.
+    Op("lake_incremental_read",
+      (s, d) => {
+        val path = "/tmp/graft_lake/v2_incr_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+        rmDir(path)
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"ts", $"event_type", $"value")
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        writeLake(ev.where($"ts" < cut), path)
+        evolveAppend(ev.where($"ts" >= cut), path)
+        readIncrement(s, path, 1, 2)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY event_id""".stripMargin),
 
     // S9 catalog introspection: register the testdata tables and list them
     // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).

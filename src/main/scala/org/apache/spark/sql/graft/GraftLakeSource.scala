@@ -205,9 +205,17 @@ case class GraftLakeScan(
     current.estimateStatistics()
   override def description(): String = current.description()
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+  /** Only partition columns that SURVIVED column pruning: Spark's
+    * PartitionPruning rule resolves these against the (pruned) relation
+    * output and throws on a name it can't find — a scan that projects
+    * away ts_hour must not advertise it, it just forgoes DPP.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val visible = initial.readSchema().fieldNames.toSet
     initial.fileIndex.partitionSchema.fieldNames
+      .filter(visible.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(filters: Array[f.Filter]): Unit = {
     val partFields = initial.fileIndex.partitionSchema.fields.map(sf =>

@@ -110,11 +110,12 @@ object ManifestFileIndex {
 
   /** Walk the lake ONCE (at write commit — the only time listing is
     * justified) and write the manifest atomically (tmp + rename).
+    * Append-style commits only: assumes every .parquet on disk is live.
     */
   def commit(rootDir: String, partCol: String): Unit = {
     val root = new java.io.File(rootDir)
     if (!root.exists()) return
-    val sb = new StringBuilder(s"#partcol\t$partCol\n")
+    val buf = Seq.newBuilder[Entry]
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
       .sortBy(_.getName)
@@ -124,10 +125,23 @@ object ManifestFileIndex {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { f =>
-          sb.append(pv).append('\t').append(d.getName + "/" + f.getName)
-            .append('\t').append(f.length()).append('\t')
-            .append(f.lastModified()).append('\n')
+          buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified())
         }
+    }
+    commitEntries(rootDir, partCol, buf.result())
+  }
+
+  /** Commit an EXPLICIT live-file set — the copy-on-write path
+    * (merge/delete): rewritten partitions contribute only their new
+    * files while the old ones stay on disk for earlier snapshots, so a
+    * directory walk can no longer define table state; the entry list is
+    * the table state (Iceberg's manifest-defines-liveness semantics).
+    */
+  def commitEntries(rootDir: String, partCol: String, entries: Seq[Entry]): Unit = {
+    val sb = new StringBuilder(s"#partcol\t$partCol\n")
+    entries.sortBy(e => (e.partValue, e.relPath)).foreach { e =>
+      sb.append(e.partValue).append('\t').append(e.relPath)
+        .append('\t').append(e.size).append('\t').append(e.mtime).append('\n')
     }
     val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
@@ -153,6 +167,34 @@ object ManifestFileIndex {
     java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
     headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
     ()
+  }
+
+  /** Expire all but the last `keepLast` snapshots and VACUUM: delete any
+    * data file referenced only by expired snapshots. Time travel to the
+    * surviving versions keeps working; disk stops accumulating every
+    * rewrite forever — the Iceberg expire_snapshots/remove_orphan_files
+    * maintenance pair. Returns the deleted data-file count.
+    */
+  def expireSnapshots(rootDir: String, keepLast: Int): Int = {
+    val head = headVersion(rootDir).getOrElse(return 0)
+    val cutoff = head - keepLast + 1
+    val keptVersions = (cutoff to head).filter(v => read(rootDir, Some(v)).isDefined)
+    val live: Set[String] =
+      (keptVersions.flatMap(v => read(rootDir, Some(v)).get._2.map(_.relPath)) ++
+        read(rootDir, None).map(_._2.map(_.relPath)).getOrElse(Seq.empty)).toSet
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    var removed = 0
+    (1 until cutoff).foreach { v =>
+      read(rootDir, Some(v)).foreach { case (_, entries) =>
+        entries.filterNot(e => live.contains(e.relPath)).foreach { e =>
+          val f = new java.io.File(rootDir, e.relPath)
+          if (f.exists() && f.delete()) removed += 1
+        }
+      }
+      new java.io.File(snapDir, s"manifest-$v.tsv").delete()
+      new java.io.File(snapDir, s"schema-$v.json").delete()
+    }
+    removed
   }
 
   /** Latest committed snapshot version, if any. */

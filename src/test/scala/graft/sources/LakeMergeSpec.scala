@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ManifestFileIndex
+
+import graft.SharedSpark.{spark, sf}
+import graft.syntax._
+
+/** Copy-on-write lake mutations: MERGE/DELETE rewrite only touched
+  * partitions, earlier snapshots stay readable (manifest defines
+  * liveness, not the directory), snapshot diff yields the increment,
+  * and expiration vacuums exactly the unreferenced files.
+  */
+class LakeMergeSpec extends AnyFunSuite {
+
+  private val root = "/tmp/graft_lake_test/merge_spec/events"
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  private def base = Tables.events(spark, sf)
+    .select($"event_id", $"ts", $"event_type", $"value")
+
+  private def freshLake(): Unit = {
+    rm(new java.io.File(root))
+    LakeIO.writeLake(base, root)
+  }
+
+  private def readLake(version: Option[Int] = None) = {
+    val r = spark.read.format("graft-lake")
+    version.fold(r)(v => r.option("versionAsOf", v.toString)).load(root)
+      .select($"event_id", $"ts", $"event_type", $"value")
+  }
+
+  private def upd = base.where($"event_id" % 7 === 0)
+    .withColumn("value", $"value" * 2)
+    .unionByName(
+      base.where($"event_id" % 13 === 0)
+        .withColumn("event_id", $"event_id" + 1000000L))
+
+  test("mergeInto: upsert is row-exact and only touched partitions are rewritten") {
+    freshLake()
+    val before = ManifestFileIndex.read(root).get._2
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+
+    val expected = upd.unionByName(
+      base.join(upd.select($"event_id"), Seq("event_id"), "left_anti"))
+    assert(readLake().except(expected).isEmpty)
+    assert(expected.except(readLake()).isEmpty)
+
+    // untouched partitions carry the SAME files into the new manifest
+    val after = ManifestFileIndex.read(root).get._2
+    val touchedParts = upd.withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
+      .select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val beforeUntouched = before.filterNot(e => touchedParts.contains(e.partValue))
+      .map(_.relPath).toSet
+    val afterUntouched = after.filterNot(e => touchedParts.contains(e.partValue))
+      .map(_.relPath).toSet
+    assert(beforeUntouched === afterUntouched)
+    // and every rewritten file is NEW (version-prefixed), old ones still on disk
+    val rewritten = after.filter(e => touchedParts.contains(e.partValue))
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(_.relPath.split("/").last.startsWith("m2-")))
+    assert(before.forall(e => new java.io.File(root, e.relPath).exists()))
+  }
+
+  test("time travel reads the pre-merge snapshot after a merge") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+    val v1 = readLake(Some(1))
+    assert(v1.except(base).isEmpty)
+    assert(base.except(v1).isEmpty)
+  }
+
+  test("deleteWhere removes matching rows only; they remain in the old snapshot") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+    LakeIO.deleteWhere(spark, root, $"event_id" >= 1000000L)
+    assert(readLake().where($"event_id" >= 1000000L).isEmpty)
+    val expected = upd.where($"event_id" < 1000000L).unionByName(
+      base.join(upd.select($"event_id"), Seq("event_id"), "left_anti"))
+    assert(readLake().except(expected).isEmpty)
+    assert(expected.except(readLake()).isEmpty)
+    assert(readLake(Some(2)).where($"event_id" >= 1000000L).count() ===
+      base.where($"event_id" % 13 === 0).count())
+  }
+
+  test("readIncrement returns exactly the appended rows") {
+    rm(new java.io.File(root))
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    LakeIO.writeLake(base.where($"ts" < cut), root)
+    LakeIO.evolveAppend(base.where($"ts" >= cut), root)
+    val inc = LakeIO.readIncrement(spark, root, 1, 2)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val expected = base.where($"ts" >= cut)
+    assert(inc.except(expected).isEmpty)
+    assert(expected.except(inc).isEmpty)
+  }
+
+  test("expireSnapshots vacuums files of expired snapshots, current read intact") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+    val preMergeFiles = ManifestFileIndex.read(root, Some(1)).get._2.map(_.relPath)
+    val liveFiles = ManifestFileIndex.read(root).get._2.map(_.relPath).toSet
+    val doomed = preMergeFiles.filterNot(liveFiles.contains)
+    assert(doomed.nonEmpty)
+    val n = readLake().count()
+    val removed = ManifestFileIndex.expireSnapshots(root, 1)
+    assert(removed === doomed.size)
+    assert(doomed.forall(p => !new java.io.File(root, p).exists()))
+    assert(liveFiles.forall(p => new java.io.File(root, p).exists()))
+    assert(ManifestFileIndex.read(root, Some(1)).isEmpty) // snapshot gone
+    assert(readLake().count() === n)
+  }
+
+  test("regression: join over a column-pruned merged scan plans (DPP filterAttributes)") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+    // except() is join-shaped; ts_hour is projected away — PartitionPruning
+    // must not throw resolving the scan's advertised filter attributes
+    val pruned = readLake().select($"event_id", $"value")
+    val joined = pruned.join(base.select($"event_id"), Seq("event_id"))
+    assert(joined.count() > 0)
+  }
+}
