@@ -78,6 +78,33 @@ final class SpaceSavingBuffer(val k: Int) {
   }
 }
 
+object SpaceSavingBuffer {
+  /** Wire format shared by the batch aggregate's shuffle and the
+    * streaming processor's ValueState. */
+  def toBytes(buf: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte], k: Int): SpaceSavingBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      buf.m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1
+    }
+    buf
+  }
+}
+
 /** Mergeable approximate top-k aggregate over string/long keys — the
   * heavy-hitters companion to [[KmvSketchAgg]]: each task keeps one
   * k-counter SpaceSaving buffer, partials shuffle O(k) entries per group,
@@ -125,28 +152,11 @@ case class TopKSketchAgg(
       InternalRow(UTF8String.fromString(item), est, err)
     })
 
-  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.m.size)
-    val it = buf.m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] =
+    SpaceSavingBuffer.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new SpaceSavingBuffer(k)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      buf.m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingBuffer.fromBytes(bytes, k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketchAgg =
     copy(mutableAggBufferOffset = newOffset)

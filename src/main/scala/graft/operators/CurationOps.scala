@@ -40,10 +40,14 @@ object CurationOps {
           .select($"doc_id".as("eval_id"), explode($"sh").as("g"))
         val corpus = sh.where($"doc_id" % 19 =!= 0)
           .select($"doc_id", explode($"sh").as("g"))
+        // one-pass distinct counting via bounded sets: two countDistincts
+        // would plan an Expand (doubling the joined rows through the
+        // shuffle); collect_set stays single-pass and each set is bounded
+        // by the (small) eval corpus / per-doc gram count
         corpus.join(broadcast(evalSide), Seq("g"))
           .groupBy($"doc_id")
-          .agg(countDistinct($"eval_id").as("eval_hits"),
-            countDistinct($"g").as("shared_ngrams"))
+          .agg(size(collect_set($"eval_id")).cast("long").as("eval_hits"),
+            size(collect_set($"g")).cast("long").as("shared_ngrams"))
           .orderBy($"doc_id")
       },
       """WITH sh AS (
