@@ -73,6 +73,24 @@ object Graft {
     def readSnapshot(spark: SparkSession, path: String, version: Int): DataFrame =
       spark.read.format("graft-lake")
         .option("versionAsOf", version.toString).load(path)
+    /** Copy-on-write MERGE (keyed upsert): rewrites only the partitions
+      * the updates touch; earlier snapshots stay readable.
+      */
+    def merge(spark: SparkSession, path: String, updates: DataFrame, key: String): Unit =
+      LakeIO.mergeInto(spark, path, updates, key)
+    /** Copy-on-write DELETE of rows matching `cond`. */
+    def delete(spark: SparkSession, path: String, cond: Column): Unit =
+      LakeIO.deleteWhere(spark, path, cond)
+    /** Incremental (CDC) read: rows added between two snapshots, planned
+      * from the manifest diff alone.
+      */
+    def readIncrement(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame =
+      LakeIO.readIncrement(spark, path, fromV, toV)
+    /** Expire all but the last `keepLast` snapshots and vacuum data files
+      * no surviving snapshot references. Returns deleted-file count.
+      */
+    def expireSnapshots(path: String, keepLast: Int): Int =
+      org.apache.spark.sql.graft.ManifestFileIndex.expireSnapshots(path, keepLast)
   }
 
   object corpus {
@@ -149,5 +167,11 @@ object Graft {
     def weatherPipeline: WeatherPipeline.type = WeatherPipeline
     /** Stateful streaming dedup (unbounded horizon). */
     def dedup: StreamingDedup.type = StreamingDedup
+    /** Continuous heavy-hitters: item-hash-sharded SpaceSaving state via
+      * transformWithState; global top-k merges shard outputs query-side.
+      */
+    def topK(items: org.apache.spark.sql.Dataset[String], k: Int = 64,
+        shards: Int = 16): org.apache.spark.sql.Dataset[graft.streaming.StreamingTopK.TopEntry] =
+      graft.streaming.StreamingTopK.run(items, k, shards)
   }
 }

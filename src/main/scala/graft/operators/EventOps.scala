@@ -226,6 +226,48 @@ object EventOps {
          |       ${sqlExactAvg("value")} AS avg_value, count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ── SQL-text surface breadth: CTE + ranked window, all in one
+    //    spark.sql() statement (the reference's ad-hoc Trino SQL path,
+    //    README.md:468-476) — top-3 busiest days per event type.
+    Op("sql_cte_window",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_v")
+        s.sql("""
+          |WITH daily AS (
+          |  SELECT event_type, to_date(ts) AS day, count(*) AS cnt
+          |  FROM events_v GROUP BY event_type, to_date(ts))
+          |SELECT event_type, day, cnt, rk FROM (
+          |  SELECT *, CAST(rank() OVER (PARTITION BY event_type
+          |             ORDER BY cnt DESC, day) AS BIGINT) AS rk
+          |  FROM daily) t
+          |WHERE rk <= 3 ORDER BY event_type, rk, day""".stripMargin)
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt, rk FROM (
+        |  SELECT *, CAST(rank() OVER (PARTITION BY event_type
+        |             ORDER BY cnt DESC, day) AS BIGINT) AS rk
+        |  FROM daily) t
+        |WHERE rk <= 3 ORDER BY event_type, rk, day""".stripMargin),
+
+    // ── Explicit GROUPING SETS (the cube/rollup sibling, SQL text).
+    Op("grouping_sets_counts",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events_v")
+        s.sql("""
+          |SELECT event_type, hr, count(*) AS n FROM (
+          |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM events_v) t
+          |GROUP BY GROUPING SETS ((event_type), (hr))
+          |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT event_type, hr, count(*) AS n FROM (
+        |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr
+        |  FROM events) t
+        |GROUP BY GROUPING SETS ((event_type), (hr))
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin),
+
     // ── A2: batch group-by AVG over cast (README.md:474-476)
     Op("groupby_avg",
       (s, d) => ev(s, d)

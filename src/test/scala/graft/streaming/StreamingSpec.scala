@@ -233,6 +233,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC: each micro-batch commit is a snapshot; readIncrement yields that batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.lakeSinkCommitted(input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      val v1 = org.apache.spark.sql.graft.ManifestFileIndex.headVersion(s"$dir/data").get
+      input.addData(WeatherRecord("B", "20.0", "2024-01-01 11:30:00"),
+        WeatherRecord("C", "30.0", "2024-01-01 11:45:00"))
+      q.processAllAvailable()
+      val v2 = org.apache.spark.sql.graft.ManifestFileIndex.headVersion(s"$dir/data").get
+      assert(v2 > v1, "second micro-batch must advance the snapshot HEAD")
+      // the downstream consumer reads EXACTLY the second batch from the
+      // manifest diff — no rescan of the table
+      val inc = graft.sources.LakeIO.readIncrement(spark, s"$dir/data", v1, v2)
+      assert(inc.count() === 2)
+      assert(inc.select("city").collect().map(_.getString(0)).sorted === Array("B", "C"))
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
