@@ -91,6 +91,11 @@ object Graft {
       */
     def expireSnapshots(path: String, keepLast: Int): Int =
       org.apache.spark.sql.graft.ManifestFileIndex.expireSnapshots(path, keepLast)
+    /** Snapshot-safe compaction: rewrite fragmented partitions as single
+      * files without invalidating earlier snapshots.
+      */
+    def compact(spark: SparkSession, path: String): Unit =
+      LakeIO.compactSnapshots(spark, path)
   }
 
   object corpus {

@@ -145,6 +145,28 @@ object LakeIO {
       case None         => s.read.parquet(path)
     }
 
+  /** Snapshot-safe compaction: partitions fragmented into multiple files
+    * (the 10 s-cadence streaming sink's signature) are rewritten as new
+    * single files through the same copy-on-write tail as merge/delete —
+    * single-file partitions carry their entries over untouched, old
+    * fragments stay on disk for earlier snapshots until
+    * `expireSnapshots` vacuums them. Unlike [[compact]] (directory swap,
+    * for manifest-less V1 lakes), this preserves time travel.
+    */
+  def compactSnapshots(s: SparkSession, path: String): Unit = {
+    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
+    require(cur.isDefined, s"compactSnapshots: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    val fragmented = entries.groupBy(_.partValue).filter(_._2.size > 1).keySet
+    if (fragmented.isEmpty) return
+    val (touched, untouched) = entries.partition(e => fragmented.contains(e.partValue))
+    // basePath inference recovers the partition column from directory
+    // names — schema-agnostic (works for any lake, not just ts-bearing)
+    val rows = s.read.option("basePath", path)
+      .parquet(touched.map(e => path + "/" + e.relPath): _*)
+    writeCow(s, path, partCol, rows, untouched)
+  }
+
   /** Copy-on-write MERGE (upsert) keyed on `key`: rows of `updates` whose
     * key exists replace the stored row; new keys are inserted. The lake's
     * answer to the reference's JDBC `INSERT ... ON CONFLICT` upsert

@@ -115,6 +115,52 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(readLake().count() === n)
   }
 
+  test("compactSnapshots: fragmented partitions become single files; time travel survives") {
+    rm(new java.io.File(root))
+    // parity split: both writes hit the SAME hour partitions → fragments
+    LakeIO.writeLake(base.where($"event_id" % 2 === 0), root)
+    LakeIO.evolveAppend(base.where($"event_id" % 2 === 1), root)
+    val preVersion = ManifestFileIndex.headVersion(root).get
+    val preEntries = ManifestFileIndex.read(root).get._2
+    val fragmented = preEntries.groupBy(_.partValue).filter(_._2.size > 1)
+    assume(fragmented.nonEmpty, "appends should fragment at least one partition")
+
+    LakeIO.compactSnapshots(spark, root)
+
+    val after = ManifestFileIndex.read(root).get._2
+    assert(after.groupBy(_.partValue).forall(_._2.size == 1),
+      "every partition must be a single file after compaction")
+    // same rows through the V2 read
+    assert(readLake().except(base).isEmpty)
+    assert(base.except(readLake()).isEmpty)
+    // the pre-compaction snapshot still reads (old fragments intact)
+    val pre = spark.read.format("graft-lake")
+      .option("versionAsOf", preVersion.toString).load(root)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    assert(pre.except(base).isEmpty)
+    // vacuum then drops the fragments
+    val removed = ManifestFileIndex.expireSnapshots(root, 1)
+    assert(removed > 0)
+    assert(readLake().count() === base.count())
+  }
+
+  test("aggregate pushdown reaches the manifest-planned V2 scan") {
+    freshLake()
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.format("graft-lake").load(root)
+        .agg(count(lit(1)).as("n"))
+      assert(df.head.getLong(0) === base.count())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        "count must be answered from parquet metadata:\n" + plan.take(800))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.parquet.aggregatePushdown", p)
+      case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+  }
+
   test("regression: join over a column-pruned merged scan plans (DPP filterAttributes)") {
     freshLake()
     LakeIO.mergeInto(spark, root, upd, "event_id")
