@@ -254,7 +254,8 @@ object LakeIO {
             val dest = new java.io.File(destDir, s"m$v-${f.getName}")
             java.nio.file.Files.move(f.toPath, dest.toPath)
             newEntries += ManifestFileIndex.Entry(
-              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified())
+              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
+              ManifestFileIndex.footerStats(dest))
           }
       }
     def rm(f: java.io.File): Unit = {
@@ -310,11 +311,11 @@ object LakeIO {
     rm(new java.io.File(path))
   }
 
-  /** v2 = ts_hour layout + commit metadata (schema file + manifest);
-    * bump on layout change to invalidate.
+  /** v3 = v2 (ts_hour layout + commit metadata) + per-file INT64 column
+    * stats in the manifest; bump on layout change to invalidate.
     */
   def lakePath(sfDir: String): String =
-    "/tmp/graft_lake/v2_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    "/tmp/graft_lake/v3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
 
   /** Write once, scan many: skip the write when the committed marker is
     * already present (a lake table is immutable-once-committed; rebuilding

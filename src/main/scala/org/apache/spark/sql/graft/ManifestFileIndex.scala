@@ -46,6 +46,38 @@ class ManifestFileIndex(
       }.toArray
     }
 
+  private val statsByPath: Map[String, Map[String, (Long, Long)]] =
+    entries.filter(_.stats.nonEmpty)
+      .map(e => new Path(root, e.relPath).toString -> e.stats).toMap
+
+  /** File-level min/max skipping (Iceberg column metrics): the commit
+    * recorded per-file INT64 bounds in the manifest, so a pushed data
+    * filter can eliminate whole FILES at planning — no task launched, no
+    * footer read. Conservative: only `=`/`<`/`<=`/`>`/`>=` conjuncts on a
+    * long column with recorded stats ever drop a file.
+    */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val bounds = ManifestFileIndex.requiredBounds(dataFilters)
+    if (bounds.isEmpty || statsByPath.isEmpty) dirs
+    else dirs.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        statsByPath.get(f.getPath.toString) match {
+          case Some(stats) => bounds.forall { case (col, (lo, hi)) =>
+            stats.get(col) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None           => true
+            }
+          }
+          case None => true
+        }
+      })
+    }.filter(_.files.nonEmpty)
+  }
+
   override val rootPaths: Seq[Path] = Seq(root)
 
   override def partitionSpec(): PartitionSpec = {
@@ -72,10 +104,96 @@ class ManifestFileIndex(
 }
 
 object ManifestFileIndex {
-  final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long)
+  /** One live data file. `stats` holds per-column INT64 (min, max) bounds
+    * captured from the parquet footer at COMMIT time — the Iceberg
+    * column-metrics idea: readers skip files at planning with zero
+    * footer I/O.
+    */
+  final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   val ManifestName = "_graft_manifest.tsv"
   val SnapshotDir = "_graft_snapshots"
+
+  /** Per-column closed-interval bounds implied by pushed data filters:
+    * only simple attr-vs-long-literal comparisons contribute (anything
+    * else must not drop files). Long columns only — timestamp physical
+    * encodings (INT96/NANOS) don't compare against micros literals.
+    */
+  def requiredBounds(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(col: String, lo: Long, hi: Long): Unit = {
+      val (clo, chi) = acc.getOrElse(col, (Long.MinValue, Long.MaxValue))
+      acc(col) = (math.max(clo, lo), math.min(chi, hi))
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute if a.dataType == LongType => Some(a.name)
+      case _ => None
+    }
+    def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo(a, l) => for (n <- attrName(a); v <- longLit(l)) add(n, v, v)
+      case EqualTo(l, a) => for (n <- attrName(a); v <- longLit(l)) add(n, v, v)
+      case GreaterThan(a, l) => for (n <- attrName(a); v <- longLit(l))
+        add(n, if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
+      case GreaterThanOrEqual(a, l) => for (n <- attrName(a); v <- longLit(l))
+        add(n, v, Long.MaxValue)
+      case LessThan(a, l) => for (n <- attrName(a); v <- longLit(l))
+        add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
+      case LessThanOrEqual(a, l) => for (n <- attrName(a); v <- longLit(l))
+        add(n, Long.MinValue, v)
+      case GreaterThan(l, a) if longLit(l).isDefined =>
+        for (n <- attrName(a); v <- longLit(l))
+          add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
+      case LessThan(l, a) if longLit(l).isDefined =>
+        for (n <- attrName(a); v <- longLit(l))
+          add(n, if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  /** INT64 column (min, max) from a parquet file's footer, aggregated
+    * across row groups. Called once per file at commit by the single
+    * writer — never at read time.
+    */
+  def footerStats(file: java.io.File): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
+          val tpe = c.getPrimitiveType
+          val st = c.getStatistics
+          // INT64 with no logical annotation (plain longs): timestamp
+          // encodings are excluded — their stats don't compare against
+          // query literals portably
+          if (tpe.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+              tpe.getLogicalTypeAnnotation == null &&
+              c.getPath.size() == 1 && st != null && st.hasNonNullValue) {
+            val name = c.getPath.iterator().next()
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            val (cmn, cmx) = acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
+            acc(name) = (math.min(cmn, mn), math.max(cmx, mx))
+          }
+        }
+        acc.toMap
+      } finally rd.close()
+    } catch { case _: Throwable => Map.empty }
+  }
 
   /** Read the manifest if present: (partition column, entries).
     * With `version = Some(v)`, reads snapshot v's manifest (time travel);
@@ -99,8 +217,16 @@ object ManifestFileIndex {
           val buf = Seq.newBuilder[Entry]
           while (it.hasNext) {
             val parts = it.next().split('\t')
-            if (parts.length == 4)
-              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
+            if (parts.length >= 4) {
+              val stats = parts.drop(4).flatMap { f =>
+                f.split(':') match {
+                  case Array(col, mn, mx) =>
+                    scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
+                  case _ => None
+                }
+              }.toMap
+              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong, stats)
+            }
           }
           Some((partCol, buf.result()))
         }
@@ -125,7 +251,8 @@ object ManifestFileIndex {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { f =>
-          buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified())
+          buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified(),
+            footerStats(f))
         }
     }
     commitEntries(rootDir, partCol, buf.result())
@@ -141,7 +268,11 @@ object ManifestFileIndex {
     val sb = new StringBuilder(s"#partcol\t$partCol\n")
     entries.sortBy(e => (e.partValue, e.relPath)).foreach { e =>
       sb.append(e.partValue).append('\t').append(e.relPath)
-        .append('\t').append(e.size).append('\t').append(e.mtime).append('\n')
+        .append('\t').append(e.size).append('\t').append(e.mtime)
+      e.stats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+        sb.append('\t').append(col).append(':').append(mn).append(':').append(mx)
+      }
+      sb.append('\n')
     }
     val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
