@@ -215,6 +215,30 @@ object Similarity {
     // the 0.95 path with planted near-duplicates.
     Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35), None),
 
+    // L2 norms as a MAP-ONLY plan: the squared components fold inside the
+    // row via HOF aggregate over DECIMAL (exact, order-independent —
+    // identical to the oracle's unnest+group path), so the whole op is
+    // one codegen stage with zero shuffle besides the output sort. The
+    // normalize step a pipeline applies is the same expression divided
+    // through — no exchange either.
+    Op("embedding_norms",
+      (s, d) => {
+        val x2 = transform($"embedding",
+          x => round(x.cast("double") * x.cast("double"), 6).cast("decimal(28,6)"))
+        val ssum = aggregate(x2, lit(BigDecimal(0)).cast("decimal(28,6)"),
+          (a, v) => (a + v).cast("decimal(28,6)"))
+        emb(s, d).select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          round(sqrt(ssum.cast("double")), 4).as("l2_norm"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e0 AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |e AS (SELECT vec_id, CAST(round(x * x, 6) AS DECIMAL(28,6)) AS x2 FROM e0)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+        |       round(sqrt(CAST(sum(x2) AS DOUBLE)), 4) AS l2_norm
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // Per-label centroids (the k-means/IVF training step) as a
     // distributed vector aggregation: posexplode to (label, pos, x),
     // partial+final sum per dimension — one shuffle of labels×64 partial

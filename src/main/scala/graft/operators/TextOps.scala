@@ -185,6 +185,46 @@ object TextOps {
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
 
+    // Token-rarity quality score (the KenLM-perplexity stand-in): mean
+    // IDF of a doc's tokens, repetition included — common-word soup
+    // scores low, rare-token docs high. 100 TB shape: the document-
+    // frequency table is vocabulary-sized (≪ corpus), so it broadcasts;
+    // the token stream is probed map-side and only the per-doc partial
+    // sums shuffle. Float determinism per the engine invariant: each
+    // ln(idf) rounds at 6 dp into DECIMAL sums (order-independent),
+    // one final double division.
+    Op("rarity_score",
+      (s, d) => {
+        val terms = docs(s, d)
+          .select($"doc_id", explode(toks($"text")).as("term"))
+          .where(length($"term") > 0)
+        val dfT = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        terms.join(broadcast(dfT), "term")
+          .crossJoin(broadcast(n))
+          .select($"doc_id",
+            round(log($"n_docs".cast("double") / $"df"), 6)
+              .cast("decimal(18,6)").as("idf"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"idf").as("sidf"))
+          .select($"doc_id", $"n_tokens",
+            ($"sidf".cast("double") / $"n_tokens").as("rarity"))
+          .orderBy($"doc_id")
+      },
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, term FROM terms WHERE length(term) > 0),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CAST(round(ln(CAST((SELECT n FROM n) AS DOUBLE) / df), 6)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS rarity
+        |FROM t2 JOIN df USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Per-language corpus rollup.
     Op("lang_stats",
       (s, d) => docs(s, d)
