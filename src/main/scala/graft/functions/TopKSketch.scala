@@ -10,71 +10,71 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** SpaceSaving heavy-hitters buffer: at most k (item → (count, err))
-  * counters. Insertion of an unseen item at capacity evicts the minimum
-  * counter m and inherits its count (est = m+1, err = m) — the classic
-  * overestimate-only guarantee: `est ≥ true ≥ est − err` for every item
-  * the buffer retains.
+/** Mergeable heavy-hitters buffer: at most k item counters plus a global
+  * `offset` of purged mass. An item's estimate is `count + offset` and its
+  * error bound is `offset`, giving the overestimate-only guarantee
+  * `est ≥ true ≥ est − err` for every retained item.
   *
-  * Merge sums the per-side counters (each side's est ≥ its true share, so
-  * the sum keeps est ≥ true) and trims back to the k largest — globally
-  * heavy items are heavy in the sum, so they survive; only tail mass is
-  * dropped. This is the practical mergeable variant (DataSketches
-  * frequent-items shape), proved on skewed data in TopKSketchSpec.
+  * This is the Misra-Gries summary with an explicit offset — the form
+  * Agarwal et al. ("Mergeable Summaries", PODS'12) prove isomorphic to
+  * SpaceSaving and, crucially, MERGEABLE: merge sums the per-item counts
+  * and the offsets, then purges back to k counters. The naive
+  * evict-and-inherit SpaceSaving merge is NOT safe — an item evicted on
+  * one side but still present on the other loses its folded-in mass and
+  * can under-estimate (caught by PropertySpec's scalacheck merge
+  * property). Purging subtracts the (k+1)-th largest count from every
+  * counter and drops the non-positive remainder; the subtracted mass
+  * moves into `offset`, so every surviving `est = count + offset` is
+  * invariant under the purge.
   */
 final class SpaceSavingBuffer(val k: Int) {
-  // item → Array(count, err)
+  // item → Array(localCount); est = localCount + offset
   val m = new java.util.HashMap[String, Array[Long]]()
+  var offset: Long = 0L
 
   def add(item: String): Unit = {
     val cur = m.get(item)
     if (cur != null) cur(0) += 1
-    else if (m.size < k) { m.put(item, Array(1L, 0L)); () }
-    else {
-      var minKey: String = null; var minCnt = Long.MaxValue
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue()(0) < minCnt
-          || (e.getValue()(0) == minCnt && (minKey == null || e.getKey < minKey))) {
-          minCnt = e.getValue()(0); minKey = e.getKey
-        }
-      }
-      m.remove(minKey)
-      m.put(item, Array(minCnt + 1, minCnt))
-      ()
-    }
+    else { m.put(item, Array(1L)); if (m.size > k) trim() }
   }
 
   def mergeIn(other: SpaceSavingBuffer): Unit = {
+    offset += other.offset
     val it = other.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = m.get(e.getKey)
-      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      if (cur != null) cur(0) += e.getValue()(0)
       else m.put(e.getKey, e.getValue().clone())
     }
-    trim()
+    if (m.size > k) trim()
   }
 
-  /** Keep the k largest counters (count desc, item asc for determinism). */
+  /** Misra-Gries decrement step: subtract the (k+1)-th largest count from
+    * every counter, drop the non-positive, move the mass into `offset`.
+    */
   def trim(): Unit = if (m.size > k) {
-    val entries = new java.util.ArrayList(m.entrySet())
-    entries.sort { (a: java.util.Map.Entry[String, Array[Long]],
-        b: java.util.Map.Entry[String, Array[Long]]) =>
-      val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    val counts = new Array[Long](m.size)
+    var i = 0
+    val vit = m.values().iterator()
+    while (vit.hasNext) { counts(i) = vit.next()(0); i += 1 }
+    java.util.Arrays.sort(counts)
+    val cut = counts(counts.length - 1 - k) // (k+1)-th largest
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue()(0) -= cut
+      if (e.getValue()(0) <= 0L) it.remove()
     }
-    var i = k
-    while (i < entries.size()) { m.remove(entries.get(i).getKey); i += 1 }
+    offset += cut
   }
 
   /** (item, est, err) sorted by est desc, item asc. */
   def sorted: Seq[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     m.entrySet().asScala.toSeq
-      .map(e => (e.getKey, e.getValue()(0), e.getValue()(1)))
-      .sortBy { case (item, cnt, _) => (-cnt, item) }
+      .map(e => (e.getKey, e.getValue()(0) + offset, offset))
+      .sortBy { case (item, est, _) => (-est, item) }
   }
 }
 
@@ -84,11 +84,12 @@ object SpaceSavingBuffer {
   def toBytes(buf: SpaceSavingBuffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.offset)
     out.writeInt(buf.m.size)
     val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0))
     }
     out.flush(); bos.toByteArray
   }
@@ -96,10 +97,11 @@ object SpaceSavingBuffer {
   def fromBytes(bytes: Array[Byte], k: Int): SpaceSavingBuffer = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new SpaceSavingBuffer(k)
+    buf.offset = in.readLong()
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      buf.m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1
+      buf.m.put(in.readUTF(), Array(in.readLong())); i += 1
     }
     buf
   }

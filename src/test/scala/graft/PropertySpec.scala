@@ -74,4 +74,61 @@ object PropertySpec extends Properties("graft.kernels") {
       MinHashKernel.fnv1a(a) == MinHashKernel.fnv1a(a) &&
         (a == b || MinHashKernel.fnv1a(a) != MinHashKernel.fnv1a(b) || a.isEmpty)
     }
+
+  // ── manifest stats skipping: a file is kept iff its [min,max] range
+  //    intersects every required bound — never drop a file that could
+  //    hold a matching row (the only unsafe direction)
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo, Literal}
+  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.graft.ManifestFileIndex
+
+  private val boundVal = Gen.chooseNum(-1000L, 1000L)
+
+  property("requiredBounds: every long in a file range satisfying the filters is inside the bounds") =
+    forAll(boundVal, boundVal, boundVal) { (v1, v2, x) =>
+      val a = AttributeReference("c", LongType)()
+      val filters = Seq(
+        GreaterThanOrEqual(a, Literal(math.min(v1, v2))),
+        LessThanOrEqual(a, Literal(math.max(v1, v2))))
+      val b = ManifestFileIndex.requiredBounds(filters)
+      val (lo, hi) = b("c")
+      val satisfies = x >= math.min(v1, v2) && x <= math.max(v1, v2)
+      !satisfies || (x >= lo && x <= hi)
+    }
+
+  property("requiredBounds: strict comparisons tighten by one, equality pins") =
+    forAll(boundVal) { v =>
+      val a = AttributeReference("c", LongType)()
+      ManifestFileIndex.requiredBounds(Seq(GreaterThan(a, Literal(v))))("c") ==
+        ((v + 1, Long.MaxValue): (Long, Long)) &&
+      ManifestFileIndex.requiredBounds(Seq(LessThan(a, Literal(v))))("c") ==
+        ((Long.MinValue, v - 1): (Long, Long)) &&
+      ManifestFileIndex.requiredBounds(Seq(EqualTo(a, Literal(v))))("c") ==
+        ((v, v): (Long, Long))
+    }
+
+  // ── SpaceSaving: est ≥ true ≥ est − err for every retained item, under
+  //    arbitrary insert sequences and random two-way merges
+  import graft.functions.SpaceSavingBuffer
+
+  private val itemGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+
+  property("SpaceSaving: overestimate-only bound holds after inserts and merge") =
+    forAll(Gen.listOf(itemGen), Gen.listOf(itemGen)) { (xs, ys) =>
+      val b1 = new SpaceSavingBuffer(3); xs.foreach(b1.add)
+      val b2 = new SpaceSavingBuffer(3); ys.foreach(b2.add)
+      b1.mergeIn(b2)
+      val truth = (xs ++ ys).groupBy(identity).view.mapValues(_.size.toLong)
+      b1.sorted.forall { case (item, est, err) =>
+        val t = truth.getOrElse(item, 0L)
+        est >= t && est - err <= t
+      }
+    }
+
+  property("SpaceSaving: serialization round-trips") =
+    forAll(Gen.listOf(itemGen)) { xs =>
+      val b = new SpaceSavingBuffer(4); xs.foreach(b.add)
+      val rt = SpaceSavingBuffer.fromBytes(SpaceSavingBuffer.toBytes(b), 4)
+      rt.sorted == b.sorted
+    }
 }
