@@ -106,6 +106,71 @@ object Dedup {
     }
   }
 
+  /** PORTABLE MinHash family: `sig_i = min over shingles of
+    * md5(i ":" shingle)` (lexicographic min of the lowercase hex), bands
+    * hashed as `md5(sig_4b ∥ … ∥ sig_4b+3)`. Unlike the xxhash64/fnv
+    * families above, md5 exists with identical semantics in every SQL
+    * engine — so the WHOLE near-dup pipeline (LSH candidates → Jaccard
+    * verify → transitive clustering) becomes oracle-checkable
+    * end-to-end, not just rows-only. ~1 ms/doc (1600 tiny md5s) — fine
+    * as a map-only stage; the fnv/xxhash kernel stays the hot path when
+    * cross-engine reproducibility isn't required.
+    */
+  object PortableMinHash {
+    val NumHashes = 16; val RowsPerBand = 4
+    val NumBands: Int = NumHashes / RowsPerBand
+
+    private def md5hex(md: java.security.MessageDigest, s: String): String = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+        sb.append(Character.forDigit(d(i) & 0xF, 16))
+        i += 1
+      }
+      sb.toString
+    }
+
+    /** (band, band-hash-hex) keys; empty input → no keys. */
+    def bandKeys(sh: Array[String]): Array[(Int, String)] =
+      if (sh.isEmpty) Array.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sigs = Array.tabulate(NumHashes) { h =>
+          var m: String = null
+          var j = 0
+          while (j < sh.length) {
+            val v = md5hex(md, h.toString + ":" + sh(j))
+            if (m == null || v < m) m = v
+            j += 1
+          }
+          m
+        }
+        Array.tabulate(NumBands) { b =>
+          (b, md5hex(md, sigs(b * RowsPerBand) + sigs(b * RowsPerBand + 1)
+            + sigs(b * RowsPerBand + 2) + sigs(b * RowsPerBand + 3)))
+        }
+      }
+  }
+
+  /** Column-expression reference form of [[PortableMinHash.bandKeys]] —
+    * the cross-check that the compiled kernel computes exactly what the
+    * SQL oracle computes (asserted equal in DedupClusterSpec).
+    */
+  def portableBands(sh: Column): Column = {
+    val sigs = (0 until PortableMinHash.NumHashes).map { h =>
+      array_min(transform(sh,
+        x => md5(concat(lit(h.toString), lit(":"), x).cast("binary"))))
+    }
+    array((0 until PortableMinHash.NumBands).map { b =>
+      val r = PortableMinHash.RowsPerBand
+      struct(lit(b).as("band"),
+        md5(concat(sigs(b * r), sigs(b * r + 1), sigs(b * r + 2), sigs(b * r + 3))
+          .cast("binary")).as("bh"))
+    }: _*)
+  }
+
   /** Doc → distinct shingle set (compiled kernel). Expects columns
     * `doc_id: long`, `text: string` — any corpus DataFrame works.
     */
@@ -162,6 +227,96 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Distributed connected components over an undirected edge list
+    * `(src: long, dst: long)` → `(id, label)` where `label` is the
+    * minimum node id reachable from `id` (nodes with no edge are absent —
+    * callers coalesce singletons to themselves).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels, so a component's minimum
+    * id floods outward one hop per round and the loop converges after
+    * `diameter` rounds. Per round: one equi-join of the (persisted,
+    * symmetric) edge list with the current labels + one min-aggregation —
+    * all distributed; the driver reads back a single 0/1 "anything
+    * changed?" scalar (`limit(1).count`), never data. Near-dup graphs
+    * have tiny diameters (dup chains a few hops long), so rounds ≈ 3-5
+    * regardless of corpus size; for adversarial long-path graphs the
+    * alternating star-contraction algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) drops rounds to
+    * O(log n) at the cost of re-keying edges each round — not needed for
+    * dedup workloads.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist(lvl)
+    var labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select($"id".as("dst"), $"label".as("nl")), "dst")
+        .groupBy($"src").agg(min($"nl").as("mn"))
+        .select($"src".as("id"), $"mn")
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id",
+          least($"label", coalesce($"mn", $"label")).as("label"),
+          ($"mn" < $"label").as("chg"))
+        .persist(lvl)
+      converged = updated.where($"chg").limit(1).count() == 0
+      val prev = labels
+      labels = updated.select($"id", $"label")
+      prev.unpersist()
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full corpus dedup: portable LSH candidates → exact-Jaccard verify →
+    * connected components → `(doc_id, cluster_id, cluster_size)` with
+    * `cluster_id` = min doc_id of the duplicate cluster (singletons are
+    * their own cluster). Downstream keeps `doc_id == cluster_id` rows.
+    *
+    * The transitive step is what pair-listing dedup misses: A≈A' and
+    * A'≈A'' put all three in ONE cluster even when A vs A'' alone falls
+    * below the threshold — dropping per-pair would keep A and A''.
+    * Candidate generation stays bucket-join shaped (no cartesian,
+    * asserted in DedupClusterSpec); the component loop shuffles only
+    * (id, label) pairs of edge-touched docs — a tiny fraction of the
+    * corpus at any scale.
+    */
+  def clusterDocs(docsDf: DataFrame, threshold: Double): DataFrame = {
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[(Long, Array[String])]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[(Long, Int, String)]
+    val sh = shingleSets(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnds = sh.as[(Long, Array[String])]
+      .flatMap { case (id, shs) =>
+        PortableMinHash.bandKeys(shs).map { case (b, h) => (id, b, h) }
+      }
+      .toDF("doc_id", "band", "bh")
+    val cands = bnds.select($"band", $"bh", $"doc_id".as("src"))
+      .join(bnds.select($"band", $"bh", $"doc_id".as("dst")), Seq("band", "bh"))
+      .where($"src" < $"dst")
+      .select($"src", $"dst").distinct()
+    val edges = cands
+      .join(sh.select($"doc_id".as("src"), $"sh".as("sh_a")), "src")
+      .join(sh.select($"doc_id".as("dst"), $"sh".as("sh_b")), "dst")
+      .where(size(array_intersect($"sh_a", $"sh_b")).cast("double")
+        / size(array_union($"sh_a", $"sh_b")) >= threshold)
+      .select($"src", $"dst")
+    val labels = connectedComponents(edges)
+    val asg = docsDf.select($"doc_id")
+      .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+    asg.join(asg.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** Token xxhash64 array for [[simhash]] — materialize once per row. */
   def tokenHashes(text: Column): Column =
     transform(split(lower(text), " "), t => xxhash64(t))
@@ -197,6 +352,49 @@ object Dedup {
     // DedupSpec.
     Op("dedup_minhash_lsh",
       (s, d) => nearDupPairs(s, d, threshold = 0.5), None),
+
+    // Transitive near-dup CLUSTERING: portable md5-MinHash LSH candidates
+    // → exact-Jaccard verify → distributed connected components. The md5
+    // hash family computes identically in DuckDB, so — uniquely among the
+    // LSH ops — the full pipeline is hash-exact against the oracle, whose
+    // recursive CTE is the transitive closure the Spark label-propagation
+    // loop computes distributively.
+    Op("dedup_cluster",
+      (s, d) => clusterDocs(docs(s, d), threshold = 0.5),
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS s
+        |       FROM tok),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |sig AS (SELECT doc_id,
+        |         [list_aggregate([md5(CAST(h AS VARCHAR) || ':' || x) for x in s], 'min')
+        |          for h in range(0, 16)] AS sg
+        |        FROM shn),
+        |bnd AS (SELECT doc_id, b AS band,
+        |         md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bh
+        |        FROM sig, range(0, 4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+        |                                AND a.doc_id < b.doc_id),
+        |edges AS (SELECT src, dst FROM cand
+        |          JOIN shn x ON x.doc_id = cand.src
+        |          JOIN shn y ON y.doc_id = cand.dst
+        |          WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+        |lbl AS (SELECT id, min(r) AS cl FROM reach GROUP BY id),
+        |asg AS (SELECT d.doc_id, coalesce(l.cl, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM asg ORDER BY doc_id""".stripMargin),
 
     // SimHash per doc + 4×16-bit LSH band values for bucketing.
     Op("dedup_simhash",
