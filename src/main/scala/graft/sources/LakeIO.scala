@@ -488,6 +488,35 @@ object LakeIO {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
         |ORDER BY event_id""".stripMargin),
 
+    // Storage-partitioned join (SPJ): both sides are graft-lake scans
+    // whose V2 Scan REPORTS KeyGroupedPartitioning over ts_hour
+    // (GraftLakeScan.outputPartitioning), so the per-hour aggregates AND
+    // the hour-keyed join plan with zero shuffle exchanges — the Iceberg
+    // SPJ win, proved plan-shape in SpjSpec. The merge hint only pins the
+    // join strategy (a broadcast would trivialize the demonstration).
+    Op("lake_spj_hourly",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        def t = s.read.format("graft-lake").load(path)
+        val a = t.groupBy($"ts_hour").agg(count(lit(1)).as("n_events"))
+        val b = t.where($"event_type" === "click")
+          .groupBy($"ts_hour").agg(max($"value").as("max_click_value"))
+        a.join(b.hint("merge"), Seq("ts_hour"), "left")
+          .select($"ts_hour", $"n_events", $"max_click_value")
+          .orderBy($"ts_hour")
+      },
+      """WITH a AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |         max(value) AS max_click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT a.ts_hour, a.n_events, b.max_click_value
+        |FROM a LEFT JOIN b ON a.ts_hour = b.ts_hour
+        |ORDER BY a.ts_hour""".stripMargin),
+
     // S9 catalog introspection: register the testdata tables and list them
     // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).
     Op("catalog_tables",

@@ -186,9 +186,11 @@ case class GraftLakeScan(
     initial: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
   extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+  import org.apache.spark.sql.execution.datasources.FilePartition
   import org.apache.spark.sql.{sources => f}
 
   @transient private var filtered:
@@ -197,10 +199,61 @@ case class GraftLakeScan(
 
   override def readSchema(): StructType = initial.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  // ── storage-partitioned joins (SPJ): the scan REPORTS its hour layout.
+  //
+  // With `spark.sql.sources.v2.bucketing.enabled`, the scan advertises
+  // KeyGroupedPartitioning over the partition column and emits one
+  // HasPartitionKey input partition per partition value. Two lake scans
+  // joined or re-aggregated ON that column are then already co-partitioned
+  // — Catalyst's EnsureRequirements proves the KeyGroupedShuffleSpecs
+  // compatible and plans NO exchange on either side (Iceberg's SPJ,
+  // SPARK-37375). At 100 TB this removes the biggest cost of a
+  // fact-to-fact hourly join: both full-table shuffles.
+  //
+  // Off (default), everything delegates to the parquet batch unchanged,
+  // keeping maxPartitionBytes bin-packing for maximum scan parallelism.
+  private def partCols = initial.fileIndex.partitionSchema
+  private def spjEligible: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      partCols.length == 1 &&
+      initial.readSchema().fieldNames.contains(partCols.head.name)
+
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEligible)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(
+          partCols.head.name)),
+        keyedPartitions.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** One FilePartition per partition VALUE, tagged with its key row
+    * (from the files' own partitionValues). Built from `current` so DPP
+    * runtime filtering composes with SPJ.
+    */
+  private def keyedPartitions: Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val files = current.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files.toSeq
+      case _ => Seq.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    }
+    files.groupBy(_.partitionValues.getUTF8String(0).toString)
+      .toArray.sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, fs), i) =>
+        KeyedFilePartition(FilePartition(i, fs), fs.head.partitionValues.copy())
+      }
+  }
+
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-    current.toBatch.planInputPartitions()
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    current.toBatch.createReaderFactory()
+    if (spjEligible) keyedPartitions
+    else current.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = current.toBatch.createReaderFactory()
+    if (spjEligible) new UnwrapKeyedReaderFactory(inner) else inner
+  }
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     current.estimateStatistics()
   override def description(): String = current.description()
@@ -232,4 +285,34 @@ case class GraftLakeScan(
       filtered = current.copy(
         partitionFilters = current.partitionFilters ++ exprs)
   }
+}
+
+/** A per-partition-value file split carrying its partition key — what
+  * Spark's SPJ machinery groups and aligns across join sides. Wraps the
+  * parquet FilePartition rather than subclassing it so the delegate stays
+  * exactly what the parquet reader factory expects.
+  */
+case class KeyedFilePartition(
+    delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Hands the wrapped FilePartition back to the vectorized parquet reader. */
+class UnwrapKeyedReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p match { case k: KeyedFilePartition => k.delegate; case other => other }
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+    : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+    : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }

@@ -114,6 +114,9 @@ class LakeIOSpec extends AnyFunSuite {
     def files(s: org.apache.spark.sql.connector.read.Scan): Int =
       s.toBatch.planInputPartitions().collect {
         case fp: FilePartition => fp.files.length
+        // SPJ-eligible scans (ts_hour selected, v2 bucketing on — the
+        // Spark 4 default) emit key-tagged per-hour partitions instead
+        case k: org.apache.spark.sql.graft.KeyedFilePartition => k.delegate.files.length
       }.sum
     // contract: the scan advertises partition columns as runtime-filterable
     // and an IN filter re-plans input partitions against the manifest index

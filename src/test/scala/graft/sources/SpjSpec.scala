@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.{spark, sf}
+
+/** Storage-partitioned joins on the graft-lake V2 source: with
+  * `spark.sql.sources.v2.bucketing.enabled` the scan reports
+  * KeyGroupedPartitioning over ts_hour, so aggregations and joins keyed
+  * on it plan with ZERO shuffle exchanges — and still return exactly
+  * what the shuffling plan returns.
+  */
+class SpjSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def lake() = {
+    val path = LakeIO.ensureLake(spark, sf)
+    spark.read.format("graft-lake").load(path)
+  }
+
+  test("hourly aggregation over the reported partitioning needs no exchange") {
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = lake().groupBy($"ts_hour").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "KeyGroupedPartitioning must satisfy the aggregate's distribution:\n"
+          + plan.take(800))
+    }
+  }
+
+  test("hourly fact-to-fact join plans exchange-free and matches shuffled results") {
+    def query() = {
+      val t = lake()
+      val a = t.groupBy($"ts_hour").agg(count(lit(1)).as("n_events"))
+      val b = t.where($"event_type" === "click")
+        .groupBy($"ts_hour").agg(max($"value").as("max_click_value"))
+      a.join(b.hint("merge"), Seq("ts_hour"), "left")
+        .select($"ts_hour", $"n_events", $"max_click_value")
+        .orderBy($"ts_hour")
+    }
+    val expected = query().collect() // default conf: shuffled plan
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+      val q = query()
+      val got = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        "co-partitioned lake scans must join without shuffling:\n" + plan.take(1200))
+      assert(got.toSeq === expected.toSeq)
+    }
+  }
+
+  test("with v2 bucketing disabled the scan degrades to the shuffled plan") {
+    // (the conf defaults to TRUE on Spark 4 — SPJ needs no session setup;
+    // this proves the fallback path still plans correctly when disabled)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      val t = lake().groupBy($"ts_hour").agg(count(lit(1)).as("n"))
+      val plan = t.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), "disabled ⇒ the aggregate shuffles as usual")
+    }
+  }
+}
