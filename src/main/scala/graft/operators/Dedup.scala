@@ -177,7 +177,17 @@ object Dedup {
   def shingleSets(docsDf: DataFrame): DataFrame = {
     implicit val tupEnc = org.apache.spark.sql.Encoders.product[(Long, String)]
     implicit val outEnc = org.apache.spark.sql.Encoders.product[(Long, Array[String])]
-    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+    // The signature stage downstream is CPU-bound; a corpus that arrives
+    // in fewer splits than cores (one parquet file here) would hash on a
+    // single thread. Spread it first — but only then: at real scale the
+    // input already has thousands of splits and the raw text should NOT
+    // pay an extra shuffle.
+    val spread = {
+      val cores = docsDf.sparkSession.sparkContext.defaultParallelism
+      val src = docsDf.select(col("doc_id"), col("text"))
+      if (src.rdd.getNumPartitions < cores) src.repartition(cores) else src
+    }
+    spread.as[(Long, String)]
       .map { case (id, t) => (id, MinHashKernel.shingles(t)) }
       .filter(_._2.nonEmpty)
       .toDF("doc_id", "sh")
@@ -251,8 +261,12 @@ object Dedup {
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .persist(lvl)
-    var labels = sym.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).persist(lvl)
+    // seed with the first hop already taken (label = min(id, neighbors)):
+    // a clique-shaped dup cluster — the common case — then converges on
+    // the very first check instead of after a no-op round
+    var labels = sym.groupBy($"src").agg(min($"dst").as("nbr"))
+      .select($"src".as("id"), least($"src", $"nbr").as("label"))
+      .persist(lvl)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
