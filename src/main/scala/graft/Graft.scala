@@ -96,6 +96,12 @@ object Graft {
       */
     def compact(spark: SparkSession, path: String): Unit =
       LakeIO.compactSnapshots(spark, path)
+    /** Idempotent streaming append: replaying the same `batchId` (the
+      * foreachBatch at-least-once contract) is a no-op — the commit
+      * manifest is the ledger. `batch` must carry `ts_hour`.
+      */
+    def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit =
+      LakeIO.appendExactlyOnce(path, batch, batchId)
   }
 
   object corpus {
@@ -126,6 +132,16 @@ object Graft {
       Dedup.nearDupPairs(corpus, threshold)
     /** Per-doc winnowing sketch column (rolling-hash fingerprint). */
     def winnowSketch(text: Column): Column = TextOps.winnowSketch(text)
+    /** Transitive near-dup clustering over a (doc_id, text) corpus:
+      * portable md5-MinHash LSH candidates, exact-Jaccard verify,
+      * distributed connected components → (doc_id, cluster_id,
+      * cluster_size); keep `doc_id == cluster_id` rows to dedup.
+      */
+    def cluster(corpus: DataFrame, threshold: Double): DataFrame =
+      Dedup.clusterDocs(corpus, threshold)
+    /** Connected components of an undirected (src, dst) edge list. */
+    def connectedComponents(edges: DataFrame): DataFrame =
+      Dedup.connectedComponents(edges)
   }
 
   object similarity {

@@ -265,6 +265,66 @@ object LakeIO {
     ManifestFileIndex.commitEntries(path, partCol, untouched ++ newEntries.result())
   }
 
+  /** EXACTLY-ONCE streaming append: idempotent under micro-batch retry.
+    *
+    * Structured Streaming's `foreachBatch` contract is at-least-once —
+    * after a crash between the data write and the checkpoint commit, the
+    * same `batchId` is replayed, and a plain parquet append would
+    * duplicate the batch. Here the COMMIT MANIFEST is the idempotency
+    * ledger: every file of batch b is named `b<b>-…`, and a replay first
+    * checks the committed manifest for that prefix — present means the
+    * batch fully committed (the manifest rename is the single atomic
+    * commit point), so the replay is a no-op. Absent means any `b<b>-…`
+    * files on disk are orphans of a failed attempt — never referenced by
+    * any manifest, invisible to V2 readers — deleted, then the batch is
+    * re-staged, moved in, and committed as prior-entries ∪ batch-entries.
+    * Iceberg's streaming-sink semantics without a catalog service.
+    *
+    * `batch` must already carry the `ts_hour` partition column.
+    */
+  def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val prefix = s"b$batchId-"
+    val prior: Seq[ManifestFileIndex.Entry] =
+      ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty)
+    if (prior.exists(e => e.relPath.split('/').last.startsWith(prefix))) return
+    // orphans of a failed attempt: on disk, in no manifest — remove
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("ts_hour="))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix)).foreach(_.delete())
+      }
+    if (tableSchema(path).isEmpty) writeSchemaFile(path, batch.schema)
+    val stage = path + s"_stage_b$batchId"
+    batch.repartition(col("ts_hour"))
+      .write.mode("overwrite").partitionBy("ts_hour")
+      .option("compression", "zstd").parquet(stage)
+    val stageDir = new java.io.File(stage)
+    val newEntries = Seq.newBuilder[ManifestFileIndex.Entry]
+    Option(stageDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("ts_hour="))
+      .sortBy(_.getName)
+      .foreach { d =>
+        val pv = d.getName.substring("ts_hour=".length)
+        val destDir = new java.io.File(path, d.getName)
+        destDir.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .foreach { f =>
+            val dest = new java.io.File(destDir, prefix + f.getName)
+            java.nio.file.Files.move(f.toPath, dest.toPath)
+            newEntries += ManifestFileIndex.Entry(
+              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
+              ManifestFileIndex.footerStats(dest))
+          }
+      }
+    rmDir(stage)
+    ManifestFileIndex.commitEntries(path, "ts_hour", prior ++ newEntries.result())
+  }
+
   /** Incremental (CDC-style) read: the rows ADDED between two snapshots —
     * exactly the files in `toV`'s manifest absent from `fromV`'s. For an
     * append-only lake this is the per-commit change stream a downstream

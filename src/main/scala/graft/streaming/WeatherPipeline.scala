@@ -115,12 +115,14 @@ object WeatherPipeline {
       .format("parquet")
       .start(path)
 
-  /** [[lakeSink]] + table metadata: each micro-batch appends
-    * hour-partitioned parquet AND refreshes the commit manifest + schema
-    * file, so graft-lake V2 readers of a LIVE streaming table still plan
-    * from metadata (zero listing) and see every committed batch — the
-    * streaming side of the Iceberg-commit parity (register-connector.sh:30
-    * commits on the same cadence).
+  /** [[lakeSink]] + table metadata, EXACTLY-ONCE: each micro-batch lands
+    * through [[graft.sources.LakeIO.appendExactlyOnce]] — batch files are
+    * batchId-named, the commit manifest is the idempotency ledger, and a
+    * replayed micro-batch (foreachBatch is at-least-once under crash
+    * recovery) is a no-op instead of a duplicate append. graft-lake V2
+    * readers of the LIVE table plan from metadata (zero listing) and see
+    * each batch exactly once — the streaming side of the Iceberg-commit
+    * parity (register-connector.sh:30 commits on the same cadence).
     */
   def lakeSinkCommitted(source: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
@@ -130,12 +132,8 @@ object WeatherPipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append")
-          .partitionBy("ts_hour")
-          .option("compression", "zstd")
-          .parquet(path)
-        graft.sources.LakeIO.commitAfterAppend(path, batch.schema)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.LakeIO.appendExactlyOnce(path, batch.toDF(), batchId)
       }
       .start()
 }

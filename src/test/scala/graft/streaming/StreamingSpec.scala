@@ -233,6 +233,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactly-once sink: a replayed micro-batch is a no-op, a partial attempt is cleaned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo_sink").toString + "/data"
+    def batch(ids: Seq[Long]) = ids.toDF("event_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:01")))
+      .withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
+    graft.sources.LakeIO.appendExactlyOnce(dir, batch(Seq(1L, 2L)), batchId = 0)
+    def rows() = spark.read.format("graft-lake").load(dir).count()
+    assert(rows() === 2)
+    // crash-replay of the SAME batchId (foreachBatch is at-least-once):
+    // the manifest ledger already lists b0- files — no duplicate append
+    graft.sources.LakeIO.appendExactlyOnce(dir, batch(Seq(1L, 2L)), batchId = 0)
+    assert(rows() === 2, "replayed batch must not duplicate")
+    // a failed attempt of batch 1 left an orphan data file on disk
+    // (written but never committed — invisible to V2 readers)
+    val orphan = new java.io.File(dir + "/ts_hour=2024-01-01-10", "b1-orphan.parquet")
+    batch(Seq(99L)).limit(1).write.parquet(dir + "_tmp_orphan")
+    val part = new java.io.File(dir + "_tmp_orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    assert(rows() === 2, "uncommitted orphan must be invisible")
+    // the retry of batch 1 cleans the orphan, then commits once
+    graft.sources.LakeIO.appendExactlyOnce(dir, batch(Seq(3L)), batchId = 1)
+    assert(rows() === 3)
+    assert(!orphan.exists(), "retry must remove the failed attempt's files")
+    // distinct batch ids still append normally
+    graft.sources.LakeIO.appendExactlyOnce(dir, batch(Seq(4L, 5L)), batchId = 2)
+    assert(rows() === 5)
+  }
+
   test("streaming CDC: each micro-batch commit is a snapshot; readIncrement yields that batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
     val input = MemoryStream[WeatherRecord]
