@@ -101,12 +101,23 @@ final class TDigestBuffer(val compression: Double) {
 
   /** Quantile estimate: linear interpolation between centroid midpoints
     * in cumulative-weight space, anchored at the exact min/max.
+    *
+    * Interpolation hygiene (caught by PropertySpec): `a + f*(b - a)` at
+    * f = 1 is not exactly `b` in floating point (cancellation can land
+    * 1 ulp past it), which both escapes the [min, max] envelope and
+    * breaks monotonicity across segment boundaries — so f ≥ 1 returns
+    * the segment endpoint exactly, and the result is clamped to the
+    * observed range (a quantile of the data cannot lie outside it).
     */
   def quantile(q: Double): Double = {
     compress()
     if (total == 0.0) return Double.NaN
     if (means.length == 1) return means(0)
     val target = q * total
+    def lerp(a: Double, b: Double, f: Double): Double = {
+      val v = if (f >= 1.0) b else if (f <= 0.0) a else a + f * (b - a)
+      math.min(hi, math.max(lo, v))
+    }
     var prevMean = lo
     var prevC = 0.0
     var cum = 0.0
@@ -115,12 +126,12 @@ final class TDigestBuffer(val compression: Double) {
       val c = cum + weights(i) / 2
       if (target <= c) {
         val f = if (c == prevC) 1.0 else (target - prevC) / (c - prevC)
-        return prevMean + f * (means(i) - prevMean)
+        return lerp(prevMean, means(i), f)
       }
       prevMean = means(i); prevC = c; cum += weights(i); i += 1
     }
     val f = if (total == prevC) 1.0 else (target - prevC) / (total - prevC)
-    prevMean + f * (hi - prevMean)
+    lerp(prevMean, hi, f)
   }
 
   def centroidCount: Int = { compress(); means.length }

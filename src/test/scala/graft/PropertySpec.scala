@@ -131,4 +131,58 @@ object PropertySpec extends Properties("graft.kernels") {
       val rt = SpaceSavingBuffer.fromBytes(SpaceSavingBuffer.toBytes(b), 4)
       rt.sorted == b.sorted
     }
+
+  // ── KMV: the k smallest of a union of k-smallest subsets IS the k
+  //    smallest of the union — merge is exactly lossless, so any split
+  //    of the stream (partial aggregation) yields the single-pass state
+  import graft.functions.KmvBuffer
+
+  private val hashGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+
+  property("KMV: merge of any split equals the single-pass sketch") =
+    forAll(Gen.listOf(hashGen), Gen.listOf(hashGen)) { (a, b) =>
+      val whole = new KmvBuffer(8); (a ++ b).foreach(whole.add)
+      val left = new KmvBuffer(8); a.foreach(left.add)
+      val right = new KmvBuffer(8); b.foreach(right.add)
+      left.mergeIn(right)
+      left.set == whole.set && left.estimate == whole.estimate
+    }
+
+  property("KMV: insertion order never changes the state; exact below k") =
+    forAll(Gen.listOf(hashGen)) { xs =>
+      val fwd = new KmvBuffer(8); xs.foreach(fwd.add)
+      val rev = new KmvBuffer(8); xs.reverse.foreach(rev.add)
+      fwd.set == rev.set &&
+        (xs.distinct.size >= 8 || fwd.estimate == xs.distinct.size.toLong)
+    }
+
+  // ── t-digest: estimates stay inside the data range, are monotone in q,
+  //    and a merged digest keeps the rank error bounded
+  import graft.functions.TDigestBuffer
+
+  private val valGen = Gen.chooseNum(-1000, 1000).map(_ / 7.0)
+
+  property("t-digest: quantiles bounded by min/max and monotone in q") =
+    forAll(Gen.nonEmptyListOf(valGen)) { xs =>
+      val d = new TDigestBuffer(100.0); xs.foreach(d.add(_))
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(d.quantile)
+      qs.forall(v => v >= xs.min && v <= xs.max) && qs == qs.sorted
+    }
+
+  property("t-digest: merged digest's median stays rank-accurate") =
+    forAll(Gen.nonEmptyListOf(valGen), Gen.listOf(valGen)) { (a, b) =>
+      val l = new TDigestBuffer(100.0); a.foreach(l.add(_))
+      val r = new TDigestBuffer(100.0); b.foreach(r.add(_))
+      l.mergeIn(r)
+      val all = (a ++ b).sorted
+      val est = l.quantile(0.5)
+      // two-sided rank check (one-sided counts misfire on ties): est is a
+      // valid (0.5 ± ε) quantile iff strictly-below mass ≤ 0.5+ε and
+      // at-or-below mass ≥ 0.5−ε. At δ=100 the k1-scale bound is ~1-2%
+      // of n — 10% + discreteness slack is a loose structural ceiling.
+      val n = all.length.toDouble
+      val eps = 0.1 + 2.0 / n
+      all.count(_ < est) / n <= 0.5 + eps &&
+        all.count(_ <= est) / n >= 0.5 - eps
+    }
 }
