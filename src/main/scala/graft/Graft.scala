@@ -158,6 +158,12 @@ object Graft {
       Similarity.cosineDedup(embeddings, threshold, 4)
     /** Codegen'd dot product over two array<double> columns. */
     def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+    /** Distributed spherical k-means (deterministic at any parallelism):
+      * (vec_id, embedding) → per-dimension centroid rows — the IVF
+      * training step.
+      */
+    def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+      Similarity.kmeansFit(embeddings, k, iters)
   }
 
   object text {

@@ -161,6 +161,76 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Distributed spherical k-means (Lloyd's) over a (vec_id, embedding)
+    * table → per-dimension centroid rows `(cluster, pos, c, size)` — the
+    * REAL training step behind [[ivfTopK]]'s seed-centroid stand-in.
+    *
+    * Every step is deterministic at ANY parallelism:
+    * - init = the k smallest vec_ids' vectors (documented determinism
+    *   over kmeans++ randomness; at 100 TB swap in a sampled init, the
+    *   iteration machinery is unchanged);
+    * - assignment = argmax cosine, ties to the lower centroid id;
+    * - recompute = per-dimension sums through 6-dp DECIMAL(18,6) (the
+    *   order-independent-exact float recipe used engine-wide) then ONE
+    *   double division — so centroids are bit-identical across runs,
+    *   partitionings, and cluster sizes (asserted in KMeansSpec).
+    *
+    * Shuffle shape per iteration: the k×dim centroid table broadcasts
+    * (assignment is map-side, n never shuffles against itself), then one
+    * k×dim-row aggregation — the same partial+final vector-sum shape as
+    * `embedding_centroids`. Each iteration's centroids are persisted and
+    * materialized (k×dim rows — metadata-scale, like DPP's partition
+    * values); vectors stream through the broadcast join, never collect.
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeansFit(embDf: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.sql.expressions.Window
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
+      .persist(lvl)
+    var cents = v.orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("c_id"), $"e".as("ce"), $"nrm".as("cn"),
+        lit(1L).as("size"))
+      .persist(lvl)
+    cents.count()
+    var iter = 0
+    while (iter < iters) {
+      val assigned = v.join(broadcast(cents.select($"c_id", $"ce", $"cn")))
+        .select($"vec_id", $"e", $"c_id",
+          (dot($"e", $"ce") / ($"nrm" * $"cn")).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_id")))
+        .where($"rk" === 1)
+      val dims = assigned
+        .select($"c_id", posexplode($"e"))
+        .select($"c_id", $"pos",
+          round($"col", 6).cast("decimal(18,6)").as("xd"))
+        .groupBy($"c_id", $"pos")
+        .agg(sum($"xd").as("s"), count(lit(1)).as("n"))
+        .select($"c_id", $"pos", ($"s".cast("double") / $"n").as("c"), $"n")
+      val computed = dims.groupBy($"c_id").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"),
+        max($"n").as("size"))
+      val next = cents.select($"c_id", $"ce".as("prev_ce"))
+        .join(computed, Seq("c_id"), "left")
+        .select($"c_id",
+          coalesce($"ce", $"prev_ce").as("ce"),
+          coalesce($"size", lit(0L)).as("size"))
+        .withColumn("cn", norm($"ce"))
+        .persist(lvl)
+      next.count()
+      val prev = cents
+      cents = next
+      prev.unpersist()
+      iter += 1
+    }
+    cents
+      .select($"c_id".as("cluster"), posexplode($"ce"), $"size")
+      .select($"cluster", $"pos".cast("long").as("pos"), $"col".as("c"), $"size")
+      .orderBy($"cluster", $"pos")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
   def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
       numPlanes: Int = 4): DataFrame =
@@ -209,6 +279,10 @@ object Similarity {
     // (SCALE.md) — not the single-table default.
     Op("similarity_ann_lsh", (s, d) => annTopK(s, d, numTables = 4), None),
     Op("similarity_ivf", (s, d) => ivfTopK(s, d), None),
+    // Lloyd's iterations aren't reasonably expressible as one ANSI query
+    // → rows-only; blob recovery + bit-determinism across partitionings
+    // asserted in KMeansSpec.
+    Op("kmeans_fit", (s, d) => kmeansFit(emb(s, d), k = 8, iters = 3), None),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
