@@ -231,6 +231,42 @@ object Similarity {
       .orderBy($"cluster", $"pos")
   }
 
+  /** IVF search over TRAINED centroids ([[kmeansFit]] output): vectors
+    * are assigned to their nearest centroid's cell once (broadcast pass);
+    * each query probes its `nprobe` nearest cells — the standard IVF
+    * recall knob (nprobe=1 misses true neighbours that sit just across a
+    * Voronoi boundary; small nprobe recovers them at nprobe× probe cost,
+    * still Σ probed-cell sizes ≪ n).
+    */
+  def ivfTopKTrained(embDf: DataFrame, centroids: DataFrame,
+      numQueries: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
+    val scored = v.join(cents)
+      .select($"vec_id", $"e", $"nrm", $"c_id",
+        (dot($"e", $"ce") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")))
+    val assigned = scored.where($"rk" === 1)
+      .select($"vec_id", $"e", $"nrm", $"c_id".as("cell"))
+    val q = broadcast(scored.where($"vec_id" < numQueries && $"rk" <= nprobe)
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
+        $"c_id".as("cell")))
+    q.join(assigned, Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"cell", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
   def cosineDedup(s: SparkSession, d: String, threshold: Double = 0.95,
       numPlanes: Int = 4): DataFrame =
@@ -283,6 +319,12 @@ object Similarity {
     // → rows-only; blob recovery + bit-determinism across partitionings
     // asserted in KMeansSpec.
     Op("kmeans_fit", (s, d) => kmeansFit(emb(s, d), k = 8, iters = 3), None),
+    // The full train→search IVF pipeline: k-means centroids, nprobe=2
+    // cell probing. Rows-only (iterative training); recall vs brute force
+    // measured in KMeansSpec.
+    Op("similarity_ivf_trained",
+      (s, d) => ivfTopKTrained(emb(s, d),
+        kmeansFit(emb(s, d), k = 8, iters = 2), numQueries = 5, k = 10), None),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises

@@ -49,6 +49,35 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq, "decimal-sum recompute must be order-independent")
   }
 
+  test("trained IVF (nprobe=2) recall@10 >= 0.8 on clustered vectors") {
+    // same clustered regime as the ANN recall test: true neighbours live
+    // in the query's own cluster, which trained centroids carve out
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(24)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 1200).map { i =>
+      val c = centers(i % 24)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(df, numQueries = 5, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cents = Similarity.kmeansFit(df, k = 24, iters = 3)
+    val ivf = Similarity.ivfTopKTrained(df, cents, numQueries = 5, k = 10, nprobe = 2)
+      .collect()
+    // integrity: each query's candidates come from at most nprobe cells
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length <= 2, s"query $q probed too many cells")
+    }
+    val got = ivf.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: ${recalls.toSeq})")
+  }
+
   test("keyed kmeans_fit on testdata: k×dim rows, no cartesian, sizes cover the table") {
     val op = Similarity.ops.find(_.key == "kmeans_fit").get
     val out = op.run(spark, sf)
