@@ -200,5 +200,12 @@ object Graft {
     def topK(items: org.apache.spark.sql.Dataset[String], k: Int = 64,
         shards: Int = 16): org.apache.spark.sql.Dataset[graft.streaming.StreamingTopK.TopEntry] =
       graft.streaming.StreamingTopK.run(items, k, shards)
+    /** Stream-static enrichment: each micro-batch joins against the lake
+      * dimension re-read from its CURRENT manifest — lake merges/appends
+      * become visible to the running stream without restart.
+      */
+    def enrichWithLake(source: DataFrame, lakePath: String, key: String)(
+        sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      WeatherPipeline.enrichWithLake(source, lakePath, key)(sink)
   }
 }

@@ -87,6 +87,29 @@ object WeatherPipeline {
       stores(id)
   }
 
+  /** Stream-static enrichment join: every micro-batch joins the live
+    * stream against the lake dimension re-read from its CURRENT commit
+    * manifest — so appends and CoW merges committed between micro-batches
+    * are visible to the running stream without a restart (a statically
+    * resolved DataFrame would pin the manifest read at query start). The
+    * dimension broadcasts: the stream side never shuffles, and at 100 TB
+    * the per-batch cost is one small manifest read + a broadcast of the
+    * dim, not a scan of anything stream-sized.
+    */
+  def enrichWithLake(source: DataFrame, lakePath: String, key: String,
+      trigger: Trigger = Trigger.ProcessingTime(0))(
+      sink: DataFrame => Unit): StreamingQuery =
+    parse(source)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dim = org.apache.spark.sql.functions.broadcast(
+          batch.sparkSession.read.format("graft-lake").load(lakePath))
+        sink(batch.toDF().join(dim, Seq(key), "left"))
+      }
+      .start()
+
   /** Wire source → agg → upsert sink; update mode (T4), per-micro-batch
     * commit cadence via trigger (T5).
     */

@@ -233,6 +233,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: a lake MERGE between micro-batches is visible without restart") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString + "/dim"
+    // city dimension in the lake (hour-partitioned like any graft table)
+    def dim(rows: (String, String)*) = rows.toSeq.toDF("city", "region")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    graft.sources.LakeIO.writeLake(dim("A" -> "north", "B" -> "south"), dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.enrichWithLake(input.toDF(), dir, "city") { enriched =>
+      got ++= enriched.select($"city", $"region").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("?")))
+    }
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      assert(got.toSet === Set("A" -> "north"))
+      // CoW MERGE commits a region change + a new city while the stream runs
+      graft.sources.LakeIO.mergeInto(spark, dir,
+        dim("A" -> "NORTH2", "C" -> "west"), "city")
+      input.addData(WeatherRecord("A", "11.0", "2024-01-01 10:00:02"),
+        WeatherRecord("C", "12.0", "2024-01-01 10:00:03"))
+      q.processAllAvailable()
+      assert(got.toSet === Set("A" -> "north", "A" -> "NORTH2", "C" -> "west"),
+        s"post-merge batches must see the new manifest: $got")
+    } finally q.stop()
+  }
+
   test("exactly-once sink: a replayed micro-batch is a no-op, a partial attempt is cleaned") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_eo_sink").toString + "/data"
