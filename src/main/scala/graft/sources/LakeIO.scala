@@ -388,6 +388,31 @@ object LakeIO {
     path
   }
 
+  /** Versioned demo lake shared by the merge/time-travel keyed ops:
+    * snapshot 1 = the base events table, snapshot 2+ = after a CoW MERGE
+    * (doubled values for event_id%7, fresh inserts for %13 shifted by
+    * 1e6). Marker-guarded write-once, scan-many — same amortization as
+    * ensureLake; a partial build (no marker) is rebuilt from scratch.
+    */
+  def mergedLake(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v2_merge_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_merge_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      val upd = base.where($"event_id" % 7 === 0)
+        .withColumn("value", $"value" * 2)
+        .unionByName(base.where($"event_id" % 13 === 0)
+          .withColumn("event_id", $"event_id" + 1000000L))
+      mergeInto(s, path, upd, "event_id")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
     Op("scan_partitioned",
       (s, d) => {
@@ -485,24 +510,7 @@ object LakeIO {
     // pre-merge snapshot stays readable (LakeMergeSpec proves both).
     Op("lake_merge_upsert",
       (s, d) => {
-        val path = "/tmp/graft_lake/v2_merge_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
-        // write-once, scan-many (same amortization as ensureLake): the
-        // merge runs on the first invocation; later runs read the merged
-        // table. A partial build (no marker) is rebuilt from scratch.
-        val marker = new java.io.File(path, "_graft_merge_done")
-        if (!marker.exists()) {
-          rmDir(path)
-          val base = Tables.events(s, d)
-            .select($"event_id", $"ts", $"event_type", $"value")
-          writeLake(base, path)
-          val upd = base.where($"event_id" % 7 === 0)
-            .withColumn("value", $"value" * 2)
-            .unionByName(base.where($"event_id" % 13 === 0)
-              .withColumn("event_id", $"event_id" + 1000000L))
-          mergeInto(s, path, upd, "event_id")
-          java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-        }
+        val path = mergedLake(s, d)
         s.read.format("graft-lake").load(path)
           .select($"event_id", $"ts", $"event_type", $"value")
           .orderBy($"event_id")
@@ -520,6 +528,28 @@ object LakeIO {
         |SELECT b.event_id, b.ts, b.event_type, b.value FROM base b
         |WHERE b.event_id NOT IN (SELECT event_id FROM upd)
         |ORDER BY event_id""".stripMargin),
+
+    // SQL time travel through the graft V2 TableCatalog: the merged lake
+    // attaches as `<catalog>.<ns>.events` and `VERSION AS OF 1` reads the
+    // frozen PRE-merge snapshot — so the oracle is simply the base events
+    // table, proving both the catalog routing and the snapshot isolation
+    // of the copy-on-write merge. (GraftCatalogSpec covers SHOW TABLES
+    // and the head-vs-v1 contrast.)
+    Op("sql_time_travel",
+      (s, d) => {
+        val path = mergedLake(s, d)
+        val tableDir = new java.io.File(path)
+        val ns = tableDir.getParentFile.getName
+        val wh = tableDir.getParentFile.getParent
+        s.conf.set("spark.sql.catalog.graft_tt",
+          "org.apache.spark.sql.graft.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+        s.sql(s"""SELECT event_id, ts, event_type, value
+                 |FROM graft_tt.`$ns`.events VERSION AS OF 1
+                 |ORDER BY event_id""".stripMargin)
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
 
     // Snapshot-diff incremental read: write Jan 1-15 (snapshot 1), append
     // Jan 16+ (snapshot 2), read ONLY the increment from the manifest

@@ -57,7 +57,8 @@ class GraftLakeSource extends ParquetDataSourceV2 {
   }
 
   override def getTable(options: CaseInsensitiveStringMap): Table =
-    new GraftLakeTable(super.getTable(options).asInstanceOf[ParquetTable])
+    new GraftLakeTable(super.getTable(options).asInstanceOf[ParquetTable],
+      tableVersion = Option(options.get("versionAsOf")).map(_.trim.toInt))
 
   override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
     new GraftLakeTable(super.getTable(options, schema).asInstanceOf[ParquetTable],
@@ -74,7 +75,10 @@ class GraftLakeSource extends ParquetDataSourceV2 {
   * standard inference.
   */
 class GraftLakeTable(inner: ParquetTable,
-    schemaOverride: Option[StructType] = None) extends Table
+    schemaOverride: Option[StructType] = None,
+    // a catalog `VERSION AS OF` load pins the version at TABLE level —
+    // scan-time reader options (DataFrameReader .option) still override
+    tableVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   private val rootDir: Option[String] = inner.paths.headOption
@@ -97,6 +101,7 @@ class GraftLakeTable(inner: ParquetTable,
     // manifest + schema (appends never delete files, so old snapshots
     // stay readable — Iceberg snapshot semantics)
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(tableVersion)
     val (snapManifest, snapSchema) = version match {
       case Some(v) =>
         val m = rootDir.flatMap(ManifestFileIndex.read(_, Some(v)))

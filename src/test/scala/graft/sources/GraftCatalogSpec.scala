@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.spark
+
+/** The graft V2 TableCatalog: SQL-text addressing, SHOW TABLES, and
+  * `VERSION AS OF` time travel across a copy-on-write merge.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+
+  private def attach(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  }
+
+  private def seed(): Unit = {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.writeLake(base, s"$wh/default/items")
+  }
+
+  test("SQL addressing and SHOW TABLES through the catalog") {
+    attach(); seed()
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val tables = spark.sql("SHOW TABLES IN gcat.default")
+      .select($"tableName").collect().map(_.getString(0))
+    assert(tables.contains("items"))
+  }
+
+  test("SQL VERSION AS OF reads the pre-merge snapshot; head sees the merge") {
+    attach(); seed()
+    val upd = Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.mergeInto(spark, s"$wh/default/items", upd, "id")
+    val head = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(head.toSeq === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    val v1 = spark.sql(
+      "SELECT id, v FROM gcat.default.items VERSION AS OF 1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v1.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "VERSION AS OF 1 must read the frozen pre-merge manifest")
+  }
+
+  test("catalog is read-facing: DDL/DML rejects loudly") {
+    attach(); seed()
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE gcat.default.items")
+    }
+    assert(e.getMessage.toLowerCase.contains("read-facing"))
+  }
+}
