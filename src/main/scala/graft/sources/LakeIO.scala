@@ -388,6 +388,58 @@ object LakeIO {
     path
   }
 
+  /** Two-snapshot append-only demo lake shared by the CDC keyed ops:
+    * snapshot 1 = events before Jan 16, snapshot 2 = + the rest
+    * (marker-guarded write-once like [[mergedLake]]).
+    */
+  def incrLake(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v2_incr_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_incr_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val ev = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      writeLake(ev.where($"ts" < cut), path)
+      evolveAppend(ev.where($"ts" >= cut), path)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Per-hour aggregate state in MERGEABLE form — (ts_hour, n, sdec, mx)
+    * with the decimal sum carrying exact mass: what an incrementally
+    * maintained aggregate table stores so refreshes never rescan.
+    */
+  private def hourlyAggState(rows: DataFrame): DataFrame =
+    rows.groupBy($"ts_hour").agg(
+      count(lit(1)).as("n"),
+      sum(round($"value", 6).cast("decimal(18,6)")).as("sdec"),
+      max($"value").as("mx"))
+
+  /** INCREMENTAL VIEW MAINTENANCE over the lake's CDC stream: merge the
+    * prior aggregate state with the aggregate of ONLY the appended rows
+    * (`readIncrement`) — count/sum/max are mergeable, so
+    * `refresh(agg(v₁), Δ(v₁→v₂)) == agg(v₂)` exactly (the decimal-sum
+    * recipe keeps the sums order-independent, so "exactly" means
+    * hash-identical, proved by the keyed op's oracle). At 100 TB the
+    * refresh cost is the increment + the (hours-sized) state table —
+    * never the base table.
+    */
+  def refreshHourlyAgg(s: SparkSession, path: String, prior: DataFrame,
+      fromV: Int, toV: Int): DataFrame =
+    prior.unionByName(hourlyAggState(readIncrement(s, path, fromV, toV)))
+      .groupBy($"ts_hour").agg(
+        sum($"n").as("n"),
+        sum($"sdec").as("sdec"),
+        max($"mx").as("mx"))
+
+  /** The prior state for [[refreshHourlyAgg]], built from a snapshot. */
+  def hourlyAggOfSnapshot(s: SparkSession, path: String, v: Int): DataFrame =
+    hourlyAggState(hourPartitioned(
+      s.read.format("graft-lake").option("versionAsOf", v.toString).load(path)))
+
   /** Versioned demo lake shared by the merge/time-travel keyed ops:
     * snapshot 1 = the base events table, snapshot 2+ = after a CoW MERGE
     * (doubled values for event_id%7, fresh inserts for %13 shifted by
@@ -557,18 +609,7 @@ object LakeIO {
     // instead of re-scanning 100 TB.
     Op("lake_incremental_read",
       (s, d) => {
-        val path = "/tmp/graft_lake/v2_incr_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
-        val marker = new java.io.File(path, "_graft_incr_done")
-        if (!marker.exists()) {
-          rmDir(path)
-          val ev = Tables.events(s, d)
-            .select($"event_id", $"ts", $"event_type", $"value")
-          val cut = to_timestamp(lit("2024-01-16 00:00:00"))
-          writeLake(ev.where($"ts" < cut), path)
-          evolveAppend(ev.where($"ts" >= cut), path)
-          java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
-        }
+        val path = incrLake(s, d)
         readIncrement(s, path, 1, 2)
           .select($"event_id", $"ts", $"event_type", $"value")
           .orderBy($"event_id")
@@ -606,6 +647,26 @@ object LakeIO {
         |SELECT a.ts_hour, a.n_events, b.max_click_value
         |FROM a LEFT JOIN b ON a.ts_hour = b.ts_hour
         |ORDER BY a.ts_hour""".stripMargin),
+
+    // Incremental view maintenance: the hourly aggregate of snapshot 2
+    // computed WITHOUT touching snapshot-1 rows — prior state ⊎
+    // agg(manifest-diff increment), re-merged. The oracle aggregates the
+    // whole table, so a hash match proves merge(agg(v1), agg(delta))
+    // == agg(v2) bit-for-bit.
+    Op("lake_incremental_agg",
+      (s, d) => {
+        val path = incrLake(s, d)
+        val prior = hourlyAggOfSnapshot(s, path, 1)
+        refreshHourlyAgg(s, path, prior, 1, 2)
+          .select($"ts_hour", $"n",
+            $"sdec".cast("double").as("sum_value"), $"mx".as("max_value"))
+          .orderBy($"ts_hour")
+      },
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
     // S9 catalog introspection: register the testdata tables and list them
     // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).

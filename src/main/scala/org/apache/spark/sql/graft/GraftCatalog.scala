@@ -70,6 +70,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
 
+  /** SQL `TIMESTAMP AS OF t` (micros since epoch): resolves to the LAST
+    * snapshot committed at or before t — commit times are the snapshot
+    * manifests' write times, the same convention Iceberg's snapshot log
+    * records explicitly.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    val head = ManifestFileIndex.headVersion(path).getOrElse(
+      throw new RuntimeException(s"$path has no committed snapshots"))
+    val cutoffMs = timestampMicros / 1000L
+    val v = (1 to head).filter { v =>
+      val f = new java.io.File(s"$path/${ManifestFileIndex.SnapshotDir}", s"manifest-$v.tsv")
+      f.exists() && f.lastModified() <= cutoffMs
+    }.lastOption.getOrElse(throw new RuntimeException(
+      s"no snapshot of ${ident.name} committed at or before timestamp $timestampMicros"))
+    load(ident, Some(v.toString))
+  }
+
   private def load(ident: Identifier, version: Option[String]): Table = {
     import scala.jdk.CollectionConverters._
     val path = tablePath(ident)

@@ -50,6 +50,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       "VERSION AS OF 1 must read the frozen pre-merge manifest")
   }
 
+  test("SQL TIMESTAMP AS OF resolves to the last snapshot committed at or before it") {
+    attach(); seed()
+    val table = s"$wh/default/items"
+    val upd = Seq((1L, "A2")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.mergeInto(spark, table, upd, "id")
+    // pin deterministic commit times: v1 at 10:00, v2 at 11:00 UTC
+    val snapDir = s"$table/_graft_snapshots"
+    def pin(v: Int, t: String): Unit = assert(new java.io.File(snapDir, s"manifest-$v.tsv")
+      .setLastModified(java.time.Instant.parse(t).toEpochMilli))
+    pin(1, "2026-01-01T10:00:00Z"); pin(2, "2026-01-01T11:00:00Z")
+    def at(t: String) = spark.sql(
+      s"SELECT v FROM gcat.default.items TIMESTAMP AS OF '$t' WHERE id = 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(at("2026-01-01 10:30:00") === Seq("a"), "between commits → v1")
+    assert(at("2026-01-01 12:00:00") === Seq("A2"), "after both → v2")
+    val e = intercept[Exception] { at("2026-01-01 09:00:00") }
+    assert(e.getMessage.contains("no snapshot"), "before the first commit → error")
+  }
+
   test("catalog is read-facing: DDL/DML rejects loudly") {
     attach(); seed()
     val e = intercept[Exception] {
