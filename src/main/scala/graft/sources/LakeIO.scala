@@ -346,6 +346,37 @@ object LakeIO {
       hourPartitioned(s.read.parquet(added.map(e => path + "/" + e.relPath): _*))
   }
 
+  /** Row-level CHANGEFEED between two snapshots (Delta CDF-shaped): the
+    * manifest diff yields added and removed FILES; their rows, diffed
+    * with EXCEPT ALL in both directions, yield the row-level changes —
+    * `insert` rows exist after but not before, `delete` rows existed
+    * before but not after, and rows merely REWRITTEN by copy-on-write
+    * (carried unchanged into a new file of a touched partition) cancel
+    * out entirely. An update appears as its delete + its insert, exactly
+    * how a downstream keyed consumer replays it. Cost is bounded by the
+    * touched partitions' rows — never the table.
+    */
+  def readChanges(s: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    def entriesOf(v: Int) = ManifestFileIndex.read(path, Some(v))
+      .getOrElse(sys.error(s"readChanges: no snapshot $v under $path"))._2
+    val from = entriesOf(fromV).map(_.relPath).toSet
+    val to = entriesOf(toV).map(_.relPath).toSet
+    val schema = tableSchema(path)
+    def rowsOf(rel: Seq[String]): DataFrame = {
+      val rd = s.read.option("basePath", path)
+      val rd2 = schema.map(rd.schema).getOrElse(rd)
+      if (rel.isEmpty) {
+        // typed empty frame so except/union stay well-formed
+        rd2.parquet(entriesOf(toV).head +: Nil map (e => path + "/" + e.relPath): _*).limit(0)
+      } else rd2.parquet(rel.map(r => path + "/" + r): _*)
+    }
+    val added = rowsOf((to -- from).toSeq.sorted)
+    val removed = rowsOf((from -- to).toSeq.sorted)
+    added.exceptAll(removed).withColumn("change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+  }
+
   def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
     val f = new java.io.File(path, "_graft_schema.json")
     if (!f.exists()) None
@@ -647,6 +678,35 @@ object LakeIO {
         |SELECT a.ts_hour, a.n_events, b.max_click_value
         |FROM a LEFT JOIN b ON a.ts_hour = b.ts_hour
         |ORDER BY a.ts_hour""".stripMargin),
+
+    // Row-level changefeed across the CoW merge: updates replay as
+    // delete(old)+insert(new), fresh keys as inserts, and rewritten-but-
+    // unchanged rows cancel — the oracle reconstructs the same feed from
+    // the merge definition, so the hash match proves the file-diff
+    // EXCEPT-ALL algebra emits exactly the logical changes. (A no-op
+    // "update" writing identical content cancels too — content-level
+    // change semantics; the demo data has none: no %7 event has the
+    // fixed-point value 0.0.)
+    Op("lake_changefeed",
+      (s, d) => {
+        val path = mergedLake(s, d)
+        readChanges(s, path, 1, 2)
+          .select($"change", $"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"change", $"event_id")
+      },
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |upd AS (
+        |  SELECT event_id, ts, event_type, value * 2 AS value
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, ts, event_type, value
+        |  FROM base WHERE event_id % 13 = 0)
+        |SELECT 'delete' AS change, event_id, ts, event_type, value
+        |FROM base WHERE event_id % 7 = 0
+        |UNION ALL
+        |SELECT 'insert' AS change, event_id, ts, event_type, value FROM upd
+        |ORDER BY change, event_id""".stripMargin),
 
     // Incremental view maintenance: the hourly aggregate of snapshot 2
     // computed WITHOUT touching snapshot-1 rows — prior state ⊎
