@@ -102,6 +102,25 @@ object Graft {
       */
     def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit =
       LakeIO.appendExactlyOnce(path, batch, batchId)
+    /** Row-level changefeed between two snapshots: `change` ∈
+      * insert|delete; updates replay as delete(old)+insert(new).
+      */
+    def readChanges(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame =
+      LakeIO.readChanges(spark, path, fromV, toV)
+    /** Incrementally refresh per-hour aggregate state from the snapshot
+      * diff — merge(agg(v₁), agg(Δ)) == agg(v₂) exactly.
+      */
+    def refreshHourlyAgg(spark: SparkSession, path: String, prior: DataFrame,
+        fromV: Int, toV: Int): DataFrame =
+      LakeIO.refreshHourlyAgg(spark, path, prior, fromV, toV)
+    /** Attach `warehouse/<ns>/<table>` lake dirs as a SQL catalog:
+      * `SELECT … FROM <name>.<ns>.<table> [VERSION|TIMESTAMP AS OF …]`.
+      */
+    def attachCatalog(spark: SparkSession, name: String, warehouse: String): Unit = {
+      spark.conf.set(s"spark.sql.catalog.$name",
+        "org.apache.spark.sql.graft.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    }
   }
 
   object corpus {
