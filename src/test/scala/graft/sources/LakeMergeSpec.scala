@@ -144,6 +144,27 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(readLake().count() === base.count())
   }
 
+  test("changefeed across a compaction is EMPTY; across a merge it is exactly the logical changes") {
+    rm(new java.io.File(root))
+    LakeIO.writeLake(base.where($"event_id" % 2 === 0), root)
+    LakeIO.evolveAppend(base.where($"event_id" % 2 === 1), root)   // v2, fragmented
+    val preCompact = ManifestFileIndex.headVersion(root).get
+    LakeIO.compactSnapshots(spark, root)                           // v3
+    val postCompact = ManifestFileIndex.headVersion(root).get
+    // every file of a fragmented partition was rewritten, yet no ROW
+    // changed — the two-way EXCEPT ALL must cancel to nothing
+    assert(LakeIO.readChanges(spark, root, preCompact, postCompact).isEmpty,
+      "compaction is a physical rewrite but a logical no-op")
+    // a real mutation on top shows up precisely
+    val upd = base.where($"event_id" === 2L).withColumn("value", $"value" + 1000.0)
+    LakeIO.mergeInto(spark, root, upd, "event_id")                 // v4
+    val feed = LakeIO.readChanges(spark, root, postCompact, postCompact + 1)
+      .select($"change", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(feed.toSeq === Seq(("delete", 2L), ("insert", 2L)),
+      "the update must replay as delete(old)+insert(new), nothing else")
+  }
+
   test("aggregate pushdown reaches the manifest-planned V2 scan") {
     freshLake()
     val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
