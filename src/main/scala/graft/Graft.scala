@@ -113,6 +113,16 @@ object Graft {
     def refreshHourlyAgg(spark: SparkSession, path: String, prior: DataFrame,
         fromV: Int, toV: Int): DataFrame =
       LakeIO.refreshHourlyAgg(spark, path, prior, fromV, toV)
+    /** Build (or incrementally refresh) the hourly materialized view of a
+      * lake table and register it for TRANSPARENT rewrite: install
+      * [[graft.plans.MaterializedViewRewrite]] and matching base-table
+      * aggregates are answered from the hours-sized MV while it is
+      * snapshot-fresh.
+      */
+    def materializeHourly(spark: SparkSession, path: String): Unit = {
+      graft.plans.Mv.ensureHourly(spark, path)
+      graft.plans.MaterializedViewRewrite.install(spark)
+    }
     /** Attach `warehouse/<ns>/<table>` lake dirs as a SQL catalog:
       * `SELECT … FROM <name>.<ns>.<table> [VERSION|TIMESTAMP AS OF …]`.
       */

@@ -16,7 +16,7 @@ object SparkEntry {
   def allOps: Seq[Op] =
     EventOps.ops ++ Generator.ops ++ LakeIO.ops ++ Bucketed.ops ++ RelationalOps.ops ++
       TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++
-      TemporalJoins.ops ++ CorpusOps.ops ++ CurationOps.ops
+      TemporalJoins.ops ++ CorpusOps.ops ++ CurationOps.ops ++ graft.plans.Mv.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Batch form of the reference's one real query — 5 s tumbling window ×

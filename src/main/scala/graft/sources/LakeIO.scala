@@ -439,15 +439,18 @@ object LakeIO {
     path
   }
 
-  /** Per-hour aggregate state in MERGEABLE form — (ts_hour, n, sdec, mx)
-    * with the decimal sum carrying exact mass: what an incrementally
-    * maintained aggregate table stores so refreshes never rescan.
+  /** Per-hour aggregate state in MERGEABLE form — (ts_hour, n, sdec, mx,
+    * mn) with the decimal sum carrying exact mass: what an incrementally
+    * maintained aggregate table stores so refreshes never rescan. Shared
+    * with the materialized-view layer (graft.plans.Mv), whose rewrite
+    * rule answers count/sum/max/min aggregates from exactly this state.
     */
-  private def hourlyAggState(rows: DataFrame): DataFrame =
+  private[graft] def hourlyAggState(rows: DataFrame): DataFrame =
     rows.groupBy($"ts_hour").agg(
       count(lit(1)).as("n"),
       sum(round($"value", 6).cast("decimal(18,6)")).as("sdec"),
-      max($"value").as("mx"))
+      max($"value").as("mx"),
+      min($"value").as("mn"))
 
   /** INCREMENTAL VIEW MAINTENANCE over the lake's CDC stream: merge the
     * prior aggregate state with the aggregate of ONLY the appended rows
@@ -464,7 +467,8 @@ object LakeIO {
       .groupBy($"ts_hour").agg(
         sum($"n").as("n"),
         sum($"sdec").as("sdec"),
-        max($"mx").as("mx"))
+        max($"mx").as("mx"),
+        min($"mn").as("mn"))
 
   /** The prior state for [[refreshHourlyAgg]], built from a snapshot. */
   def hourlyAggOfSnapshot(s: SparkSession, path: String, v: Int): DataFrame =

@@ -82,6 +82,10 @@ class GraftLakeTable(inner: ParquetTable,
     with SupportsRead with SupportsWrite {
 
   private val rootDir: Option[String] = inner.paths.headOption
+  /** Table root on disk — the identity the MV-rewrite rule keys on. */
+  def lakeRoot: Option[String] = rootDir
+  /** Catalog-level `VERSION AS OF` pin, if any (MV rewrite must skip). */
+  def pinnedTableVersion: Option[Int] = tableVersion
   private lazy val manifest = rootDir.flatMap(ManifestFileIndex.read(_))
   private lazy val metaSchema =
     schemaOverride.orElse(rootDir.flatMap(graft.sources.LakeIO.tableSchema))
@@ -113,7 +117,7 @@ class GraftLakeTable(inner: ParquetTable,
       case (Some((partCol, entries)), Some(full)) =>
         val idx = new ManifestFileIndex(inner.sparkSession,
           new org.apache.hadoop.fs.Path(rootDir.get), entries, partCol,
-          Some(full))
+          Some(full), pinnedVersion = version)
         val dataSchema = StructType(full.fields.filterNot(_.name == partCol))
         new GraftLakeScanBuilder(ParquetScanBuilder(
           inner.sparkSession, idx, full, dataSchema, options))

@@ -34,7 +34,12 @@ class ManifestFileIndex(
     root: Path,
     entries: Seq[ManifestFileIndex.Entry],
     partCol: String,
-    userSpecifiedSchema: Option[StructType])
+    userSpecifiedSchema: Option[StructType],
+    /** Set when the scan is pinned to a `versionAsOf` snapshot — a
+      * time-travel read must never be answered from a HEAD-fresh
+      * materialized view, so the MV rewrite checks this tag.
+      */
+    val pinnedVersion: Option[Int] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, userSpecifiedSchema) {
 
   private val statusByDir: Map[Path, Array[FileStatus]] =
