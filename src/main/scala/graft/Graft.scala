@@ -151,6 +151,11 @@ object Graft {
     /** Mergeable KMV distinct-count sketch aggregate. */
     def kmvDistinct(c: Column, k: Int = 1024): Column =
       graft.functions.KmvSketch.kmvDistinct(c, k)
+    /** Token-window chunking (window tokens per chunk, stride apart) of a
+      * (doc_id, text) table — map-only, no shuffle.
+      */
+    def chunkTokens(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+      CorpusOps.chunkTokens(docs, window, stride)
   }
 
   object dedup {
@@ -187,6 +192,13 @@ object Graft {
       Similarity.cosineDedup(embeddings, threshold, 4)
     /** Codegen'd dot product over two array<double> columns. */
     def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+    /** Per-vector absmax int8 quantization (integer-valued doubles). */
+    def quantizeInt8(embedding: Column): Column = Similarity.quantizeInt8(embedding)
+    /** Exact top-k under the quantized metric — the 4×-smaller search
+      * tier; rank agreement with the float metric is spec-measured.
+      */
+    def quantizedTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+      Similarity.quantizedTopK(embeddings, numQueries, k)
     /** Distributed spherical k-means (deterministic at any parallelism):
       * (vec_id, embedding) → per-dimension centroid rows — the IVF
       * training step.

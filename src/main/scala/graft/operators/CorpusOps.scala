@@ -115,7 +115,52 @@ object CorpusOps {
   private val stops = TextOps.Stopwords
   private def stopList = stops.map("'" + _ + "'").mkString(",")
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * prep step between curation and tokenization: each document becomes
+    * `ceil(n/stride)` windows of up to `window` tokens, consecutive
+    * windows sharing `window - stride` tokens so no training example
+    * loses cross-boundary context. Map-only (split + one generate per
+    * document, no shuffle, no UDF) — at 100 TB this runs at scan
+    * throughput and the output partitioning inherits the input's.
+    */
+  def chunkTokens(df: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val t = split(lower($"text"), " ")
+    // 1 + ceil((n - window)/stride): one window, plus one per stride of
+    // tokens past the first window — never a trailing chunk fully
+    // contained in its predecessor (ceil(n/stride) would emit one
+    // whenever stride ∤ n). greatest(0, ·) clamps docs shorter than the
+    // window to a single chunk; n >= 1 always (split of "" is [""])
+    val nChunks = (lit(1) + greatest(lit(0),
+      ((size($"t") - window + (stride - 1)) / stride).cast("int"))).cast("int")
+    df.select($"doc_id", t.as("t"))
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), nChunks - 1), i => struct(
+          array_join(slice($"t", i * stride + 1, lit(window)), " ").as("chunk"),
+          least(lit(window), size($"t") - i * stride).cast("long").as("n_tokens")))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+        $"col.n_tokens".as("n_tokens"), $"col.chunk".as("chunk"))
+  }
+
   def ops: Seq[Op] = Seq(
+
+    // Token-window chunking: window 64, stride 48 (16-token overlap).
+    // The oracle re-derives every window by list slicing, so the hash
+    // match proves boundary arithmetic (clamped final windows included)
+    // token-for-token.
+    Op("chunk_tokens",
+      (s, d) => chunkTokens(docs(s, d)).orderBy($"doc_id", $"chunk_id"),
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         1 + greatest(0, CAST(ceil((len(t) - 64) / 48.0) AS BIGINT)) AS nc
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, t, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(least(64, len(t) - i * 48) AS BIGINT) AS n_tokens,
+        |       array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
 
     // Incremental dedup: batch = doc_id % 5 == 0 arriving against the
     // corpus of the rest. Exact result (oracle NOT EXISTS) through the

@@ -287,6 +287,43 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Int8 scalar quantization, per-vector absmax scale: `q_i =
+    * round(x_i / (absmax/127))` ∈ [-127, 127] — the 4× memory/bandwidth
+    * shrink production vector search applies before indexing. Kept as
+    * integer-VALUED doubles so [[dot]] applies unchanged; integer
+    * products (≤127²·dim < 2⁵³) accumulate EXACTLY in double, so the
+    * quantized cosine has no float-order drift and is bit-reproducible
+    * on any engine. `floor(x+0.5)` is round-half-up — portable, unlike
+    * banker's rounding. The 1e-30 floor only guards the all-zero vector.
+    */
+  def quantizeInt8(e: Column): Column = {
+    val scale = greatest(array_max(transform(e, x => abs(x))), lit(1e-30)) / 127.0
+    // Spark's floor(double) yields BIGINT; cast back so the codegen'd
+    // VectorDot kernel (array<double>) applies unchanged
+    transform(e, x => floor(x / scale + 0.5).cast("double"))
+  }
+
+  /** Exact top-k under the QUANTIZED metric for each query vector: the
+    * brute-force shape (queries broadcast, candidates never shuffled)
+    * over int8 codes — what a 100 TB search tier actually ranks with
+    * before optional float re-scoring of the shortlist.
+    */
+  def quantizedTopK(embDf: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val v = embDf.select($"vec_id", quantizeInt8(asDouble($"embedding")).as("q"))
+      .withColumn("nrm", sqrt(dot($"q", $"q")))
+    val q = broadcast(v.where($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), $"q".as("qe"), $"nrm".as("qn")))
+    import org.apache.spark.sql.expressions.Window
+    q.join(v, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(dot($"qe", $"q") / ($"qn" * $"nrm"), 6).as("qcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"qcos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .select($"q_id", $"vec_id", $"qcos", $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+
   private val sqlDot =
     "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
 
@@ -305,6 +342,32 @@ object Similarity {
          |  FROM q JOIN v ON vec_id != q_id)
          |SELECT q_id, vec_id, cos, rn FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM p)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+
+    // Quantized search is oracle-EXACT (unlike the float ANN variants):
+    // the int8 codes and their integer dot products re-derive identically
+    // in any engine, so the hash match proves the whole quantize→rank
+    // pipeline, not just row counts.
+    Op("similarity_quantized",
+      (s, d) => quantizedTopK(emb(s, d), numQueries = 5, k = 10),
+      s"""WITH v0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, e,
+         |         greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS s
+         |  FROM v0),
+         |v AS (
+         |  SELECT vec_id, list_transform(e, x -> floor(x / s + 0.5)) AS q FROM sc),
+         |n AS (SELECT vec_id, q, sqrt(${sqlDot.format("q", "q")}) AS nrm FROM v),
+         |qs AS (SELECT vec_id AS q_id, q AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q_id, vec_id,
+         |         round(${sqlDot.format("qe", "q")} / (qn * nrm), 6) AS qcos
+         |  FROM qs JOIN n ON vec_id != q_id)
+         |SELECT q_id, vec_id, qcos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id) AS BIGINT) AS rn
          |  FROM p)
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
 

@@ -253,9 +253,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, s"m$v-${f.getName}")
             java.nio.file.Files.move(f.toPath, dest.toPath)
+            val (ls, ss) = ManifestFileIndex.footerStats(dest)
             newEntries += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ManifestFileIndex.footerStats(dest))
+              ls, ss)
           }
       }
     def rm(f: java.io.File): Unit = {
@@ -316,9 +317,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, prefix + f.getName)
             java.nio.file.Files.move(f.toPath, dest.toPath)
+            val (ls, ss) = ManifestFileIndex.footerStats(dest)
             newEntries += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ManifestFileIndex.footerStats(dest))
+              ls, ss)
           }
       }
     rmDir(stage)
@@ -373,8 +375,18 @@ object LakeIO {
     }
     val added = rowsOf((to -- from).toSeq.sorted)
     val removed = rowsOf((from -- to).toSeq.sorted)
-    added.exceptAll(removed).withColumn("change", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+    // Both EXCEPT ALL directions in ONE shuffle: tag rows ±1 by side,
+    // net the multiplicities per distinct row, then re-expand — sign is
+    // the change kind, |net| the bag count. Two exceptAll calls would
+    // each pay their own aggregate+join over the same touched rows.
+    val cols = added.columns.map(col)
+    added.withColumn("__w", lit(1L))
+      .unionByName(removed.withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum($"__w").as("__net"))
+      .where($"__net" =!= 0L)
+      .withColumn("change", when($"__net" > 0L, "insert").otherwise("delete"))
+      .withColumn("__i", explode(sequence(lit(1L), abs($"__net"))))
+      .drop("__net", "__i")
   }
 
   def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
@@ -402,11 +414,12 @@ object LakeIO {
     rm(new java.io.File(path))
   }
 
-  /** v3 = v2 (ts_hour layout + commit metadata) + per-file INT64 column
-    * stats in the manifest; bump on layout change to invalidate.
+  /** v4 = v3 (ts_hour layout + commit metadata + INT64 column stats) +
+    * per-file UTF8 string bounds in the manifest; bump on layout change
+    * to invalidate.
     */
   def lakePath(sfDir: String): String =
-    "/tmp/graft_lake/v3_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    "/tmp/graft_lake/v4_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
 
   /** Write once, scan many: skip the write when the committed marker is
     * already present (a lake table is immutable-once-committed; rebuilding

@@ -55,11 +55,16 @@ class ManifestFileIndex(
     entries.filter(_.stats.nonEmpty)
       .map(e => new Path(root, e.relPath).toString -> e.stats).toMap
 
+  private val strStatsByPath: Map[String, Map[String, (String, String)]] =
+    entries.filter(_.strStats.nonEmpty)
+      .map(e => new Path(root, e.relPath).toString -> e.strStats).toMap
+
   /** File-level min/max skipping (Iceberg column metrics): the commit
-    * recorded per-file INT64 bounds in the manifest, so a pushed data
-    * filter can eliminate whole FILES at planning — no task launched, no
-    * footer read. Conservative: only `=`/`<`/`<=`/`>`/`>=` conjuncts on a
-    * long column with recorded stats ever drop a file.
+    * recorded per-file INT64 and UTF8 bounds in the manifest, so a pushed
+    * data filter can eliminate whole FILES at planning — no task launched,
+    * no footer read. Conservative: only `=`/`<`/`<=`/`>`/`>=` conjuncts on
+    * a long or string column with recorded stats ever drop a file; string
+    * comparisons are unsigned-byte lexicographic, the parquet UTF8 order.
     */
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -67,10 +72,12 @@ class ManifestFileIndex(
     : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
     val bounds = ManifestFileIndex.requiredBounds(dataFilters)
-    if (bounds.isEmpty || statsByPath.isEmpty) dirs
+    val strBounds = ManifestFileIndex.requiredStrBounds(dataFilters)
+    if ((bounds.isEmpty || statsByPath.isEmpty) &&
+        (strBounds.isEmpty || strStatsByPath.isEmpty)) dirs
     else dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        statsByPath.get(f.getPath.toString) match {
+        val longOk = statsByPath.get(f.getPath.toString) match {
           case Some(stats) => bounds.forall { case (col, (lo, hi)) =>
             stats.get(col) match {
               case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -79,6 +86,18 @@ class ManifestFileIndex(
           }
           case None => true
         }
+        val strOk = strStatsByPath.get(f.getPath.toString) match {
+          case Some(stats) => strBounds.forall { case (col, (lo, hi)) =>
+            stats.get(col) match {
+              case Some((mn, mx)) =>
+                lo.forall(l => ManifestFileIndex.hexCompare(mx, l) >= 0) &&
+                hi.forall(h => ManifestFileIndex.hexCompare(mn, h) <= 0)
+              case None => true
+            }
+          }
+          case None => true
+        }
+        longOk && strOk
       })
     }.filter(_.files.nonEmpty)
   }
@@ -112,10 +131,12 @@ object ManifestFileIndex {
   /** One live data file. `stats` holds per-column INT64 (min, max) bounds
     * captured from the parquet footer at COMMIT time — the Iceberg
     * column-metrics idea: readers skip files at planning with zero
-    * footer I/O.
+    * footer I/O. `strStats` are the UTF8 (BINARY/STRING) bounds,
+    * hex-encoded so arbitrary bytes survive the TSV manifest.
     */
   final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   val ManifestName = "_graft_manifest.tsv"
   val SnapshotDir = "_graft_snapshots"
@@ -143,33 +164,99 @@ object ManifestFileIndex {
       case Literal(v: Long, LongType) => Some(v)
       case _ => None
     }
+    // each comparison handles BOTH operand orders: an unguarded
+    // attr-on-left case would swallow literal-on-left conjuncts (the
+    // pattern matches any operands) and silently drop their bounds
     filters.foreach {
-      case EqualTo(a, l) => for (n <- attrName(a); v <- longLit(l)) add(n, v, v)
-      case EqualTo(l, a) => for (n <- attrName(a); v <- longLit(l)) add(n, v, v)
-      case GreaterThan(a, l) => for (n <- attrName(a); v <- longLit(l))
-        add(n, if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
-      case GreaterThanOrEqual(a, l) => for (n <- attrName(a); v <- longLit(l))
-        add(n, v, Long.MaxValue)
-      case LessThan(a, l) => for (n <- attrName(a); v <- longLit(l))
-        add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
-      case LessThanOrEqual(a, l) => for (n <- attrName(a); v <- longLit(l))
-        add(n, Long.MinValue, v)
-      case GreaterThan(l, a) if longLit(l).isDefined =>
-        for (n <- attrName(a); v <- longLit(l))
-          add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
-      case LessThan(l, a) if longLit(l).isDefined =>
-        for (n <- attrName(a); v <- longLit(l))
+      case EqualTo(x, y) =>
+        for (n <- attrName(x); v <- longLit(y)) add(n, v, v)
+        for (n <- attrName(y); v <- longLit(x)) add(n, v, v)
+      case GreaterThan(x, y) =>
+        for (n <- attrName(x); v <- longLit(y))
           add(n, if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
+        for (n <- attrName(y); v <- longLit(x))
+          add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
+      case GreaterThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- longLit(y)) add(n, v, Long.MaxValue)
+        for (n <- attrName(y); v <- longLit(x)) add(n, Long.MinValue, v)
+      case LessThan(x, y) =>
+        for (n <- attrName(x); v <- longLit(y))
+          add(n, Long.MinValue, if (v == Long.MinValue) v else v - 1)
+        for (n <- attrName(y); v <- longLit(x))
+          add(n, if (v == Long.MaxValue) v else v + 1, Long.MaxValue)
+      case LessThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- longLit(y)) add(n, Long.MinValue, v)
+        for (n <- attrName(y); v <- longLit(x)) add(n, v, Long.MaxValue)
       case _ => ()
     }
     acc.toMap
   }
 
-  /** INT64 column (min, max) from a parquet file's footer, aggregated
-    * across row groups. Called once per file at commit by the single
-    * writer — never at read time.
+  def hexEncode(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02x").mkString
+
+  /** Unsigned-byte lexicographic compare of two hex-encoded values — the
+    * parquet UTF8 sort order. Hex preserves that order character-wise
+    * (fixed-width, lowercase), so plain string compare is exact.
     */
-  def footerStats(file: java.io.File): Map[String, (Long, Long)] = {
+  def hexCompare(a: String, b: String): Int = a.compareTo(b)
+
+  /** Per-column closed byte-string bounds implied by pushed data filters
+    * on STRING columns: (lowerHex, upperHex), either side open (None).
+    * Strict `<`/`>` are widened to their non-strict bound — strings have
+    * no predecessor/successor literal, so the check stays conservative
+    * (a boundary-equal file survives; never a false drop).
+    */
+  def requiredStrBounds(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    val acc = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    def add(col: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (clo, chi) = acc.getOrElse(col, (None, None))
+      val nlo = (clo ++ lo).reduceOption((a, b) => if (hexCompare(a, b) >= 0) a else b)
+      val nhi = (chi ++ hi).reduceOption((a, b) => if (hexCompare(a, b) <= 0) a else b)
+      acc(col) = (nlo, nhi)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute if a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) if v != null =>
+        Some(hexEncode(v.getBytes))
+      case _ => None
+    }
+    // both operand orders per comparison (see requiredBounds)
+    filters.foreach {
+      case EqualTo(x, y) =>
+        for (n <- attrName(x); v <- strLit(y)) add(n, Some(v), Some(v))
+        for (n <- attrName(y); v <- strLit(x)) add(n, Some(v), Some(v))
+      case GreaterThan(x, y) =>
+        for (n <- attrName(x); v <- strLit(y)) add(n, Some(v), None)
+        for (n <- attrName(y); v <- strLit(x)) add(n, None, Some(v))
+      case GreaterThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- strLit(y)) add(n, Some(v), None)
+        for (n <- attrName(y); v <- strLit(x)) add(n, None, Some(v))
+      case LessThan(x, y) =>
+        for (n <- attrName(x); v <- strLit(y)) add(n, None, Some(v))
+        for (n <- attrName(y); v <- strLit(x)) add(n, Some(v), None)
+      case LessThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- strLit(y)) add(n, None, Some(v))
+        for (n <- attrName(y); v <- strLit(x)) add(n, Some(v), None)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  /** INT64 and UTF8 column (min, max) from a parquet file's footer,
+    * aggregated across row groups. Called once per file at commit by the
+    * single writer — never at read time. Parquet's own binary-stats
+    * truncation (if any) keeps bounds valid: a truncated min is a prefix
+    * (≤ every value), a truncated max has its last byte incremented.
+    */
+  def footerStats(file: java.io.File)
+    : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     try {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -178,6 +265,7 @@ object ManifestFileIndex {
           new org.apache.hadoop.conf.Configuration()))
       try {
         val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
         for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
           val tpe = c.getPrimitiveType
           val st = c.getStatistics
@@ -194,10 +282,28 @@ object ManifestFileIndex {
             val (cmn, cmx) = acc.getOrElse(name, (Long.MaxValue, Long.MinValue))
             acc(name) = (math.min(cmn, mn), math.max(cmx, mx))
           }
+          // BINARY annotated as UTF8 string: bounds kept as hex bytes
+          if (tpe.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+              tpe.getLogicalTypeAnnotation ==
+                org.apache.parquet.schema.LogicalTypeAnnotation.stringType() &&
+              c.getPath.size() == 1 && st != null && st.hasNonNullValue) {
+            val name = c.getPath.iterator().next()
+            val mn = hexEncode(
+              st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            val mx = hexEncode(
+              st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            sacc(name) = sacc.get(name) match {
+              case Some((cmn, cmx)) =>
+                (if (hexCompare(mn, cmn) < 0) mn else cmn,
+                 if (hexCompare(mx, cmx) > 0) mx else cmx)
+              case None => (mn, mx)
+            }
+          }
         }
-        acc.toMap
+        (acc.toMap, sacc.toMap)
       } finally rd.close()
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
   }
 
   /** Read the manifest if present: (partition column, entries).
@@ -223,14 +329,17 @@ object ManifestFileIndex {
           while (it.hasNext) {
             val parts = it.next().split('\t')
             if (parts.length >= 4) {
-              val stats = parts.drop(4).flatMap { f =>
-                f.split(':') match {
-                  case Array(col, mn, mx) =>
-                    scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
-                  case _ => None
-                }
+              val fields = parts.drop(4).map(_.split(':'))
+              val stats = fields.flatMap {
+                case Array(col, mn, mx) =>
+                  scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
+                case _ => None
               }.toMap
-              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong, stats)
+              val strStats = fields.collect {
+                case Array(col, "s", mn, mx) => (col, (mn, mx))
+              }.toMap
+              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
+                stats, strStats)
             }
           }
           Some((partCol, buf.result()))
@@ -256,8 +365,9 @@ object ManifestFileIndex {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { f =>
+          val (ls, ss) = footerStats(f)
           buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified(),
-            footerStats(f))
+            ls, ss)
         }
     }
     commitEntries(rootDir, partCol, buf.result())
@@ -276,6 +386,9 @@ object ManifestFileIndex {
         .append('\t').append(e.size).append('\t').append(e.mtime)
       e.stats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
         sb.append('\t').append(col).append(':').append(mn).append(':').append(mx)
+      }
+      e.strStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+        sb.append('\t').append(col).append(":s:").append(mn).append(':').append(mx)
       }
       sb.append('\n')
     }

@@ -97,4 +97,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"curate pipeline must stay one-shuffle-ish, saw $shuffles")
     out.unpersist()
   }
+
+  test("chunkTokens: boundary arithmetic, overlap, and lossless coverage") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(5)),    // shorter than window → one clamped chunk
+      (2L, doc(64)),   // exactly one window — NO redundant tail chunk
+      (3L, doc(96)),   // 2 chunks, second clamped to 48
+      (4L, doc(150))   // 1 + ceil((150-64)/48) = 3 chunks
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTokens(docs, window = 64, stride = 48)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(byDoc(1L).map(_.getLong(2)).toSeq === Seq(5L))
+    assert(byDoc(2L).map(_.getLong(2)).toSeq === Seq(64L))
+    assert(byDoc(3L).map(_.getLong(2)).toSeq === Seq(64L, 48L))
+    assert(byDoc(4L).map(_.getLong(2)).toSeq === Seq(64L, 64L, 54L))
+    // consecutive chunks share exactly window - stride = 16 tokens
+    val c4 = byDoc(4L).map(_.getString(3).split(" ").toSeq)
+    assert(c4(0).takeRight(16) === c4(1).take(16), "overlap carries context")
+    // dropping each chunk's first 16 overlap tokens (after chunk 0)
+    // reconstructs the full token stream exactly — nothing lost, nothing
+    // duplicated
+    val rebuilt = c4.head ++ c4.tail.flatMap(_.drop(16))
+    assert(rebuilt === doc(150).split(" ").toSeq)
+  }
 }

@@ -118,4 +118,30 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = Similarity.bruteForceTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "query vectors must be broadcast")
   }
+
+  test("int8 quantization: codes in [-127,127], integers, absmax hits ±127") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.select($"vec_id",
+      Similarity.quantizeInt8(transform($"embedding", x => x.cast("double"))).as("q"))
+    val bad = q.where(exists($"q",
+      c => abs(c) > 127.0 || c =!= floor(c))).count()
+    assert(bad === 0, "every code must be an integer in [-127, 127]")
+    // per-vector absmax maps to exactly ±127 (scale calibration)
+    val noPeak = q.where(array_max(transform($"q", c => abs(c))) =!= 127.0).count()
+    assert(noPeak === 0, "the absmax element must quantize to ±127")
+  }
+
+  test("quantized top-10 agrees with the float metric (recall >= 0.8)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(emb, numQueries = 5, k = 10))
+    val quant = sets(Similarity.quantizedTopK(emb, numQueries = 5, k = 10))
+    val recalls = exact.map { case (qid, t) =>
+      quant.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean quantized recall@10 = $mean")
+  }
 }

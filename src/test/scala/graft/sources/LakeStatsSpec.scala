@@ -61,4 +61,53 @@ class LakeStatsSpec extends AnyFunSuite {
     val n = lake.where($"event_id" <= 50L).count()
     assert(n === Tables.events(spark, sf).where($"event_id" <= 50L).count())
   }
+
+  test("commit records UTF8 stats per file in the manifest") {
+    val (_, entries) = ManifestFileIndex.read(path).get
+    assert(entries.forall(_.strStats.contains("event_type")),
+      "every committed file must carry event_type bounds")
+    entries.foreach { e =>
+      val (mn, mx) = e.strStats("event_type")
+      assert(ManifestFileIndex.hexCompare(mn, mx) <= 0)
+    }
+  }
+
+  test("requiredStrBounds extracts bounds on string columns; strict is widened") {
+    val s = AttributeReference("cat", org.apache.spark.sql.types.StringType)()
+    val hex = (v: String) => ManifestFileIndex.hexEncode(v.getBytes("UTF-8"))
+    val eq = ManifestFileIndex.requiredStrBounds(
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        s, Literal(org.apache.spark.unsafe.types.UTF8String.fromString("b"),
+          org.apache.spark.sql.types.StringType))))
+    assert(eq === Map("cat" -> (Some(hex("b")), Some(hex("b")))))
+    val gt = ManifestFileIndex.requiredStrBounds(Seq(GreaterThan(s,
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString("m"),
+        org.apache.spark.sql.types.StringType))))
+    assert(gt === Map("cat" -> (Some(hex("m")), None)),
+      "strict > keeps the conservative closed lower bound")
+    // long columns never land in the string map
+    val id = AttributeReference("event_id", LongType)()
+    assert(ManifestFileIndex.requiredStrBounds(
+      Seq(GreaterThan(id, Literal(10L)))).isEmpty)
+  }
+
+  test("a pushed string equality plans fewer files via UTF8 bounds") {
+    // per-hour-distinct category → every file has a tight string range
+    val catLake = s"/tmp/graft_lake_test/strstats_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val df = spark.range(4000).select(
+      $"id".as("event_id"),
+      expr("timestampadd(HOUR, CAST(id / 1000 AS INT), timestamp'2024-03-01 00:00:00')")
+        .as("ts"),
+      element_at(array(lit("alpha"), lit("beta"), lit("gamma"), lit("delta")),
+        ($"id" / 1000).cast("int") + 1).as("category"),
+      ($"id" % 97).cast("double").as("value"))
+    LakeIO.writeLake(df, catLake)
+    def lake = spark.read.format("graft-lake").load(catLake)
+    val all = plannedFiles(lake.select($"event_id", $"category"))
+    val one = plannedFiles(
+      lake.where($"category" === "beta").select($"event_id", $"category"))
+    assert(all >= 4, s"expected >=4 files, got $all")
+    assert(one < all, s"expected string-stats skipping: $one < $all")
+    assert(lake.where($"category" === "beta").count() === 1000L)
+  }
 }
