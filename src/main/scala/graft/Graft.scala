@@ -96,6 +96,13 @@ object Graft {
       */
     def compact(spark: SparkSession, path: String): Unit =
       LakeIO.compactSnapshots(spark, path)
+    /** Snapshot-safe OPTIMIZE ZORDER: rewrite partitions clustered on the
+      * Morton curve of two columns so per-file manifest bounds tighten and
+      * predicates on either column skip whole files at planning.
+      */
+    def optimizeZOrder(spark: SparkSession, path: String, colA: String, colB: String,
+        filesPerPartition: Int = 4): Unit =
+      LakeIO.optimizeZOrder(spark, path, colA, colB, filesPerPartition)
     /** Idempotent streaming append: replaying the same `batchId` (the
       * foreachBatch at-least-once contract) is a no-op — the commit
       * manifest is the ledger. `batch` must carry `ts_hour`.

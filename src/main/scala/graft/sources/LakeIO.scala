@@ -153,6 +153,42 @@ object LakeIO {
     * `expireSnapshots` vacuums them. Unlike [[compact]] (directory swap,
     * for manifest-less V1 lakes), this preserves time travel.
     */
+  /** Snapshot-safe OPTIMIZE ZORDER (Delta/Iceberg `OPTIMIZE ... ZORDER BY`
+    * parity): rewrite every partition's rows clustered on the Morton curve
+    * of (colA, colB) into ~`filesPerPartition` files per partition, through
+    * the same copy-on-write tail as merge/delete — old files stay readable
+    * via earlier snapshots, and the changefeed across the optimize is
+    * EMPTY (physical rewrite, logical no-op; spec-proved).
+    *
+    * The point is DATA SKIPPING: each output file covers a contiguous
+    * z-range, i.e. a small bounding box in BOTH dimensions, and the commit
+    * records those tightened per-file min/max bounds in the manifest — so
+    * a pushed predicate on either z-ordered column drops whole files at
+    * planning. Partition pruning handles time; this handles the other
+    * dimensions inside each partition. At 100 TB the rewrite is one range
+    * shuffle (the same cost as any global sort) run as maintenance, not
+    * per query.
+    */
+  def optimizeZOrder(s: SparkSession, path: String, colA: String, colB: String,
+      filesPerPartition: Int = 4): Unit = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val cur = ManifestFileIndex.read(path)
+    require(cur.isDefined, s"optimizeZOrder: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    if (entries.isEmpty) return
+    // basePath recovers the partition column from directory names
+    val rows = s.read.option("basePath", path)
+      .parquet(entries.map(e => path + "/" + e.relPath): _*)
+    val nParts = entries.map(_.partValue).distinct.size
+    writeCow(s, path, partCol, rows, Seq.empty, cluster = df =>
+      ZOrder.withZValue(df, colA, colB)
+        // contiguous (partition, z) ranges per task → each file is a
+        // small bounding box in both z dimensions
+        .repartitionByRange(nParts * filesPerPartition, col(partCol), col("zval"))
+        .sortWithinPartitions(col(partCol), col("zval"))
+        .drop("zval"))
+  }
+
   def compactSnapshots(s: SparkSession, path: String): Unit = {
     val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
     require(cur.isDefined, s"compactSnapshots: $path has no committed manifest")
@@ -226,16 +262,21 @@ object LakeIO {
 
   /** Shared copy-on-write tail: stage the rewritten partitions, move the
     * staged files into the live directories under a version-unique name,
-    * and commit untouched + new entries as the next snapshot.
+    * and commit untouched + new entries as the next snapshot. `cluster`
+    * shapes the write (default: one file per partition); an OPTIMIZE
+    * caller substitutes its own clustering (e.g. z-order ranges).
     */
   private def writeCow(s: SparkSession, path: String, partCol: String,
       rewritten: DataFrame,
-      untouched: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry]): Unit = {
+      untouched: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry],
+      cluster: DataFrame => DataFrame = null): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val v = ManifestFileIndex.headVersion(path).getOrElse(0) + 1
     val stage = path + s"_stage_v$v"
-    rewritten
-      .repartition(col(partCol))
+    val clusterFn =
+      if (cluster != null) cluster
+      else (df: DataFrame) => df.repartition(col(partCol))
+    clusterFn(rewritten)
       .write.mode("overwrite").partitionBy(partCol)
       .option("compression", "zstd").parquet(stage)
     val stageDir = new java.io.File(stage)

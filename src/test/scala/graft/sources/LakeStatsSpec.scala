@@ -110,4 +110,32 @@ class LakeStatsSpec extends AnyFunSuite {
     assert(one < all, s"expected string-stats skipping: $one < $all")
     assert(lake.where($"category" === "beta").count() === 1000L)
   }
+
+  test("OPTIMIZE ZORDER tightens per-file bounds: a user_id probe plans fewer files") {
+    val zLake = s"/tmp/graft_lake_test/zopt_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // 2 hour partitions, user_id uniform WITHIN each hour → pre-optimize,
+    // every hour's single file spans the whole user_id domain and a
+    // user_id probe can skip nothing
+    val df = spark.range(8192).select(
+      $"id".as("event_id"),
+      expr("timestampadd(HOUR, CAST(id / 4096 AS INT), timestamp'2024-04-01 00:00:00')")
+        .as("ts"),
+      ($"id" % 4096).as("user_id"),
+      ($"id" % 89).cast("double").as("value"))
+    LakeIO.writeLake(df, zLake)
+    def lake = spark.read.format("graft-lake").load(zLake)
+    val allBefore = plannedFiles(lake.select($"event_id", $"user_id"))
+    val probeBefore = plannedFiles(
+      lake.where($"user_id" < 1000L).select($"event_id", $"user_id"))
+    assert(probeBefore === allBefore, "pre-optimize, no file can be skipped")
+    LakeIO.optimizeZOrder(spark, zLake, "user_id", "value", filesPerPartition = 4)
+    val allAfter = plannedFiles(lake.select($"event_id", $"user_id"))
+    val probeAfter = plannedFiles(
+      lake.where($"user_id" < 1000L).select($"event_id", $"user_id"))
+    assert(allAfter > allBefore, "optimize splits partitions into multiple z-files")
+    assert(probeAfter < allAfter, s"z-order skipping: $probeAfter < $allAfter")
+    // physical rewrite, logical no-op: rows identical, changefeed empty
+    assert(lake.where($"user_id" < 1000L).count() === 2000L)
+    assert(LakeIO.readChanges(spark, zLake, 1, 2).isEmpty)
+  }
 }
