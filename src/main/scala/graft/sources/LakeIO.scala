@@ -145,14 +145,6 @@ object LakeIO {
       case None         => s.read.parquet(path)
     }
 
-  /** Snapshot-safe compaction: partitions fragmented into multiple files
-    * (the 10 s-cadence streaming sink's signature) are rewritten as new
-    * single files through the same copy-on-write tail as merge/delete —
-    * single-file partitions carry their entries over untouched, old
-    * fragments stay on disk for earlier snapshots until
-    * `expireSnapshots` vacuums them. Unlike [[compact]] (directory swap,
-    * for manifest-less V1 lakes), this preserves time travel.
-    */
   /** Snapshot-safe OPTIMIZE ZORDER (Delta/Iceberg `OPTIMIZE ... ZORDER BY`
     * parity): rewrite every partition's rows clustered on the Morton curve
     * of (colA, colB) into ~`filesPerPartition` files per partition, through
@@ -189,6 +181,14 @@ object LakeIO {
         .drop("zval"))
   }
 
+  /** Snapshot-safe compaction: partitions fragmented into multiple files
+    * (the 10 s-cadence streaming sink's signature) are rewritten as new
+    * single files through the same copy-on-write tail as merge/delete —
+    * single-file partitions carry their entries over untouched, old
+    * fragments stay on disk for earlier snapshots until
+    * `expireSnapshots` vacuums them. Unlike [[compact]] (directory swap,
+    * for manifest-less V1 lakes), this preserves time travel.
+    */
   def compactSnapshots(s: SparkSession, path: String): Unit = {
     val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
     require(cur.isDefined, s"compactSnapshots: $path has no committed manifest")
@@ -294,10 +294,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, s"m$v-${f.getName}")
             java.nio.file.Files.move(f.toPath, dest.toPath)
-            val (ls, ss) = ManifestFileIndex.footerStats(dest)
+            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
             newEntries += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ls, ss)
+              ls, ss, ds)
           }
       }
     def rm(f: java.io.File): Unit = {
@@ -358,10 +358,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, prefix + f.getName)
             java.nio.file.Files.move(f.toPath, dest.toPath)
-            val (ls, ss) = ManifestFileIndex.footerStats(dest)
+            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
             newEntries += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ls, ss)
+              ls, ss, ds)
           }
       }
     rmDir(stage)

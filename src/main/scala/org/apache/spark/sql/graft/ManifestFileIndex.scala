@@ -59,6 +59,10 @@ class ManifestFileIndex(
     entries.filter(_.strStats.nonEmpty)
       .map(e => new Path(root, e.relPath).toString -> e.strStats).toMap
 
+  private val dblStatsByPath: Map[String, Map[String, (Double, Double)]] =
+    entries.filter(_.dblStats.nonEmpty)
+      .map(e => new Path(root, e.relPath).toString -> e.dblStats).toMap
+
   /** File-level min/max skipping (Iceberg column metrics): the commit
     * recorded per-file INT64 and UTF8 bounds in the manifest, so a pushed
     * data filter can eliminate whole FILES at planning — no task launched,
@@ -73,8 +77,10 @@ class ManifestFileIndex(
     val dirs = super.listFiles(partitionFilters, dataFilters)
     val bounds = ManifestFileIndex.requiredBounds(dataFilters)
     val strBounds = ManifestFileIndex.requiredStrBounds(dataFilters)
+    val dblBounds = ManifestFileIndex.requiredDblBounds(dataFilters)
     if ((bounds.isEmpty || statsByPath.isEmpty) &&
-        (strBounds.isEmpty || strStatsByPath.isEmpty)) dirs
+        (strBounds.isEmpty || strStatsByPath.isEmpty) &&
+        (dblBounds.isEmpty || dblStatsByPath.isEmpty)) dirs
     else dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val longOk = statsByPath.get(f.getPath.toString) match {
@@ -97,7 +103,16 @@ class ManifestFileIndex(
           }
           case None => true
         }
-        longOk && strOk
+        val dblOk = dblStatsByPath.get(f.getPath.toString) match {
+          case Some(stats) => dblBounds.forall { case (col, (lo, hi)) =>
+            stats.get(col) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None           => true
+            }
+          }
+          case None => true
+        }
+        longOk && strOk && dblOk
       })
     }.filter(_.files.nonEmpty)
   }
@@ -136,7 +151,8 @@ object ManifestFileIndex {
     */
   final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      dblStats: Map[String, (Double, Double)] = Map.empty)
 
   val ManifestName = "_graft_manifest.tsv"
   val SnapshotDir = "_graft_snapshots"
@@ -249,6 +265,52 @@ object ManifestFileIndex {
     acc.toMap
   }
 
+  /** Per-column closed [lo, hi] bounds implied by pushed data filters on
+    * DOUBLE columns. Strict comparisons are widened to non-strict (a
+    * boundary-equal file survives — conservative); NaN literals add no
+    * bound (a NaN comparison matches nothing, so skipping on it would
+    * be wrong only in the over-eager direction — stay out entirely).
+    */
+  def requiredDblBounds(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def add(col: String, lo: Double, hi: Double): Unit = {
+      val (clo, chi) = acc.getOrElse(col,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      acc(col) = (math.max(clo, lo), math.min(chi, hi))
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute if a.dataType == DoubleType => Some(a.name)
+      case _ => None
+    }
+    def dblLit(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) if !v.isNaN => Some(v)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo(x, y) =>
+        for (n <- attrName(x); v <- dblLit(y)) add(n, v, v)
+        for (n <- attrName(y); v <- dblLit(x)) add(n, v, v)
+      case GreaterThan(x, y) =>
+        for (n <- attrName(x); v <- dblLit(y)) add(n, v, Double.PositiveInfinity)
+        for (n <- attrName(y); v <- dblLit(x)) add(n, Double.NegativeInfinity, v)
+      case GreaterThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- dblLit(y)) add(n, v, Double.PositiveInfinity)
+        for (n <- attrName(y); v <- dblLit(x)) add(n, Double.NegativeInfinity, v)
+      case LessThan(x, y) =>
+        for (n <- attrName(x); v <- dblLit(y)) add(n, Double.NegativeInfinity, v)
+        for (n <- attrName(y); v <- dblLit(x)) add(n, v, Double.PositiveInfinity)
+      case LessThanOrEqual(x, y) =>
+        for (n <- attrName(x); v <- dblLit(y)) add(n, Double.NegativeInfinity, v)
+        for (n <- attrName(y); v <- dblLit(x)) add(n, v, Double.PositiveInfinity)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
   /** INT64 and UTF8 column (min, max) from a parquet file's footer,
     * aggregated across row groups. Called once per file at commit by the
     * single writer — never at read time. Parquet's own binary-stats
@@ -256,7 +318,8 @@ object ManifestFileIndex {
     * (≤ every value), a truncated max has its last byte incremented.
     */
   def footerStats(file: java.io.File)
-    : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    : (Map[String, (Long, Long)], Map[String, (String, String)],
+       Map[String, (Double, Double)]) = {
     import scala.jdk.CollectionConverters._
     try {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -266,6 +329,7 @@ object ManifestFileIndex {
       try {
         val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
         val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
+        val dacc = scala.collection.mutable.Map.empty[String, (Double, Double)]
         for (b <- rd.getFooter.getBlocks.asScala; c <- b.getColumns.asScala) {
           val tpe = c.getPrimitiveType
           val st = c.getStatistics
@@ -300,10 +364,25 @@ object ManifestFileIndex {
               case None => (mn, mx)
             }
           }
+          // DOUBLE: dropped when the footer reports NaN bounds (parquet
+          // double stats are unreliable in the presence of NaN)
+          if (tpe.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE &&
+              c.getPath.size() == 1 && st != null && st.hasNonNullValue) {
+            val name = c.getPath.iterator().next()
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()
+            if (!mn.isNaN && !mx.isNaN) {
+              val (cmn, cmx) = dacc.getOrElse(name,
+                (Double.PositiveInfinity, Double.NegativeInfinity))
+              dacc(name) = (math.min(cmn, mn), math.max(cmx, mx))
+            } else dacc(name) = (Double.NaN, Double.NaN)
+          }
         }
-        (acc.toMap, sacc.toMap)
+        // a single NaN row group poisons the whole file's bounds
+        (acc.toMap, sacc.toMap, dacc.toMap.filter(e => !e._2._1.isNaN))
       } finally rd.close()
-    } catch { case _: Throwable => (Map.empty, Map.empty) }
+    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty) }
   }
 
   /** Read the manifest if present: (partition column, entries).
@@ -338,8 +417,16 @@ object ManifestFileIndex {
               val strStats = fields.collect {
                 case Array(col, "s", mn, mx) => (col, (mn, mx))
               }.toMap
+              val dblStats = fields.flatMap {
+                case Array(col, "d", mn, mx) => scala.util.Try((col, (
+                  java.lang.Double.longBitsToDouble(
+                    java.lang.Long.parseUnsignedLong(mn, 16)),
+                  java.lang.Double.longBitsToDouble(
+                    java.lang.Long.parseUnsignedLong(mx, 16))))).toOption
+                case _ => None
+              }.toMap
               buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
-                stats, strStats)
+                stats, strStats, dblStats)
             }
           }
           Some((partCol, buf.result()))
@@ -365,9 +452,9 @@ object ManifestFileIndex {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { f =>
-          val (ls, ss) = footerStats(f)
+          val (ls, ss, ds) = footerStats(f)
           buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified(),
-            ls, ss)
+            ls, ss, ds)
         }
     }
     commitEntries(rootDir, partCol, buf.result())
@@ -389,6 +476,13 @@ object ManifestFileIndex {
       }
       e.strStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
         sb.append('\t').append(col).append(":s:").append(mn).append(':').append(mx)
+      }
+      // doubles as raw-bits hex: exact round trip, no decimal repr drift
+      e.dblStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+        sb.append('\t').append(col).append(":d:")
+          .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mn)))
+          .append(':')
+          .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mx)))
       }
       sb.append('\n')
     }

@@ -137,5 +137,24 @@ class LakeStatsSpec extends AnyFunSuite {
     // physical rewrite, logical no-op: rows identical, changefeed empty
     assert(lake.where($"user_id" < 1000L).count() === 2000L)
     assert(LakeIO.readChanges(spark, zLake, 1, 2).isEmpty)
+    // DOUBLE bounds skip on the OTHER z dimension too
+    val valProbe = plannedFiles(
+      lake.where($"value" < 20.0).select($"event_id", $"value"))
+    assert(valProbe < allAfter, s"double-stats skipping: $valProbe < $allAfter")
+    assert(lake.where($"value" < 20.0).count() ===
+      spark.range(8192).where($"id" % 89 < 20).count())
+  }
+
+  test("requiredDblBounds extracts double ranges; NaN literals add none") {
+    val v = AttributeReference("value", org.apache.spark.sql.types.DoubleType)()
+    val b = ManifestFileIndex.requiredDblBounds(Seq(
+      GreaterThan(v, Literal(1.5)), LessThanOrEqual(v, Literal(9.25))))
+    assert(b === Map("value" -> (1.5, 9.25)))
+    assert(ManifestFileIndex.requiredDblBounds(
+      Seq(GreaterThan(v, Literal(Double.NaN)))).isEmpty)
+    // literal-on-left flips the bound direction
+    val flipped = ManifestFileIndex.requiredDblBounds(
+      Seq(GreaterThan(Literal(3.0), v)))
+    assert(flipped === Map("value" -> (Double.NegativeInfinity, 3.0)))
   }
 }
