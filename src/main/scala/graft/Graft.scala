@@ -120,6 +120,13 @@ object Graft {
     def refreshHourlyAgg(spark: SparkSession, path: String, prior: DataFrame,
         fromV: Int, toV: Int): DataFrame =
       LakeIO.refreshHourlyAgg(spark, path, prior, fromV, toV)
+    /** CDC-aware refresh: exact across updates/deletes — count/sum invert
+      * through the changefeed; max/min recompute only extreme-touched
+      * hours (DPP-pruned partition reads).
+      */
+    def refreshHourlyAggCDC(spark: SparkSession, path: String, prior: DataFrame,
+        fromV: Int, toV: Int): DataFrame =
+      LakeIO.refreshHourlyAggCDC(spark, path, prior, fromV, toV)
     /** Build (or incrementally refresh) the hourly materialized view of a
       * lake table and register it for TRANSPARENT rewrite: install
       * [[graft.plans.MaterializedViewRewrite]] and matching base-table

@@ -529,6 +529,58 @@ object LakeIO {
     hourlyAggState(hourPartitioned(
       s.read.format("graft-lake").option("versionAsOf", v.toString).load(path)))
 
+  /** CDC-aware incremental view maintenance: refresh the hourly aggregate
+    * across a changefeed that contains UPDATES and DELETES, not just
+    * appends ([[refreshHourlyAgg]]'s limit). The textbook split:
+    *
+    *  - count/sum are INVERTIBLE — inserts add, deletes subtract, exactly
+    *    (the decimal sum makes subtraction lossless);
+    *  - max/min are NOT — but a delete strictly BELOW the stored max
+    *    (resp. above the min) provably leaves it, so only hours where a
+    *    deleted value TIES OR BEATS the stored extreme re-aggregate, and
+    *    they re-read only their own partitions: the recompute scan is a
+    *    broadcast join on ts_hour against the (tiny) recompute-hour set,
+    *    which the graft-lake scan's runtime (DPP) filtering turns into
+    *    partition pruning — no driver-side hour collection, no full scan.
+    *
+    * Cost: O(changes) + O(extreme-touched hours' partitions), never
+    * O(table). `refresh(agg(v₁), changes(v₁→v₂)) == agg(v₂)` exactly —
+    * the keyed op's oracle hash-proves it against a full re-aggregation.
+    */
+  def refreshHourlyAggCDC(s: SparkSession, path: String, prior: DataFrame,
+      fromV: Int, toV: Int): DataFrame = {
+    val ins = $"change" === "insert"
+    val dec = round($"value", 6).cast("decimal(18,6)")
+    val delta = readChanges(s, path, fromV, toV).groupBy($"ts_hour").agg(
+      sum(when(ins, 1L).otherwise(-1L)).as("dn"),
+      sum(when(ins, dec).otherwise(-dec)).as("dsdec"),
+      max(when(ins, $"value")).as("ins_mx"),
+      min(when(ins, $"value")).as("ins_mn"),
+      max(when(!ins, $"value")).as("del_mx"),
+      min(when(!ins, $"value")).as("del_mn"))
+    val joined = prior.as("p").join(delta.as("d"), Seq("ts_hour"), "full_outer")
+    val untouched = col("d.dn").isNull    // hour not in the changefeed
+    val newHour = col("p.n").isNull       // hour born in this increment
+    val extremesSafe =
+      (col("d.del_mx").isNull || col("d.del_mx") < col("p.mx")) &&
+      (col("d.del_mn").isNull || col("d.del_mn") > col("p.mn"))
+    val safe = joined.where(untouched || newHour || extremesSafe)
+      .select($"ts_hour",
+        (coalesce(col("p.n"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n"),
+        (coalesce(col("p.sdec"), lit(0).cast("decimal(18,6)"))
+          + coalesce(col("d.dsdec"), lit(0).cast("decimal(18,6)"))).as("sdec"),
+        greatest(col("p.mx"), col("d.ins_mx")).as("mx"),
+        least(col("p.mn"), col("d.ins_mn")).as("mn"))
+      .where($"n" > 0L)
+    val recomputeHours = joined
+      .where(!untouched && !newHour && !extremesSafe)
+      .select($"ts_hour")
+    val recomputed = hourlyAggState(
+      s.read.format("graft-lake").option("versionAsOf", toV.toString).load(path)
+        .join(broadcast(recomputeHours), Seq("ts_hour")))
+    safe.unionByName(recomputed)
+  }
+
   /** Versioned demo lake shared by the merge/time-travel keyed ops:
     * snapshot 1 = the base events table, snapshot 2+ = after a CoW MERGE
     * (doubled values for event_id%7, fresh inserts for %13 shifted by
@@ -785,6 +837,40 @@ object LakeIO {
         |       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |       max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin),
+
+    // CDC-aware IVM: the hourly aggregate refreshed across the MERGE's
+    // update/delete changefeed (not just appends). The oracle aggregates
+    // the reconstructed post-merge table, so the hash match proves
+    // count/sum inversion AND the bounded max/min recompute are exact.
+    Op("lake_incremental_agg_cdc",
+      (s, d) => {
+        val path = mergedLake(s, d)
+        val prior = hourlyAggOfSnapshot(s, path, 1)
+        refreshHourlyAggCDC(s, path, prior, 1, 2)
+          .select($"ts_hour", $"n",
+            $"sdec".cast("double").as("sum_value"),
+            $"mx".as("max_value"), $"mn".as("min_value"))
+          .orderBy($"ts_hour")
+      },
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |upd AS (
+        |  SELECT event_id, ts, event_type, value * 2 AS value
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, ts, event_type, value
+        |  FROM base WHERE event_id % 13 = 0),
+        |merged AS (
+        |  SELECT event_id, ts, value FROM upd
+        |  UNION ALL
+        |  SELECT b.event_id, b.ts, b.value FROM base b
+        |  WHERE b.event_id NOT IN (SELECT event_id FROM upd))
+        |SELECT strftime(ts, '%Y-%m-%d-%H') AS ts_hour,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       max(value) AS max_value,
+        |       min(value) AS min_value
+        |FROM merged GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
     // S9 catalog introspection: register the testdata tables and list them
     // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).

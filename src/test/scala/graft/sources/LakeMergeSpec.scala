@@ -165,6 +165,29 @@ class LakeMergeSpec extends AnyFunSuite {
       "the update must replay as delete(old)+insert(new), nothing else")
   }
 
+  test("CDC-aware IVM refresh equals a full re-aggregation, recomputing only extreme-touched hours") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")                 // v2
+    val prior = LakeIO.hourlyAggOfSnapshot(spark, root, 1)
+    val refreshed = LakeIO.refreshHourlyAggCDC(spark, root, prior, 1, 2)
+    val full = LakeIO.hourlyAggOfSnapshot(spark, root, 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"ts_hour", $"n", $"sdec".cast("decimal(38,6)").as("sdec"),
+          $"mx", $"mn")
+        .orderBy($"ts_hour").collect().toSeq
+    assert(canon(refreshed) === canon(full),
+      "refresh(agg(v1), changes) must equal agg(v2) exactly")
+    // the doubling merge raises SOME hour maxima (recompute path) while
+    // leaving others' extremes untouched (invertible path) — both arms
+    // must actually run for this test to mean anything
+    val changed = refreshed.as("r").join(prior.as("p"), Seq("ts_hour"))
+      .where(col("r.mx") =!= col("p.mx")).count()
+    val unchanged = refreshed.as("r").join(prior.as("p"), Seq("ts_hour"))
+      .where(col("r.mx") === col("p.mx") && col("r.n") =!= col("p.n")).count()
+    assert(changed > 0, "no hour exercised the bounded-recompute path")
+    assert(unchanged > 0, "no hour exercised the invertible path")
+  }
+
   test("aggregate pushdown reaches the manifest-planned V2 scan") {
     freshLake()
     val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
