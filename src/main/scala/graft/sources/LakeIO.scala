@@ -58,7 +58,7 @@ object LakeIO {
   def commitAfterAppend(path: String,
       batchSchema: org.apache.spark.sql.types.StructType): Unit = {
     if (tableSchema(path).isEmpty) writeSchemaFile(path, batchSchema)
-    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
+    org.apache.spark.sql.graft.ManifestFileIndex.commitAppended(path, "ts_hour")
   }
 
   /** Read back with a [start, end) `ts` range, pruned via `ts_hour`. The
@@ -132,7 +132,9 @@ object LakeIO {
       .partitionBy("ts_hour")
       .option("compression", "zstd")
       .parquet(path)
-    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_hour")
+    // reconcile-commit: appended files join the manifest; CoW old
+    // generations parked for time travel must NOT be resurrected
+    org.apache.spark.sql.graft.ManifestFileIndex.commitAppended(path, "ts_hour")
   }
 
   /** Read with the evolved union schema from table metadata (no

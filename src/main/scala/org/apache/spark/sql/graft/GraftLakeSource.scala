@@ -98,7 +98,11 @@ class GraftLakeTable(inner: ParquetTable,
     case None => inner.partitioning()
   }
   override def properties(): java.util.Map[String, String] = inner.properties()
-  override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](inner.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)  // manifest-committing append
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel: `.option("versionAsOf", v)` reads snapshot v's frozen
@@ -126,8 +130,36 @@ class GraftLakeTable(inner: ParquetTable,
     }
   }
 
+  /** Writes route through the lake's OWN writer, not the delegate
+    * parquet write: a raw V2 file write would drop rows flat into the
+    * root (no hour-partitioned layout) and — the invariant that matters —
+    * never commit the manifest, making the rows invisible to every V2
+    * reader. The `V1Write` bridge hands the whole batch to
+    * `LakeIO.evolveAppend`: hour-clustered layout, schema evolution
+    * rules, and the reconcile-commit (snapshot + HEAD advance) all apply
+    * to SQL `INSERT INTO` exactly as to programmatic appends.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    inner.newWriteBuilder(info)
+    rootDir match {
+      case Some(root) if manifest.isDefined =>
+        require(tableVersion.isEmpty,
+          "graft-lake: cannot write to a VERSION AS OF time-travel view")
+        new WriteBuilder {
+          override def build(): org.apache.spark.sql.connector.write.Write =
+            new org.apache.spark.sql.connector.write.V1Write {
+              override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+                (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                  require(!overwrite,
+                    "graft-lake: only INSERT INTO (append) is supported; " +
+                    "use LakeIO.mergeInto/deleteWhere for mutations")
+                  // ts_hour is re-derived from ts by the writer
+                  graft.sources.LakeIO.evolveAppend(data.drop("ts_hour"), root)
+                }
+            }
+        }
+      case _ => inner.newWriteBuilder(info)
+    }
 }
 
 /** The interception point: `pushFilters` receives the query's Catalyst

@@ -460,6 +460,43 @@ object ManifestFileIndex {
     commitEntries(rootDir, partCol, buf.result())
   }
 
+  /** Commit after files were APPENDED in place to a manifest-defined lake:
+    * walk the directory, but treat as NEW only files referenced by no
+    * snapshot and absent from the current manifest. A plain walk-commit
+    * ([[commit]]) assumes every on-disk .parquet is live — on a lake that
+    * has seen a copy-on-write merge/delete, that would RESURRECT the old
+    * generations parked for time travel. Falls back to [[commit]] when no
+    * manifest exists yet.
+    */
+  def commitAppended(rootDir: String, partCol: String): Unit =
+    read(rootDir, None) match {
+      case None => commit(rootDir, partCol)
+      case Some((pc, current)) =>
+        val head = headVersion(rootDir).getOrElse(0)
+        val known: Set[String] =
+          ((1 to head).flatMap(v =>
+            read(rootDir, Some(v)).map(_._2.map(_.relPath)).getOrElse(Seq.empty)) ++
+            current.map(_.relPath)).toSet
+        val root = new java.io.File(rootDir)
+        val buf = Seq.newBuilder[Entry]
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith(pc + "="))
+          .sortBy(_.getName)
+          .foreach { d =>
+            val pv = d.getName.substring(pc.length + 1)
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+                !known.contains(d.getName + "/" + f.getName))
+              .sortBy(_.getName)
+              .foreach { f =>
+                val (ls, ss, ds) = footerStats(f)
+                buf += Entry(pv, d.getName + "/" + f.getName,
+                  f.length(), f.lastModified(), ls, ss, ds)
+              }
+          }
+        commitEntries(rootDir, pc, current ++ buf.result())
+    }
+
   /** Commit an EXPLICIT live-file set — the copy-on-write path
     * (merge/delete): rewritten partitions contribute only their new
     * files while the old ones stay on disk for earlier snapshots, so a

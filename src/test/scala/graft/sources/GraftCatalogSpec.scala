@@ -77,4 +77,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("read-facing"))
   }
+
+  test("SQL INSERT INTO appends through the lake writer: visible at head, snapshot-isolated") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val headBefore =
+      org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+    spark.sql("INSERT INTO gcat.default.items VALUES " +
+      "(4, 'd', TIMESTAMP'2024-01-01 00:00:02', '2024-01-01-00')")
+    // the append committed a manifest snapshot: V2 readers see it at head
+    assert(spark.sql("SELECT count(*) FROM gcat.default.items")
+      .head.getLong(0) === 4L)
+    assert(spark.sql("SELECT v FROM gcat.default.items WHERE id = 4")
+      .head.getString(0) === "d")
+    // the pre-insert snapshot is untouched
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.default.items VERSION AS OF $headBefore")
+      .head.getLong(0) === 3L)
+  }
+
+  test("INSERT after a CoW merge must not resurrect parked old generations") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val upd = Seq((2L, "B")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.mergeInto(spark, path, upd, "id")            // v2: old file parked for time travel
+    spark.sql("INSERT INTO gcat.default.items VALUES " +
+      "(5, 'e', TIMESTAMP'2024-01-01 00:00:03', '2024-01-01-00')")  // v3
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // a walk-commit would re-list the pre-merge file → duplicate id=2/'b'
+    assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c"), (5L, "e")))
+    // and time travel still reaches every generation
+    assert(spark.sql("SELECT v FROM gcat.default.items VERSION AS OF 1 WHERE id = 2")
+      .head.getString(0) === "b")
+  }
 }
