@@ -101,6 +101,8 @@ class GraftLakeTable(inner: ParquetTable,
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)  // manifest-committing append
+    if (manifest.isDefined)
+      caps.add(TableCapability.MICRO_BATCH_READ)  // snapshot-version offsets
     caps
   }
 
@@ -240,6 +242,20 @@ case class GraftLakeScan(
 
   override def readSchema(): StructType = initial.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  /** The lake as a streaming source: snapshot versions are the offsets,
+    * manifest diffs are the batches (see [[GraftLakeMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val idx = initial.fileIndex match {
+      case m: ManifestFileIndex => m
+      case _ => throw new UnsupportedOperationException(
+        "graft-lake streaming requires a committed manifest (write via LakeIO)")
+    }
+    val partCol = idx.partitionSchema.headOption.map(_.name).getOrElse("ts_hour")
+    new GraftLakeMicroBatchStream(initial, idx.rootPaths.head.toString, partCol)
+  }
 
   // ── storage-partitioned joins (SPJ): the scan REPORTS its hour layout.
   //
