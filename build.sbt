@@ -27,8 +27,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned heap (Xms=Xmx, no resize churn) + explicit G1 with a capped
+// pause target: bench numbers for allocation-heavy queries swung up to
+// 8x between otherwise-identical runs when the heap was left floating
+// (VERDICT r3 "What's wrong" #2). 16g leaves headroom for the driver's
+// own tooling on the 128 GiB box.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseG1GC",
+  "-XX:MaxGCPauseMillis=200",
 )

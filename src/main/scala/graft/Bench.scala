@@ -18,27 +18,47 @@ object Bench {
     // one-time ingest (a lake is written once, queried many times).
     graft.sources.Tables.events(spark, sfDir).groupBy("event_type").count().count()
     graft.sources.LakeIO.ensureLake(spark, sfDir)
+    // the CoW-demo lakes too: they're write-once (marker-guarded), and
+    // building one inside a timed first iteration makes min-of-3 measure
+    // the ingest, not the query
+    graft.sources.LakeIO.mergedLake(spark, sfDir)
+    graft.sources.LakeIO.incrLake(spark, sfDir)
     // fixed (sorted) execution order so per-query timings are comparable
     // across rounds — Map iteration order is hash-dependent.
     // Median-of-3 per query: single-shot timings on this box vary ±25%
     // (measured r2); the median makes cross-round per-query comparisons
     // meaningful.
+    // Min alongside median: median is the cross-round comparable; a
+    // median >> min on the same query flags allocation/GC noise rather
+    // than a plan change (VERDICT r3 "What's wrong" #2).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(1)
+      // Dedup/similarity ops persist() intermediates (shingle sets etc.)
+      // that only the returned plan's execution needs — each of the 3
+      // runs creates a NEW cache entry and nothing unpersists, so 300+
+      // dead caches accumulate across the registry and GC-starve the
+      // later (alphabetically: lake_*) queries. Every query benches
+      // cold-cache instead: stable AND comparable.
+      spark.catalog.clearCache()
+      (name, times(1), times(0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist: sbt prefixes forked stdout with "[info] ", which broke
-    // the driver's JSON parse in round 1 (VERDICT.md "What's wrong" #2).
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,""" +
+      s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
+      s""""queries_min":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}"""
+    // Persist too: sbt prefixes logger-routed stdout with "[info] ", which
+    // broke the driver's JSON parse in round 1 — bench.json is the backup.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
+    // The bare JSON metric line goes LAST on stdout, un-prefixed (forked
+    // run uses OutputStrategy.StdoutOutput; Spark logs go to stderr).
+    println(line)
   }
 }

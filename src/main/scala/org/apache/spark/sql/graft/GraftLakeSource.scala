@@ -79,7 +79,8 @@ class GraftLakeTable(inner: ParquetTable,
     // a catalog `VERSION AS OF` load pins the version at TABLE level —
     // scan-time reader options (DataFrameReader .option) still override
     tableVersion: Option[Int] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val rootDir: Option[String] = inner.paths.headOption
   /** Table root on disk — the identity the MV-rewrite rule keys on. */
@@ -129,6 +130,56 @@ class GraftLakeTable(inner: ParquetTable,
           inner.sparkSession, idx, full, dataSchema, options))
       case _ =>
         new GraftLakeScanBuilder(inner.newScanBuilder(options))
+    }
+  }
+
+  /** SQL `DELETE FROM <lake table> WHERE ...` routes through
+    * [[graft.sources.LakeIO.deleteWhere]] — the stats-pruned, snapshot-
+    * committing copy-on-write delete — so the reference's mutation
+    * surface (init-analytics-db.sql upsert/delete semantics) is reachable
+    * from SQL text with full snapshot isolation (the pre-delete version
+    * stays readable `VERSION AS OF`). Only predicates expressible as V1
+    * source filters are accepted; anything else rejects at analysis
+    * (`canDeleteWhere` false) rather than deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Boolean =
+    rootDir.isDefined && manifest.isDefined && tableVersion.isEmpty &&
+      filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+    : Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.toSeq.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graft.sources.LakeIO.deleteWhere(inner.sparkSession, rootDir.get, cond)
+  }
+
+  private def filterToColumn(flt: org.apache.spark.sql.sources.Filter)
+    : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => f}
+    import org.apache.spark.sql.functions.{col, lit}
+    flt match {
+      case f.EqualTo(a, v)            => Some(col(a) === lit(v))
+      case f.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case f.GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case f.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case f.LessThan(a, v)           => Some(col(a) < lit(v))
+      case f.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case f.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case f.IsNull(a)                => Some(col(a).isNull)
+      case f.IsNotNull(a)             => Some(col(a).isNotNull)
+      case f.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case f.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case f.StringContains(a, v)     => Some(col(a).contains(v))
+      case f.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case f.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case f.Not(c)                   => filterToColumn(c).map(!_)
+      case _: f.AlwaysTrue            => Some(lit(true))
+      case _: f.AlwaysFalse           => Some(lit(false))
+      case _                          => None
     }
   }
 

@@ -46,27 +46,30 @@ object PropertySpec extends Properties("graft.kernels") {
     v <- Gen.chooseNum(-1000, 1000).map(_ / 10.0)
   } yield TopKByTime.In(ts, id, v)
 
-  property("topK reduce: bounded at K, sorted asc, equals sort-take") =
+  property("topK reduce: bounded at K, finish desc, equals sort-take") =
     forAll(Gen.listOf(inGen)) { ins =>
-      val buf = ins.foldLeft(List.empty[TopKByTime.In])(TopKByTime.agg.reduce)
+      val buf = ins.foldLeft(TopKByTime.agg.zero)(TopKByTime.agg.reduce)
+      val out = TopKByTime.agg.finish(buf)
       val expected = ins.distinct.sortBy(r => (r.ts, r.event_id))
-        .takeRight(TopKByTime.K)
+        .takeRight(TopKByTime.K).reverse
       // duplicates (same ts,id) may both survive; compare on keys
-      buf.length <= TopKByTime.K &&
-        buf.map(r => (r.ts, r.event_id)) == buf.map(r => (r.ts, r.event_id)).sorted &&
+      out.length <= TopKByTime.K &&
+        out.map(r => (r.ts, r.event_id)) ==
+          out.map(r => (r.ts, r.event_id)).sorted(Ordering[(Long, Long)].reverse) &&
         (ins.distinct.size != ins.size ||
-          buf.map(r => (r.ts, r.event_id)) == expected.map(r => (r.ts, r.event_id)))
+          out.map(r => (r.ts, r.event_id)) == expected.map(r => (r.ts, r.event_id)))
     }
 
   property("topK merge: associative-equivalent to reducing the concatenation") =
     forAll(Gen.listOf(inGen), Gen.listOf(inGen)) { (a, b) =>
       val all = (a ++ b).distinct
-      val left = all.foldLeft(List.empty[TopKByTime.In])(TopKByTime.agg.reduce)
+      val left = all.foldLeft(TopKByTime.agg.zero)(TopKByTime.agg.reduce)
       val split = TopKByTime.agg.merge(
-        a.distinct.foldLeft(List.empty[TopKByTime.In])(TopKByTime.agg.reduce),
+        a.distinct.foldLeft(TopKByTime.agg.zero)(TopKByTime.agg.reduce),
         b.distinct.filterNot(a.distinct.contains(_))
-          .foldLeft(List.empty[TopKByTime.In])(TopKByTime.agg.reduce))
-      left.map(r => (r.ts, r.event_id)).toSet == split.map(r => (r.ts, r.event_id)).toSet
+          .foldLeft(TopKByTime.agg.zero)(TopKByTime.agg.reduce))
+      TopKByTime.agg.finish(left).map(r => (r.ts, r.event_id)).toSet ==
+        TopKByTime.agg.finish(split).map(r => (r.ts, r.event_id)).toSet
     }
 
   property("fnv1a: deterministic and spreads") =

@@ -96,6 +96,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) === 3L)
   }
 
+  test("SQL DELETE FROM routes through the CoW delete: head loses the rows, old snapshot keeps them") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val headBefore =
+      org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+    spark.sql("DELETE FROM gcat.default.items WHERE id >= 2 AND v <> 'c'")
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (3L, "c")), "only id=2 matches the predicate")
+    // snapshot isolation: the pre-delete version is fully readable
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.default.items VERSION AS OF $headBefore")
+      .head.getLong(0) === 3L)
+    // and the delete committed a NEW snapshot (HEAD advanced)
+    assert(org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+      === headBefore + 1)
+  }
+
   test("INSERT after a CoW merge must not resurrect parked old generations") {
     attach(); seed()
     val path = s"$wh/default/items"

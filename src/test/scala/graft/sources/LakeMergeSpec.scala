@@ -87,6 +87,39 @@ class LakeMergeSpec extends AnyFunSuite {
       base.where($"event_id" % 13 === 0).count())
   }
 
+  test("deleteWhere plans candidate files from manifest stats, not a full scan") {
+    freshLake()
+    val entries = ManifestFileIndex.read(root).get._2
+    assume(entries.forall(_.stats.contains("event_id")))
+    // threshold = the min of the file with the highest event_id max: files
+    // entirely below it must be skipped at PLANNING time (no data read)
+    val lo = entries.map(_.stats("event_id")).maxBy(_._2)._1
+    val (_, cands, skipped) = LakeIO.deleteCandidates(spark, root, $"event_id" >= lit(lo))
+    assert(cands.forall(_.stats("event_id")._2 >= lo),
+      "every candidate's max must admit the predicate")
+    assert(skipped.forall(_.stats("event_id")._2 < lo),
+      "every skipped file must be provably predicate-free")
+    assert(skipped.nonEmpty, "a bounded predicate must skip some files")
+    // and the pruned delete stays row-exact
+    LakeIO.deleteWhere(spark, root, $"event_id" >= lit(lo))
+    assert(readLake().where($"event_id" >= lit(lo)).isEmpty)
+    val expected = base.where($"event_id" < lit(lo))
+    assert(readLake().except(expected).isEmpty)
+    assert(expected.except(readLake()).isEmpty)
+  }
+
+  test("deleteWhere prunes partition-column conjuncts on the partition VALUE") {
+    freshLake()
+    val hours = ManifestFileIndex.read(root).get._2.map(_.partValue).distinct.sorted
+    assume(hours.size > 2)
+    val cutoff = hours(hours.size / 2)
+    val (_, cands, skipped) =
+      LakeIO.deleteCandidates(spark, root, $"ts_hour" >= lit(cutoff))
+    assert(cands.forall(_.partValue >= cutoff))
+    assert(skipped.forall(_.partValue < cutoff))
+    assert(skipped.nonEmpty)
+  }
+
   test("readIncrement returns exactly the appended rows") {
     rm(new java.io.File(root))
     val cut = to_timestamp(lit("2024-01-16 00:00:00"))
