@@ -371,13 +371,60 @@ object Similarity {
          |  FROM p)
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
 
-    // LSH-bucketed ANN and cosine near-dup: hash-family semantics are not
-    // portable SQL → rows-only here, recall/integrity asserted in
-    // SimilaritySpec. The keyed entry runs the L=4-tables configuration —
-    // the setting the recall ladder measured at 82%→100% vs L=1's 56%
-    // (SCALE.md) — not the single-table default.
-    Op("similarity_ann_lsh", (s, d) => annTopK(s, d, numTables = 4), None),
-    Op("similarity_ivf", (s, d) => ivfTopK(s, d), None),
+    // LSH-bucketed ANN, L=4 tables × hamming≤1 multiprobe — the setting
+    // the recall ladder measured at 82%→100% vs L=1's 56% (SCALE.md).
+    // HASH-EXACT oracle: the per-table LCG hyperplane families, the
+    // bucket sign-sums, the XOR probes and the 6-dp cosines are all
+    // integer/IEEE-deterministic, so DuckDB replays the whole ANN
+    // pipeline bit-for-bit (same move as embedding_dedup).
+    Op("similarity_ann_lsh", (s, d) => annTopK(s, d, numTables = 4),
+      s"""WITH planes AS (
+         |  SELECT t, p, [(CAST((((p + t * 97) * 1315423911) + i * 2654435761) % 100003 AS DOUBLE)
+         |                 / 100003.0) * 2.0 - 1.0 for i in range(0, 64)] AS w
+         |  FROM range(0, 4) tt(t), range(0, 4) pp(p)),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(${sqlDot.format("e", "e")}) AS nrm FROM v),
+         |b AS (SELECT vec_id, t AS tbl,
+         |        CAST(sum(CASE WHEN ${sqlDot.format("e", "w")} > 0
+         |                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM n, planes GROUP BY vec_id, t),
+         |nb AS (SELECT n.vec_id AS vec_id, e, nrm, tbl, bucket
+         |       FROM n JOIN b ON n.vec_id = b.vec_id),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, tbl, xor(bucket, m) AS bucket
+         |      FROM nb, (VALUES (0), (1), (2), (4), (8)) mm(m) WHERE vec_id < 5),
+         |p2 AS (SELECT DISTINCT q_id, c.vec_id AS vec_id,
+         |         round(${sqlDot.format("qe", "c.e")} / (qn * c.nrm), 6) AS cos
+         |       FROM q JOIN nb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |                        AND c.vec_id != q.q_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM p2)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+    // Seed-centroid IVF: nearest-centroid assignment (csim desc, c_id
+    // tie-break) and cell-local ranking are window functions in any
+    // engine — hash-exact end-to-end including the cell column.
+    Op("similarity_ivf", (s, d) => ivfTopK(s, d),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(${sqlDot.format("e", "e")}) AS nrm FROM v),
+         |cents AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+         |asg0 AS (SELECT n.vec_id, e, nrm, c_id,
+         |           ${sqlDot.format("e", "ce")} / (nrm * cn) AS csim
+         |         FROM n, cents),
+         |asg AS (SELECT vec_id, e, nrm, c_id AS cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                      ORDER BY csim DESC, c_id) AS rk FROM asg0)
+         |        WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |      FROM asg WHERE vec_id < 5),
+         |p2 AS (SELECT q_id, q.cell AS cell, c.vec_id AS vec_id,
+         |         round(${sqlDot.format("qe", "c.e")} / (qn * c.nrm), 6) AS cos
+         |       FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.q_id)
+         |SELECT q_id, cell, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM p2)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
     // Lloyd's iterations aren't reasonably expressible as one ANSI query
     // → rows-only; blob recovery + bit-determinism across partitionings
     // asserted in KMeansSpec.

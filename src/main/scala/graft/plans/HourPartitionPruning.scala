@@ -106,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => HourPartitionPruning)
     e.injectOptimizerRule(_ => MaterializedViewRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL UPDATE / upsert-shaped MERGE INTO on graft-lake tables →
+    // stats-pruned copy-on-write commands (resolution-time, before
+    // Spark's row-level rewrite rejects the table)
+    e.injectResolutionRule(s => GraftDmlRewrite(s))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

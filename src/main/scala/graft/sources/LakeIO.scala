@@ -126,15 +126,56 @@ object LakeIO {
       case None =>
         writeSchemaFile(path, withHour.schema)
     }
+    // Stage-and-move with EXPLICIT entries, not a directory reconcile:
+    // the writer knows exactly which files it adds, so the commit is
+    // those entries ∪ the current manifest — one metadata read, no
+    // snapshot replay, and a crashed earlier attempt's orphans are never
+    // swept in as live data (they stay unreferenced until vacuumed).
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val v = ManifestFileIndex.headVersion(path).getOrElse(0) + 1
+    val stage = path + s"_stage_a$v"
     withHour
       .repartition(col("ts_hour"))
-      .write.mode("append")
+      .write.mode("overwrite")
       .partitionBy("ts_hour")
       .option("compression", "zstd")
-      .parquet(path)
-    // reconcile-commit: appended files join the manifest; CoW old
-    // generations parked for time travel must NOT be resurrected
-    org.apache.spark.sql.graft.ManifestFileIndex.commitAppended(path, "ts_hour")
+      .parquet(stage)
+    val appended = moveStaged(path, "ts_hour", stage, s"a$v-")
+    val current = ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty)
+    ManifestFileIndex.commitEntries(path, "ts_hour", current ++ appended)
+  }
+
+  /** Move every staged partition file into the live tree under
+    * `prefix`-unique names and return its manifest entries (footer stats
+    * included). Shared by the CoW tail and the append path; the staged
+    * directory is removed afterwards.
+    */
+  private def moveStaged(path: String, partCol: String, stage: String,
+      prefix: String): Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val stageDir = new java.io.File(stage)
+    val out = Seq.newBuilder[ManifestFileIndex.Entry]
+    Option(stageDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .sortBy(_.getName)
+      .foreach { d =>
+        val pv = d.getName.substring(partCol.length + 1)
+        val destDir = new java.io.File(path, d.getName)
+        destDir.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .foreach { f =>
+            val dest = new java.io.File(destDir, prefix + f.getName)
+            java.nio.file.Files.move(f.toPath, dest.toPath)
+            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
+            out += ManifestFileIndex.Entry(
+              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
+              ls, ss, ds)
+          }
+      }
+    rmDir(stage)
+    out.result()
   }
 
   /** Read with the evolved union schema from table metadata (no
@@ -320,6 +361,37 @@ object LakeIO {
     writeCow(s, path, partCol, survivors, untouched)
   }
 
+  /** Copy-on-write UPDATE: rows matching `cond` get `assignments` applied
+    * (SQL UPDATE semantics: condition and every right-hand side evaluate
+    * against the OLD row, so `SET a = b, b = a` swaps). Same stats-pruned
+    * planning as [[deleteWhere]] and the same partition-granular rewrite:
+    * only partitions holding a matching row are rewritten.
+    */
+  def updateWhere(s: SparkSession, path: String, cond: Column,
+      assignments: Seq[(String, Column)]): Unit = {
+    val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
+    if (cands.isEmpty) return
+    val entries = cands ++ skipped
+    val affected: Set[String] = hourPartitioned(
+      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+      .where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
+    if (touched.isEmpty) return
+    val rows = hourPartitioned(
+      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+    // old-row snapshot semantics: flag + all new values computed BEFORE
+    // any column is replaced
+    val flagged = rows.withColumn("__upd", coalesce(cond, lit(false)))
+    val withNew = assignments.zipWithIndex.foldLeft(flagged) {
+      case (df, ((_, value), i)) => df.withColumn(s"__new_$i", value)
+    }
+    val updated = assignments.zipWithIndex.foldLeft(withNew) {
+      case (df, ((name, _), i)) =>
+        df.withColumn(name, when($"__upd", col(s"__new_$i")).otherwise(col(name)))
+    }.drop("__upd" +: assignments.indices.map(i => s"__new_$i"): _*)
+    writeCow(s, path, partCol, updated, untouched)
+  }
+
   /** Shared copy-on-write tail: stage the rewritten partitions, move the
     * staged files into the live directories under a version-unique name,
     * and commit untouched + new entries as the next snapshot. `cluster`
@@ -339,32 +411,8 @@ object LakeIO {
     clusterFn(rewritten)
       .write.mode("overwrite").partitionBy(partCol)
       .option("compression", "zstd").parquet(stage)
-    val stageDir = new java.io.File(stage)
-    val newEntries = Seq.newBuilder[ManifestFileIndex.Entry]
-    Option(stageDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
-      .sortBy(_.getName)
-      .foreach { d =>
-        val pv = d.getName.substring(partCol.length + 1)
-        val destDir = new java.io.File(path, d.getName)
-        destDir.mkdirs()
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
-          .foreach { f =>
-            val dest = new java.io.File(destDir, s"m$v-${f.getName}")
-            java.nio.file.Files.move(f.toPath, dest.toPath)
-            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
-            newEntries += ManifestFileIndex.Entry(
-              pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ls, ss, ds)
-          }
-      }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(stageDir)
-    ManifestFileIndex.commitEntries(path, partCol, untouched ++ newEntries.result())
+    val newEntries = moveStaged(path, partCol, stage, s"m$v-")
+    ManifestFileIndex.commitEntries(path, partCol, untouched ++ newEntries)
   }
 
   /** EXACTLY-ONCE streaming append: idempotent under micro-batch retry.
@@ -520,7 +568,7 @@ object LakeIO {
     * to invalidate.
     */
   def lakePath(sfDir: String): String =
-    "/tmp/graft_lake/v4_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    "/tmp/graft_lake/v5_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
 
   /** Write once, scan many: skip the write when the committed marker is
     * already present (a lake table is immutable-once-committed; rebuilding
@@ -538,7 +586,7 @@ object LakeIO {
     * (marker-guarded write-once like [[mergedLake]]).
     */
   def incrLake(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_lake/v2_incr_" +
+    val path = "/tmp/graft_lake/v5_incr_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
     val marker = new java.io.File(path, "_graft_incr_done")
     if (!marker.exists()) {
@@ -648,7 +696,7 @@ object LakeIO {
     * ensureLake; a partial build (no marker) is rebuilt from scratch.
     */
   def mergedLake(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_lake/v2_merge_" +
+    val path = "/tmp/graft_lake/v5_merge_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
     val marker = new java.io.File(path, "_graft_merge_done")
     if (!marker.exists()) {
@@ -666,7 +714,44 @@ object LakeIO {
     path
   }
 
+  /** Lake mutated through SQL TEXT (`UPDATE … WHERE`) via the graft
+    * catalog — the keyed proof that the DML surface (GraftDmlRewrite →
+    * updateWhere) is reachable from `spark.sql`, not just the
+    * programmatic API. Marker-guarded write-once like [[mergedLake]].
+    */
+  def updatedLake(s: SparkSession, d: String): String = {
+    val wh = "/tmp/graft_lake/v5_updwh_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = wh + "/default/events"
+    val marker = new java.io.File(path, "_graft_update_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      writeLake(Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value"), path)
+      s.conf.set("spark.sql.catalog.graft_upd",
+        "org.apache.spark.sql.graft.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_upd.warehouse", wh)
+      s.sql("UPDATE graft_upd.default.events SET value = value + 1000.0 " +
+        "WHERE event_id % 10 = 0")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // SQL-text UPDATE end-to-end, oracle-checked: the CoW update applied
+    // by `spark.sql("UPDATE …")` must equal the oracle's CASE projection
+    // of the base table (+1000.0 is IEEE-exact on both engines).
+    Op("lake_update_where",
+      (s, d) => {
+        val path = updatedLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin),
+
     Op("scan_partitioned",
       (s, d) => {
         val path = ensureLake(s, d)

@@ -305,7 +305,10 @@ case class GraftLakeScan(
         "graft-lake streaming requires a committed manifest (write via LakeIO)")
     }
     val partCol = idx.partitionSchema.headOption.map(_.name).getOrElse("ts_hour")
-    new GraftLakeMicroBatchStream(initial, idx.rootPaths.head.toString, partCol)
+    val opts = initial.options
+    new GraftLakeMicroBatchStream(initial, idx.rootPaths.head.toString, partCol,
+      skipChangeCommits = Option(opts.get("skipChangeCommits")).exists(_.trim.toBoolean),
+      maxFilesPerTrigger = Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt))
   }
 
   // ── storage-partitioned joins (SPJ): the scan REPORTS its hour layout.

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 
 /** The graft lake as a STRUCTURED STREAMING SOURCE (Delta streaming-table
@@ -21,13 +21,31 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
   * replayable sink). At 100 TB the per-batch planning cost is the size of
   * the increment's manifest delta, never the table.
   *
+  * NON-APPEND commits (mergeInto/deleteWhere/optimizeZOrder/
+  * compactSnapshots) REMOVE files from the manifest; their m{v}-rewrite
+  * files are not inserts, and silently streaming them would re-deliver
+  * whole rewritten partitions as phantom rows. Like Delta, the stream
+  * FAILS on a change commit in the streamed range unless
+  * `.option("skipChangeCommits", true)` is set, in which case the whole
+  * offending commit (its removals AND its added rewrite files) is
+  * skipped and only pure-append commits flow.
+  *
+  * ADMISSION CONTROL: `.option("maxFilesPerTrigger", n)` (or a
+  * Trigger.AvailableNow read limit) chunks backfill and catch-up by
+  * snapshot version — each micro-batch ends at the last version whose
+  * cumulative added-file count fits the cap (always ≥ 1 version, so
+  * progress is guaranteed). Without it the first trigger would plan the
+  * entire table as one batch.
+  *
   * Implementation: each batch builds a [[ManifestFileIndex]] restricted to
   * the ADDED files and plans through a copy of the batch `ParquetScan`
   * pinned to that index — bin-packing, vectorized reading and column
   * pruning are all inherited, not reimplemented.
   */
-class GraftLakeMicroBatchStream(scan: ParquetScan, root: String, partCol: String)
-  extends MicroBatchStream {
+class GraftLakeMicroBatchStream(scan: ParquetScan, root: String, partCol: String,
+    skipChangeCommits: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def head: Int = ManifestFileIndex.headVersion(root).getOrElse(0)
 
@@ -37,6 +55,44 @@ class GraftLakeMicroBatchStream(scan: ParquetScan, root: String, partCol: String
     GraftVersionOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = GraftVersionOffset(head)
+
+  /** Rate-limited head: walk versions from `start`, accumulating each
+    * commit's added-file count, and stop at the last version that fits
+    * the cap — never zero progress (the first available commit is always
+    * admitted even if it alone exceeds the cap, e.g. the v1 backfill).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startV = start.asInstanceOf[GraftVersionOffset].v
+    val h = head
+    val cap = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case _                => None
+    }
+    cap match {
+      case None => GraftVersionOffset(h)
+      case Some(mx) =>
+        var v = startV
+        var files = 0
+        var prev = entriesAt(v).map(_.relPath).toSet
+        var stop = false
+        while (!stop && v < h) {
+          val next = entriesAt(v + 1).map(_.relPath).toSet
+          val added = (next -- prev).size
+          if (files > 0 && files + added > mx) stop = true
+          else {
+            files += added; prev = next; v += 1
+            if (files >= mx) stop = true
+          }
+        }
+        GraftVersionOffset(v)
+    }
+  }
 
   private def entriesAt(v: Int): Seq[ManifestFileIndex.Entry] =
     if (v <= 0) Seq.empty
@@ -48,11 +104,37 @@ class GraftLakeMicroBatchStream(scan: ParquetScan, root: String, partCol: String
         entries, partCol, Some(scan.readSchema())),
       partitionFilters = Seq.empty, dataFilters = Seq.empty)
 
+  /** The commits of (start, end], walked ONE AT A TIME so a change commit
+    * is detected even when the endpoint diff would hide it (a file added
+    * then rewritten inside the range). Append commits contribute their
+    * added files; change commits throw, or are skipped whole under
+    * `skipChangeCommits`.
+    */
+  private def addedIn(startV: Int, endV: Int): Seq[ManifestFileIndex.Entry] = {
+    val out = Seq.newBuilder[ManifestFileIndex.Entry]
+    var prev = entriesAt(startV).map(_.relPath).toSet
+    var v = startV
+    while (v < endV) {
+      val next = entriesAt(v + 1)
+      val nextPaths = next.map(_.relPath).toSet
+      val removed = prev -- nextPaths
+      if (removed.isEmpty) out ++= next.filterNot(e => prev.contains(e.relPath))
+      else if (!skipChangeCommits)
+        throw new IllegalStateException(
+          s"graft-lake stream: commit v${v + 1} under $root is not append-only " +
+          s"(${removed.size} file(s) removed/rewritten — a MERGE/DELETE/OPTIMIZE). " +
+          "Streaming it would re-deliver rewritten partitions as inserts. " +
+          "Set .option(\"skipChangeCommits\", true) to skip change commits " +
+          "and stream only appended data.")
+      prev = nextPaths
+      v += 1
+    }
+    out.result()
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = entriesAt(start.asInstanceOf[GraftVersionOffset].v)
-      .map(_.relPath).toSet
-    val added = entriesAt(end.asInstanceOf[GraftVersionOffset].v)
-      .filterNot(e => from.contains(e.relPath))
+    val added = addedIn(start.asInstanceOf[GraftVersionOffset].v,
+      end.asInstanceOf[GraftVersionOffset].v)
     if (added.isEmpty) Array.empty
     else scanFor(added).toBatch.planInputPartitions()
   }
@@ -90,10 +172,21 @@ class GraftLakeStreamSource
     : org.apache.spark.sql.types.StructType =
     delegate.inferSchema(options)
 
+  /** A user-supplied `.schema(...)` must MATCH the manifest schema — the
+    * table's schema is commit-defined, and silently discarding the passed
+    * one (the previous behavior) let a mismatched expectation surface as
+    * runtime column errors instead of failing loudly here.
+    */
   override def getTable(
       schema: org.apache.spark.sql.types.StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String])
-    : org.apache.spark.sql.connector.catalog.Table =
-    delegate.getTable(new CaseInsensitiveStringMap(properties))
+    : org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val inferred = inferSchema(opts)
+    require(schema == null || schema == inferred,
+      s"graft-lake-stream: user-specified schema $schema does not match the " +
+      s"table's committed schema $inferred — drop .schema(...) or make them equal")
+    delegate.getTable(opts)
+  }
 }

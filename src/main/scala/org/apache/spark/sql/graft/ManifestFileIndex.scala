@@ -407,8 +407,12 @@ object ManifestFileIndex {
           val buf = Seq.newBuilder[Entry]
           while (it.hasNext) {
             val parts = it.next().split('\t')
-            if (parts.length >= 4) {
-              val fields = parts.drop(4).map(_.split(':'))
+            // '#'-prefixed lines are metadata sections (#parked…), not files
+            if (parts.length >= 4 && !parts(0).startsWith("#")) {
+              // limit -1: a string stat whose min/max are empty serializes
+              // with trailing ':' separators, and the default split would
+              // silently drop them (lost skipping at best)
+              val fields = parts.drop(4).map(_.split(":", -1))
               val stats = fields.flatMap {
                 case Array(col, mn, mx) =>
                   scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
@@ -460,23 +464,59 @@ object ManifestFileIndex {
     commitEntries(rootDir, partCol, buf.result())
   }
 
+  /** The PARKED file set of the current manifest: files on disk that are
+    * not live at head but are still referenced by earlier snapshots
+    * (copy-on-write old generations kept for time travel). Tracked as
+    * `#parked` lines in the manifest itself, maintained by
+    * [[commitEntries]] — so reconciliation ([[commitAppended]]) reads ONE
+    * file instead of replaying every snapshot (O(V) metadata reads per
+    * commit, O(V²) cumulative — the pre-tracking behavior, kept as the
+    * fallback for manifests written before the `#parkedv` marker).
+    * Returns None when the manifest predates parked tracking.
+    */
+  def readParked(rootDir: String): Option[Set[String]] = {
+    val f = new java.io.File(rootDir, ManifestName)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      import scala.jdk.CollectionConverters._
+      val ls = lines.asScala
+      if (!ls.exists(_.startsWith("#parkedv\t"))) None
+      else Some(ls.filter(_.startsWith("#parked\t"))
+        .map(_.substring("#parked\t".length)).toSet)
+    }
+  }
+
   /** Commit after files were APPENDED in place to a manifest-defined lake:
-    * walk the directory, but treat as NEW only files referenced by no
-    * snapshot and absent from the current manifest. A plain walk-commit
+    * walk the directory, but treat as NEW only files absent from the
+    * current manifest's live AND parked sets. A plain walk-commit
     * ([[commit]]) assumes every on-disk .parquet is live — on a lake that
     * has seen a copy-on-write merge/delete, that would RESURRECT the old
     * generations parked for time travel. Falls back to [[commit]] when no
-    * manifest exists yet.
+    * manifest exists yet, and to the full snapshot replay for manifests
+    * older than parked tracking.
+    *
+    * This is the RECONCILE api for writers the engine doesn't control
+    * (external parquet appends): an unknown file is by definition the
+    * payload here, so at-least-once external writers should prefer
+    * [[graft.sources.LakeIO.appendExactlyOnce]], whose batch-prefix
+    * ledger makes replays no-ops. Engine-internal appends
+    * (`LakeIO.evolveAppend`) stage-and-move with explicit entries and
+    * never reconcile.
     */
   def commitAppended(rootDir: String, partCol: String): Unit =
     read(rootDir, None) match {
       case None => commit(rootDir, partCol)
       case Some((pc, current)) =>
-        val head = headVersion(rootDir).getOrElse(0)
-        val known: Set[String] =
-          ((1 to head).flatMap(v =>
-            read(rootDir, Some(v)).map(_._2.map(_.relPath)).getOrElse(Seq.empty)) ++
-            current.map(_.relPath)).toSet
+        val parked: Set[String] = readParked(rootDir).getOrElse {
+          // pre-tracking manifest: one last replay; this commit writes
+          // the #parked section and every later one reads it back
+          val head = headVersion(rootDir).getOrElse(0)
+          (1 to head).flatMap(v =>
+            read(rootDir, Some(v)).map(_._2.map(_.relPath)).getOrElse(Seq.empty))
+            .toSet -- current.map(_.relPath)
+        }
+        val known: Set[String] = current.map(_.relPath).toSet ++ parked
         val root = new java.io.File(rootDir)
         val buf = Seq.newBuilder[Entry]
         Option(root.listFiles()).getOrElse(Array.empty)
@@ -504,18 +544,33 @@ object ManifestFileIndex {
     * the table state (Iceberg's manifest-defines-liveness semantics).
     */
   def commitEntries(rootDir: String, partCol: String, entries: Seq[Entry]): Unit = {
+    // parked bookkeeping: whatever was live before this commit but is not
+    // live after it just became a parked old generation (kept on disk for
+    // time travel). Carry the previous parked set forward, dropping paths
+    // a vacuum has since deleted so the list can't grow without bound.
+    val newLive = entries.map(_.relPath).toSet
+    val prevLive = read(rootDir, None).map(_._2.map(_.relPath).toSet).getOrElse(Set.empty)
+    val parked = (readParked(rootDir).getOrElse(Set.empty) ++ (prevLive -- newLive))
+      .filter(p => new java.io.File(rootDir, p).exists())
+    // a ':' inside a column name would corrupt the ':'-separated stat
+    // field on read — omit that column's stats (pure skipping loss, never
+    // a wrong answer) rather than write an unparseable manifest
+    def statSafe(col: String): Boolean =
+      !col.contains(':') && !col.contains('\t') && !col.contains('\n')
     val sb = new StringBuilder(s"#partcol\t$partCol\n")
+    sb.append("#parkedv\t1\n")
+    parked.toSeq.sorted.foreach(p => sb.append("#parked\t").append(p).append('\n'))
     entries.sortBy(e => (e.partValue, e.relPath)).foreach { e =>
       sb.append(e.partValue).append('\t').append(e.relPath)
         .append('\t').append(e.size).append('\t').append(e.mtime)
-      e.stats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      e.stats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
         sb.append('\t').append(col).append(':').append(mn).append(':').append(mx)
       }
-      e.strStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      e.strStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
         sb.append('\t').append(col).append(":s:").append(mn).append(':').append(mx)
       }
       // doubles as raw-bits hex: exact round trip, no decimal repr drift
-      e.dblStats.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      e.dblStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
         sb.append('\t').append(col).append(":d:")
           .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mn)))
           .append(':')
@@ -574,6 +629,38 @@ object ManifestFileIndex {
       new java.io.File(snapDir, s"manifest-$v.tsv").delete()
       new java.io.File(snapDir, s"schema-$v.json").delete()
     }
+    removed
+  }
+
+  /** Delete data files referenced by NO snapshot and absent from the
+    * current manifest — the debris of crashed staged writes (Iceberg's
+    * `remove_orphan_files`). Engine writers never read orphans (the
+    * manifest defines liveness), so this is purely a disk-space
+    * maintenance job; the `olderThanMs` grace period keeps an IN-FLIGHT
+    * stage-and-move (written but not yet committed) safe. Snapshot
+    * replay here is O(V) by design — this runs as rare maintenance, not
+    * per commit. Returns the deleted-file count.
+    */
+  def removeOrphanFiles(rootDir: String, olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val cur = read(rootDir, None).getOrElse(return 0)
+    val (partCol, current) = cur
+    val head = headVersion(rootDir).getOrElse(0)
+    val referenced: Set[String] =
+      ((1 to head).flatMap(v =>
+        read(rootDir, Some(v)).map(_._2.map(_.relPath)).getOrElse(Seq.empty)) ++
+        current.map(_.relPath)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    val root = new java.io.File(rootDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !referenced.contains(d.getName + "/" + f.getName) &&
+            f.lastModified() < cutoff)
+          .foreach { f => if (f.delete()) removed += 1 }
+      }
     removed
   }
 

@@ -114,6 +114,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       === headBefore + 1)
   }
 
+  test("SQL UPDATE routes through the CoW update: old-row RHS semantics, snapshot isolation") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val headBefore =
+      org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+    spark.sql("UPDATE gcat.default.items SET v = concat(v, '!') WHERE id >= 2")
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b!"), (3L, "c!")))
+    // pre-update snapshot intact
+    assert(spark.sql(s"SELECT v FROM gcat.default.items VERSION AS OF $headBefore WHERE id = 2")
+      .head.getString(0) === "b")
+    // swap proves every RHS evaluates against the OLD row
+    LakeIO.writeLake(Seq((1L, "x", "y")).toDF("id", "a", "b")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01"))), s"$wh/default/swapt")
+    spark.sql("UPDATE gcat.default.swapt SET a = b, b = a")
+    val sw = spark.sql("SELECT a, b FROM gcat.default.swapt").head
+    assert((sw.getString(0), sw.getString(1)) === ("y", "x"))
+  }
+
+  test("SQL MERGE INTO (upsert shape) routes through the CoW merge") {
+    attach(); seed()
+    Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+      .createOrReplaceTempView("upserts")
+    spark.sql("""MERGE INTO gcat.default.items t USING upserts s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v, ts = s.ts
+                |WHEN NOT MATCHED THEN INSERT (id, v, ts) VALUES (s.id, s.v, s.ts)"""
+      .stripMargin)
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // star form works when the source carries the partition column
+    Seq((3L, "C3")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+      .withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
+      .createOrReplaceTempView("upserts2")
+    spark.sql("""MERGE INTO gcat.default.items t USING upserts2 s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT v FROM gcat.default.items WHERE id = 3")
+      .head.getString(0) === "C3")
+  }
+
   test("INSERT after a CoW merge must not resurrect parked old generations") {
     attach(); seed()
     val path = s"$wh/default/items"

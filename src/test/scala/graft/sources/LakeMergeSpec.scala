@@ -120,6 +120,60 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(skipped.nonEmpty)
   }
 
+  test("external reconcile-commit (commitAfterAppend) reads parked files from the manifest, not a snapshot replay") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")   // parks the touched old files
+    val parked = ManifestFileIndex.readParked(root)
+    assert(parked.exists(_.nonEmpty),
+      "the CoW commit must record its parked generation in the manifest")
+    val liveBefore = ManifestFileIndex.read(root).get._2.map(_.relPath).toSet
+    assert(parked.get.forall(p => !liveBefore.contains(p)))
+    // external writer drops files in (the foreachBatch-style raw append)
+    val extra = base.limit(7)
+      .withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
+    extra.repartition(col("ts_hour"))
+      .write.mode("append").partitionBy("ts_hour").parquet(root)
+    LakeIO.commitAfterAppend(root, extra.schema)
+    val after = ManifestFileIndex.read(root).get._2.map(_.relPath).toSet
+    // new files joined the manifest; parked generations did NOT resurrect
+    assert((after -- liveBefore).nonEmpty)
+    assert(parked.get.forall(p => !after.contains(p)),
+      "reconcile must not sweep parked old generations in as live data")
+  }
+
+  test("removeOrphanFiles deletes only unreferenced old debris, honors the grace period") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")   // parks old generation
+    val live = ManifestFileIndex.read(root).get._2.map(_.relPath)
+    val dir = new java.io.File(root, live.head.split('/').head)
+    val oldOrphan = new java.io.File(dir, "crashed-old.parquet")
+    val newOrphan = new java.io.File(dir, "crashed-new.parquet")
+    java.nio.file.Files.write(oldOrphan.toPath, Array[Byte](1))
+    java.nio.file.Files.write(newOrphan.toPath, Array[Byte](1))
+    assert(oldOrphan.setLastModified(System.currentTimeMillis() - 7200000))
+    val removed = ManifestFileIndex.removeOrphanFiles(root)
+    assert(removed === 1)
+    assert(!oldOrphan.exists(), "stale orphan deleted")
+    assert(newOrphan.exists(), "in-grace-period file kept (could be an in-flight stage)")
+    newOrphan.delete()
+    // every live and parked (snapshot-referenced) file untouched
+    assert(live.forall(p => new java.io.File(root, p).exists()))
+    assert(ManifestFileIndex.readParked(root).get
+      .forall(p => new java.io.File(root, p).exists()))
+    assert(readLake().count() ===
+      upd.unionByName(base.join(upd.select($"event_id"), Seq("event_id"), "left_anti")).count())
+  }
+
+  test("manifest stats round-trip empty string bounds (split must keep trailing empties)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_rt").toString
+    val e = ManifestFileIndex.Entry("2024-01-01-00", "ts_hour=2024-01-01-00/f.parquet",
+      1L, 2L, strStats = Map("s_empty" -> ("", ""), "s_halfempty" -> ("", "61")))
+    ManifestFileIndex.commitEntries(dir, "ts_hour", Seq(e))
+    val back = ManifestFileIndex.read(dir).get._2.head
+    assert(back.strStats === e.strStats,
+      s"empty-bound string stats must survive the TSV round trip: ${back.strStats}")
+  }
+
   test("readIncrement returns exactly the appended rows") {
     rm(new java.io.File(root))
     val cut = to_timestamp(lit("2024-01-16 00:00:00"))

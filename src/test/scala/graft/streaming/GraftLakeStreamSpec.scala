@@ -63,4 +63,74 @@ class GraftLakeStreamSpec extends AnyFunSuite {
       assert(sunk.select($"event_id").distinct().count() === 180L)
     } finally q2.stop()
   }
+
+  test("a CoW change commit in the streamed range fails loudly; skipChangeCommits streams past it") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 100), root)                    // v1 (append)
+    LakeIO.mergeInto(spark, root,                            // v2 (CHANGE: rewrites files)
+      batch(0, 10).withColumn("value", $"value" + 1000.0), "event_id")
+    LakeIO.evolveAppend(batch(100, 20), root)                // v3 (append)
+
+    // default: the stream must refuse to silently re-deliver the rewrite
+    val q = spark.readStream.format("graft-lake-stream").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("not append-only")
+      || Option(e.getCause).exists(_.getMessage.contains("not append-only")),
+      s"must name the change commit: ${e.getMessage}")
+
+    // opt-in: change commit v2 skipped WHOLE (no rewritten partitions as
+    // phantom inserts), appends v1 + v3 delivered
+    rm(ckpt); rm(out)
+    val q2 = spark.readStream.format("graft-lake-stream")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() === 120L, "v1 backfill (100) + v3 append (20), v2 skipped")
+      assert(sunk.select($"event_id").distinct().count() === 120L)
+      assert(sunk.where($"value" > 999.0).count() === 0L,
+        "the merge's rewritten rows must not leak through")
+    } finally q2.stop()
+  }
+
+  test("maxFilesPerTrigger chunks backfill and catch-up by snapshot version") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 100), root)                    // v1
+    LakeIO.evolveAppend(batch(100, 50), root)                // v2
+    LakeIO.evolveAppend(batch(150, 30), root)                // v3
+    val q = spark.readStream.format("graft-lake-stream")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 180L)
+      // admission control: 3 versions at ≥1 file each under a 1-file cap
+      // must take ≥3 micro-batches (one unbounded batch would be 1)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString("batches: ", ",", ""))
+    } finally q.stop()
+  }
+
+  test("readStream.schema() must match the committed schema or fail loudly") {
+    rm(root)
+    LakeIO.writeLake(batch(0, 10), root)
+    val wrong = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nope",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-lake-stream").schema(wrong).load(root)
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+  }
 }
