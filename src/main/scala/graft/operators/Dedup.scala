@@ -25,6 +25,37 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Granular (sub-document) dedup on a (doc_id, text) frame: fixed
+    * `segWords`-word segments, corpus-wide first-occurrence-wins (by
+    * doc_id, then position), docs reassembled from surviving segments.
+    * Segmentation is map-side array math (no word-level explode row
+    * blow-up before the shuffle); the only shuffle is the segment-key
+    * window — one hash partition per distinct segment, the same
+    * single-shuffle shape as dedup_exact. Reassembly sorts each doc's
+    * surviving segments via array_sort over collect_list (collect_list
+    * alone has no ordering guarantee).
+    */
+  def segmentDedup(docsDf: DataFrame, segWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docsDf
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(words) / $segWords.0) AS INT) - 1), " +
+          s"i -> array_join(slice(words, i * $segWords + 1, $segWords), ' '))"))
+        .as(Seq("seg_no", "seg")))
+      .withColumn("seg_no", $"seg_no".cast("long"))
+    segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"seg").orderBy($"doc_id", $"seg_no")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "struct(seg_no, rn, seg))), x -> x.rn = 1), x -> x.seg), ' ')")
+          .as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
   /** Word k-shingles of the lowercased text, distinct. Texts shorter
     * than k tokens yield an empty array (an unguarded
     * `sequence(0, size-k)` would count DOWN for size < k and emit
@@ -537,6 +568,29 @@ object Dedup {
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a""".stripMargin)
+        |ORDER BY doc_a""".stripMargin),
+
+    // Granular (sub-document) dedup — the C4/RefinedWeb "line dedup"
+    // shape on this corpus's single-line docs (see [[segmentDedup]]).
+    Op("dedup_segments",
+      (s, d) => segmentDedup(docs(s, d), segWords = 10),
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS idx
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(floor((idx - 1) / 10) AS BIGINT) AS seg_no,
+        |         string_agg(w, ' ' ORDER BY idx) AS seg
+        |  FROM words GROUP BY doc_id, floor((idx - 1) / 10)),
+        |flagged AS (
+        |  SELECT doc_id, seg_no, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |       count(*) AS n_segs,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '') AS text_dedup
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -155,6 +155,68 @@ object RelationalOps {
         |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_acctbal
         |FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    // MIXED equi + non-equi condition (late-shipping lineitems). Catalyst
+    // keeps the equi key as the hash-join key and evaluates the date
+    // predicate as a join filter — one shuffle, no cartesian, and the
+    // semi join short-circuits on first match per order (no fact-side
+    // count inflation at 100 TB).
+    Op("q4_late_ship",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority"),
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q6 shape: the pure scan-pushdown microbenchmark — every
+    // predicate reaches the parquet reader (PushedFilters), the projection
+    // prunes to 4 columns, and the single global agg has a map-side
+    // partial. Revenue through DECIMAL for order-exact partials.
+    Op("q6_forecast",
+      (s, d) => Tables.lineitem(s, d)
+        .where($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00"))
+          && $"l_discount" >= 0.02 && $"l_discount" <= 0.04
+          && $"l_quantity" < 24.0)
+        .agg(sum(($"l_extendedprice" * $"l_discount").cast(DecimalType(18, 8)))
+          .cast(DecimalType(24, 4)).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24.0""".stripMargin),
+
+    // Anti-join: customers with NO order above the threshold — NOT EXISTS
+    // as a left-anti hash join (the NULL-safe form; NOT IN would need the
+    // null-aware single-column variant). Broadcast the filtered orders
+    // side at any realistic selectivity.
+    Op("customers_no_big_orders",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).where($"o_totalprice" > 250000.0)
+          .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment"),
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 }

@@ -61,6 +61,17 @@ object LakeIO {
     org.apache.spark.sql.graft.ManifestFileIndex.commitAppended(path, "ts_hour")
   }
 
+  /** V1 parquet reader for a lake path with the COMMITTED schema (when a
+    * `_graft_schema.json` exists — every writeLake/commit leaves one):
+    * skips parquet footer schema inference on every query. Partition-
+    * directory discovery remains, which is why the manifest-planned V2
+    * source stays ~10× faster; this removes the avoidable half of the
+    * per-query listing cost. Falls back to inference for foreign
+    * parquet directories with no commit metadata.
+    */
+  private def v1Read(s: SparkSession, path: String) =
+    tableSchema(path).fold(s.read)(s.read.schema)
+
   /** Read back with a [start, end) `ts` range, pruned via `ts_hour`. The
     * extra ts_hour bounds are the hour-truncations of the range endpoints,
     * so the rewrite is exactly Iceberg's hidden-partition pruning.
@@ -68,7 +79,7 @@ object LakeIO {
   def prunedScan(s: SparkSession, path: String, startTs: String, endTs: String): DataFrame = {
     val startHour = startTs.take(13).replace(' ', '-')
     val endHour   = endTs.take(13).replace(' ', '-')
-    s.read.parquet(path)
+    v1Read(s, path).parquet(path)
       .where($"ts_hour" >= startHour && $"ts_hour" <= endHour)
       .where($"ts" >= to_timestamp(lit(startTs)) && $"ts" < to_timestamp(lit(endTs)))
   }
@@ -785,6 +796,25 @@ object LakeIO {
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-13 00:00:00'
         |ORDER BY event_id""".stripMargin),
 
+    // File skipping from manifest VALUE stats (not partition values): an
+    // event_id range predicate prunes to the files whose recorded INT64
+    // [min,max] intersect it — zero footer reads, zero listing
+    // (ManifestFileIndex.listFiles; LakeStatsSpec proves the plan
+    // touches fewer files). The Iceberg/Delta data-skipping story, keyed
+    // and oracle-checked end-to-end.
+    Op("scan_stats_skip",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .where($"event_id" >= 200L && $"event_id" < 450L)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE event_id >= 200 AND event_id < 450
+        |ORDER BY event_id""".stripMargin),
+
     // Session-rule variant of hidden pruning (HourPartitionPruning
     // optimizer Rule over a plain V1 parquet scan) — the path for lakes
     // read WITHOUT the graft-lake source, e.g. through an existing
@@ -793,7 +823,7 @@ object LakeIO {
       (s, d) => {
         val path = ensureLake(s, d)
         graft.plans.HourPartitionPruning.install(s)
-        s.read.parquet(path)
+        v1Read(s, path).parquet(path)
           .where($"ts" >= to_timestamp(lit("2024-01-12 00:00:00"))
             && $"ts" < to_timestamp(lit("2024-01-13 00:00:00")))
           .select($"event_id", $"ts", $"event_type", $"value")
@@ -839,6 +869,23 @@ object LakeIO {
           .orderBy($"event_id")
       },
       """SELECT event_id, event_type, value, user_id
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Source-format breadth: ORC sink → source roundtrip with the NATIVE
+    // timestamp type (unlike CSV/JSONL, which travel formatted strings) —
+    // proves cross-format type fidelity through Spark's built-in
+    // columnar ORC source (zstd, predicate-pushdown-capable like parquet).
+    Op("orc_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_fmt/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "/events_orc"
+        Tables.events(s, d)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .write.mode("overwrite").option("compression", "zstd").orc(path)
+        s.read.orc(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events ORDER BY event_id""".stripMargin),
 
     // Copy-on-write MERGE end-to-end, oracle-checked: build the lake,
@@ -1018,14 +1065,24 @@ object LakeIO {
         |FROM merged GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
     // S9 catalog introspection: register the testdata tables and list them
-    // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES).
+    // (reference: README.md:462-465 SHOW CATALOGS / SHOW TABLES). The
+    // session temp-view namespace is shared (other keyed queries register
+    // views of their own), so the introspection is scoped to the
+    // registered set — the oracle then strictly checks every registered
+    // table round-trips through SHOW TABLES (a failed registration would
+    // drop its row).
     Op("catalog_tables",
       (s, d) => {
         Tables.names.foreach { n =>
           val df = if (n == "events") Tables.events(s, d) else Tables.load(s, d, n)
           df.createOrReplaceTempView(n)
         }
-        s.sql("SHOW TABLES").select($"tableName").orderBy($"tableName")
-      }, None)
+        s.sql("SHOW TABLES").select($"tableName")
+          .where($"tableName".isin(Tables.names: _*))
+          .orderBy($"tableName")
+      },
+      Tables.names.sorted
+        .map(n => s"SELECT '$n' AS tableName")
+        .mkString("", " UNION ALL ", " ORDER BY tableName"))
   )
 }

@@ -65,4 +65,20 @@ class DedupSpec extends AnyFunSuite {
       .select(lower(trim($"text"))).distinct().count()
     assert(out.count() === distinctTexts)
   }
+
+  test("segment dedup: first occurrence wins, later copies drop, docs reassemble in order") {
+    // doc 1: two segments (a b, c d); doc 2 repeats segment (a b) then
+    // adds a fresh one; doc 3 is entirely a copy of earlier segments.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, segWords = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 2L, 2L, "a b c d"),   // all segments first-seen
+      (2L, 2L, 1L, "x y"),       // "a b" already owned by doc 1
+      (3L, 2L, 0L, "")))         // fully deduplicated away
+  }
 }

@@ -40,7 +40,15 @@ class LakeStatsSpec extends AnyFunSuite {
   }
 
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
-    val scan = df.queryExecution.executedPlan.collectFirst {
+    // queries with an exchange (e.g. a keyed op's ORDER BY) plan under
+    // AdaptiveSparkPlanExec, whose tree isn't visible to collectFirst —
+    // unwrap to the current physical plan first
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst {
       case b: BatchScanExec => b.scan
     }.get.asInstanceOf[GraftLakeScan]
     scan.toBatch.planInputPartitions().map {
@@ -60,6 +68,15 @@ class LakeStatsSpec extends AnyFunSuite {
     // correctness unchanged
     val n = lake.where($"event_id" <= 50L).count()
     assert(n === Tables.events(spark, sf).where($"event_id" <= 50L).count())
+  }
+
+  test("keyed scan_stats_skip plans a fraction of the lake's files") {
+    val df = graft.SparkEntry.queries("scan_stats_skip")(spark, sf)
+    val all = plannedFiles(
+      spark.read.format("graft-lake").load(path).select($"event_id", $"value"))
+    val skip = plannedFiles(df)
+    assert(skip > 0 && skip < all,
+      s"stats skipping on the keyed op: $skip of $all files")
   }
 
   test("commit records UTF8 stats per file in the manifest") {
