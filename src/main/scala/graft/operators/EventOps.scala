@@ -624,6 +624,34 @@ object EventOps {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
         |FROM events ORDER BY event_type, event_id""".stripMargin),
 
+    // ── Time-based window frame: RANGE BETWEEN over microsecond offsets
+    //    (trailing 1-hour per-key average) — the frame is value-defined,
+    //    not row-count-defined, so late-sparse and dense regions get the
+    //    same time horizon. Both engines frame on integer epoch-µs, so
+    //    boundaries are exact; the cents sum + single division keeps the
+    //    average bit-identical.
+    Op("moving_avg_time",
+      (s, d) => {
+        val w = Window.partitionBy($"event_type").orderBy(unix_micros($"ts"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        ev(s, d)
+          .select($"event_id", $"event_type",
+            (sum(cents($"value")).over(w).cast("double") / 100.0
+              / count(lit(1)).over(w)).as("win_avg"),
+            count(lit(1)).over(w).as("win_n"))
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, event_type,
+        |       CAST(win_cents AS DOUBLE)/100.0/win_n AS win_avg, win_n
+        |FROM (
+        |  SELECT event_id, event_type,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) OVER w AS BIGINT) AS win_cents,
+        |         count(*) OVER w AS win_n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin),
+
     // ── Rank-family window analytics: ntile deciles, percent_rank,
     // cume_dist per key (deterministic via the event_id tie-break; the
     // rank→double math is identical IEEE on both engines given unique
@@ -673,6 +701,39 @@ object EventOps {
       s"""SELECT event_type, ${sqlExactAvg("value")} AS avg_value,
          |       count(*) AS cnt
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ── Skew pattern: SALTED shuffle join — the build side (per-type
+    //    stats, too hot-keyed to shuffle-join raw at scale) is replicated
+    //    once per salt so the probe side's hot key spreads over 8
+    //    partitions. SHUFFLE_HASH hint keeps the demonstration honest
+    //    (no auto-broadcast); the oracle is the UNSALTED join — the
+    //    rewrite must be result-identical, only the partitioning moves.
+    //    (With a genuinely small build side, broadcast wins; this is the
+    //    fallback shape next to AQE skew-join for mid-size build sides.)
+    Op("salted_join",
+      (s, d) => {
+        val dim = ev(s, d).groupBy($"event_type")
+          .agg((sum(cents($"value")).cast("double") / 100.0 / count(lit(1)))
+            .as("type_avg"))
+        val saltedDim = dim.select($"event_type", $"type_avg",
+          explode(expr("sequence(0, 7)")).as("salt"))
+        ev(s, d)
+          .withColumn("salt", pmod(hash($"event_id"), lit(8)))
+          .join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"value" > $"type_avg", 1L).otherwise(0L)).as("n_above"),
+            max($"type_avg").as("type_avg"))
+          .orderBy($"event_type")
+      },
+      s"""WITH dim AS (
+         |  SELECT event_type, ${sqlExactAvg("value")} AS type_avg
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, count(*) AS n_events,
+         |       CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |       max(d.type_avg) AS type_avg
+         |FROM events e JOIN dim d ON e.event_type = d.event_type
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
 
     // ── O4 at scale: same keep-last-100 semantics through a bounded-heap
     //    typed Aggregator — partial aggregation caps each key at 100 rows

@@ -273,7 +273,15 @@ object LakeIO {
     * semantics). Read the table back via `format("graft-lake")`; a raw
     * directory scan would see both generations.
     */
-  def mergeInto(s: SparkSession, path: String, updates: DataFrame, key: String): Unit = {
+  def mergeInto(s: SparkSession, path: String, updates: DataFrame, key: String): Unit =
+    mergeInto(s, path, updates, Seq(key))
+
+  /** Composite-key form of the CoW upsert (e.g. a windowed aggregate's
+    * (key, window_start) primary key — reference:
+    * init-analytics-db.sql:9 PRIMARY KEY (city, window_start)).
+    */
+  def mergeInto(s: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
     val withHour = hourPartitioned(updates)
     val affected: Set[String] =
       withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
@@ -287,11 +295,39 @@ object LakeIO {
         val existing = hourPartitioned(
           s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
         val survivors = existing
-          .join(withHour.select(col(key)).distinct(), Seq(key), "left_anti")
+          .join(withHour.select(keys.map(col): _*).distinct(), keys, "left_anti")
         survivors.select(withHour.columns.map(col).toIndexedSeq: _*).unionByName(withHour)
       }
     }
     writeCow(s, path, partCol, rewritten, untouched)
+  }
+
+  /** Idempotent micro-batch MERGE for `foreachBatch` (streaming upsert
+    * sink): the txn marker records the last applied batchId, so a
+    * replayed batch after crash recovery (foreachBatch is at-least-once)
+    * skips instead of burning a snapshot version. The marker is advanced
+    * by atomic rename AFTER the merge commit; a crash in between re-runs
+    * one merge whose upsert-by-key result is content-identical — the
+    * replay costs a version, never a wrong row. First batch bootstraps
+    * the table.
+    */
+  def mergeExactlyOnce(s: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], batchId: Long): Unit = {
+    if (batch.isEmpty) return // update-mode triggers can emit empty batches
+    val txn = new java.io.File(path, "_graft_txn_merge")
+    val applied =
+      if (txn.exists())
+        new String(java.nio.file.Files.readAllBytes(txn.toPath), "UTF-8").trim.toLong
+      else -1L
+    if (batchId <= applied) return
+    if (org.apache.spark.sql.graft.ManifestFileIndex.read(path).isEmpty)
+      writeLake(batch, path)
+    else
+      mergeInto(s, path, batch, keys)
+    val tmp = new java.io.File(path, "._graft_txn_merge.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tmp.renameTo(txn)
   }
 
   /** Files of `entries` that might contain a row matching `cond`, decided

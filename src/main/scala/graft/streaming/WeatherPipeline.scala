@@ -159,4 +159,28 @@ object WeatherPipeline {
         graft.sources.LakeIO.appendExactlyOnce(path, batch.toDF(), batchId)
       }
       .start()
+
+  /** Streaming UPSERT sink to the lake: the windowed aggregate in update
+    * mode lands each micro-batch as an idempotent CoW MERGE on the
+    * (city, window-start) primary key — the reference's Postgres
+    * ON CONFLICT DO UPDATE sink (init-analytics-db.sql:9) re-expressed as
+    * a snapshot-versioned table. Window refinements overwrite their key's
+    * row; replayed batches are no-ops via the txn marker; every batch is
+    * a time-travelable snapshot and only update-touched hour partitions
+    * rewrite (the window column doubles as the partition time).
+    */
+  def lakeUpsertSink(source: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    windowedAgg(parse(source))
+      .select($"city", $"window_start".as("ts"), $"window_end",
+        $"avg_temperature", $"record_count")
+      .writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.LakeIO.mergeExactlyOnce(batch.sparkSession, path,
+          batch.toDF(), Seq("city", "ts"), batchId)
+      }
+      .start()
 }

@@ -291,6 +291,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows() === 5)
   }
 
+  test("streaming upsert sink: window refinements MERGE by key; replays don't burn versions") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString
+    val dir = base + "/table"
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.lakeUpsertSink(input.toDF(), dir, base + "/ckpt")
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      // same window, next micro-batch (within watermark) → refined row
+      // must OVERWRITE the (city, window_start) key, not append
+      input.addData(WeatherRecord("A", "30.0", "2024-01-01 10:00:02"),
+        WeatherRecord("B", "50.0", "2024-01-01 10:00:03"))
+      q.processAllAvailable()
+      val out = spark.read.format("graft-lake").load(dir)
+        .select($"city", $"avg_temperature", $"record_count")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(out === Seq(("A", 20.0, 2L), ("B", 50.0, 1L)),
+        "refined window must upsert by key in the lake table")
+      // idempotency: a replayed batchId is a no-op — the snapshot head
+      // must not advance
+      val head = org.apache.spark.sql.graft.ManifestFileIndex.headVersion(dir)
+      val replay = Seq(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:05"), 99.0, 9L))
+        .toDF("city", "ts", "window_end", "avg_temperature", "record_count")
+      graft.sources.LakeIO.mergeExactlyOnce(spark, dir, replay,
+        Seq("city", "ts"), batchId = 0L)
+      assert(org.apache.spark.sql.graft.ManifestFileIndex.headVersion(dir) === head,
+        "replayed batchId must not commit a new snapshot")
+      // the pre-refinement snapshot is still time-travelable
+      val v1 = spark.read.format("graft-lake").option("versionAsOf", "1").load(dir)
+      assert(v1.count() === 1L, "first micro-batch snapshot must survive the merge")
+    } finally q.stop()
+  }
+
   test("streaming CDC: each micro-batch commit is a snapshot; readIncrement yields that batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
     val input = MemoryStream[WeatherRecord]
