@@ -555,22 +555,17 @@ object LakeIO {
     * touched partitions' rows — never the table.
     */
   def readChanges(s: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.graft.ManifestFileIndex
-    def entriesOf(v: Int) = ManifestFileIndex.read(path, Some(v))
-      .getOrElse(sys.error(s"readChanges: no snapshot $v under $path"))._2
-    val from = entriesOf(fromV).map(_.relPath).toSet
-    val to = entriesOf(toV).map(_.relPath).toSet
-    val schema = tableSchema(path)
-    def rowsOf(rel: Seq[String]): DataFrame = {
-      val rd = s.read.option("basePath", path)
-      val rd2 = schema.map(rd.schema).getOrElse(rd)
-      if (rel.isEmpty) {
-        // typed empty frame so except/union stay well-formed
-        rd2.parquet(entriesOf(toV).head +: Nil map (e => path + "/" + e.relPath): _*).limit(0)
-      } else rd2.parquet(rel.map(r => path + "/" + r): _*)
-    }
-    val added = rowsOf((to -- from).toSeq.sorted)
-    val removed = rowsOf((from -- to).toSeq.sorted)
+    // both sides plan from the MANIFEST DIFF inside the V2 source
+    // (changesFrom/changesTo options): two metadata reads replace the
+    // V1 multi-path read that stat'd every touched file on the driver
+    // (measured 2-7 s on a 1440-file changefeed vs ~0.2 s planned)
+    def rowsOf(side: String): DataFrame = s.read.format("graft-lake")
+      .option("changesFrom", fromV.toString)
+      .option("changesTo", toV.toString)
+      .option("changeSide", side)
+      .load(path)
+    val added = rowsOf("added")
+    val removed = rowsOf("removed")
     // Both EXCEPT ALL directions in ONE shuffle: tag rows ±1 by side,
     // net the multiplicities per distinct row, then re-expand — sign is
     // the change kind, |net| the bag count. Two exceptAll calls would

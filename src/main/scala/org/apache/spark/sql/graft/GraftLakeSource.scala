@@ -47,7 +47,11 @@ class GraftLakeSource extends ParquetDataSourceV2 {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = getPaths(options).headOption
-    val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    // a change-feed read (changesFrom/changesTo) carries the END snapshot's
+    // schema on both sides — removed-side files missing a later-added
+    // column read it as null, same as the V1 schema-on-read behavior
+    val version = Option(options.get("changesTo"))
+      .orElse(Option(options.get("versionAsOf"))).map(_.trim.toInt)
     val fromMeta = (path, version) match {
       case (Some(p), Some(v)) => ManifestFileIndex.snapshotSchema(p, v)
       case (Some(p), None)    => graft.sources.LakeIO.tableSchema(p)
@@ -113,12 +117,42 @@ class GraftLakeTable(inner: ParquetTable,
     // stay readable — Iceberg snapshot semantics)
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
       .orElse(tableVersion)
-    val (snapManifest, snapSchema) = version match {
-      case Some(v) =>
-        val m = rootDir.flatMap(ManifestFileIndex.read(_, Some(v)))
-        require(m.isDefined, s"no snapshot version $v under ${rootDir.getOrElse("?")}")
-        (m, rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, v)).orElse(metaSchema))
-      case None => (manifest, metaSchema)
+    // change-feed mode: plan the MANIFEST DIFF between two snapshots as
+    // the file list — `changeSide=added` scans files live in changesTo but
+    // not changesFrom (the new generation), `removed` the converse (the
+    // replaced one). The whole plan comes from two manifest reads: no
+    // directory listing, no per-file driver stats — at 100 TB a changefeed
+    // over a 10-partition merge plans in two small metadata reads instead
+    // of statting every touched file (the V1 multi-path read's cost).
+    val changes = for {
+      f0 <- Option(options.get("changesFrom")).map(_.trim.toInt)
+      t0 <- Option(options.get("changesTo")).map(_.trim.toInt)
+    } yield (f0, t0, Option(options.get("changeSide")).getOrElse("added"))
+    val (snapManifest, snapSchema) = changes match {
+      case Some((f0, t0, side)) =>
+        require(rootDir.isDefined, "graft-lake change feed requires a lake path")
+        def entriesOf(v: Int) = ManifestFileIndex.read(rootDir.get, Some(v))
+          .getOrElse(sys.error(s"no snapshot version $v under ${rootDir.get}"))
+        val (pc, fromE) = entriesOf(f0)
+        val (_, toE) = entriesOf(t0)
+        val entries = side match {
+          case "added" =>
+            val fromSet = fromE.map(_.relPath).toSet
+            toE.filterNot(e => fromSet(e.relPath))
+          case "removed" =>
+            val toSet = toE.map(_.relPath).toSet
+            fromE.filterNot(e => toSet(e.relPath))
+          case other => sys.error(s"changeSide must be added|removed, got $other")
+        }
+        (Some((pc, entries)),
+          rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, t0)).orElse(metaSchema))
+      case None => version match {
+        case Some(v) =>
+          val m = rootDir.flatMap(ManifestFileIndex.read(_, Some(v)))
+          require(m.isDefined, s"no snapshot version $v under ${rootDir.getOrElse("?")}")
+          (m, rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, v)).orElse(metaSchema))
+        case None => (manifest, metaSchema)
+      }
     }
     (snapManifest, snapSchema) match {
       case (Some((partCol, entries)), Some(full)) =>
@@ -325,10 +359,30 @@ case class GraftLakeScan(
   // Off (default), everything delegates to the parquet batch unchanged,
   // keeping maxPartitionBytes bin-packing for maximum scan parallelism.
   private def partCols = initial.fileIndex.partitionSchema
+  /** SPJ only when a key group is worth a task: `v2.bucketing.enabled`
+    * defaults to TRUE on Spark 4, and KeyGroupedPartitioning forces one
+    * input partition per partition VALUE — on a 720-hour lake of small
+    * files that is 720 tiny tasks for EVERY scan (measured ~5× slower
+    * than bin-packed at sf0.1), while at 100 TB an hour is gigabytes and
+    * per-key tasks are exactly right. The gate compares mean bytes per
+    * key group against `spark.graft.spj.minBytesPerPartition` (default =
+    * `spark.sql.files.openCostInBytes`: a group cheaper than one file
+    * open can't pay for its own task); set it to 0 to force SPJ (SpjSpec
+    * does, proving the zero-exchange plans on the small test lake).
+    */
+  private def spjWorthwhile: Boolean = initial.fileIndex match {
+    case m: ManifestFileIndex =>
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val minBytes = conf.getConfString("spark.graft.spj.minBytesPerPartition",
+        conf.filesOpenCostInBytes.toString).toLong
+      m.avgPartValueBytes >= minBytes
+    case _ => true
+  }
   private def spjEligible: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       partCols.length == 1 &&
-      initial.readSchema().fieldNames.contains(partCols.head.name)
+      initial.readSchema().fieldNames.contains(partCols.head.name) &&
+      spjWorthwhile
 
   override def outputPartitioning()
     : org.apache.spark.sql.connector.read.partitioning.Partitioning =

@@ -42,6 +42,16 @@ class ManifestFileIndex(
     val pinnedVersion: Option[Int] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, userSpecifiedSchema) {
 
+  /** Mean bytes per partition VALUE — the scan's SPJ gate: reporting
+    * KeyGroupedPartitioning forces one task per key group, which is the
+    * right plan when an hour holds gigabytes (100 TB) and a parallelism
+    * collapse when it holds kilobytes (demo/test lakes).
+    */
+  private[graft] lazy val avgPartValueBytes: Long = {
+    val nGroups = entries.iterator.map(_.partValue).toSet.size
+    if (nGroups == 0) 0L else entries.iterator.map(_.size).sum / nGroups
+  }
+
   private val statusByDir: Map[Path, Array[FileStatus]] =
     entries.groupBy(_.partValue).map { case (pv, es) =>
       val dir = new Path(root, s"$partCol=$pv")

@@ -29,7 +29,10 @@ class SpjSpec extends AnyFunSuite {
   }
 
   test("hourly aggregation over the reported partitioning needs no exchange") {
-    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+    // threshold 0 forces SPJ on the (tiny) test lake — the size gate
+    // would otherwise bin-pack it for parallelism (GraftLakeScan.spjWorthwhile)
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.spj.minBytesPerPartition" -> "0") {
       val agg = lake().groupBy($"ts_hour").agg(count(lit(1)).as("n"))
       agg.collect()
       val plan = agg.queryExecution.executedPlan.toString
@@ -51,7 +54,8 @@ class SpjSpec extends AnyFunSuite {
     }
     val expected = query().collect() // default conf: shuffled plan
     withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
-        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.graft.spj.minBytesPerPartition" -> "0") {
       val q = query()
       val got = q.collect()
       val plan = q.queryExecution.executedPlan.toString
