@@ -580,6 +580,30 @@ object LakeIO {
       .drop("__net", "__i")
   }
 
+  /** Snapshot history of a lake table — the `DESCRIBE HISTORY` surface
+    * (Iceberg `$snapshots` metadata table): one row per committed version
+    * with its commit time and LIVE file accounting read from that
+    * version's manifest. Metadata-only: O(versions) small-file reads, the
+    * table's data files are never touched — at 100 TB this answers "what
+    * changed when" without a single data-file open.
+    */
+  def history(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val head = ManifestFileIndex.headVersion(path).getOrElse(0)
+    val rows = (1 to head).flatMap { v =>
+      ManifestFileIndex.read(path, Some(v)).map { case (_, entries) =>
+        val snap = new java.io.File(s"$path/${ManifestFileIndex.SnapshotDir}",
+          s"manifest-$v.tsv")
+        (v.toLong, new java.sql.Timestamp(snap.lastModified()),
+          entries.size.toLong,
+          entries.iterator.map(_.partValue).toSet.size.toLong,
+          entries.iterator.map(_.size).sum)
+      }
+    }
+    s.createDataFrame(rows)
+      .toDF("version", "committed_at", "n_files", "n_partitions", "size_bytes")
+  }
+
   def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {
     val f = new java.io.File(path, "_graft_schema.json")
     if (!f.exists()) None
@@ -966,6 +990,29 @@ object LakeIO {
       },
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events ORDER BY event_id""".stripMargin),
+
+    // DESCRIBE HISTORY over the merged lake, with a REAL oracle: the
+    // hour-partitioned CoW layout writes exactly one live file per hour
+    // per generation, so each version's manifest must account
+    // #files = #partitions = #distinct event hours — the oracle derives
+    // that from the events table itself, proving the manifest's file
+    // accounting (live vs parked) against the data it indexes.
+    // committed_at / size_bytes are in the API but not the keyed output
+    // (wall-clock and codec-dependent).
+    Op("lake_history",
+      (s, d) => {
+        val path = mergedLake(s, d)
+        history(s, path)
+          .select($"version", $"n_files", $"n_partitions")
+          .orderBy($"version")
+      },
+      """WITH h AS (
+        |  SELECT CAST(count(DISTINCT strftime(CAST(ts AS TIMESTAMP),
+        |         '%Y-%m-%d-%H')) AS BIGINT) AS nh FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, nh AS n_files, nh AS n_partitions FROM h
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), nh, nh FROM h
+        |ORDER BY version""".stripMargin),
 
     // Snapshot-diff incremental read: write Jan 1-15 (snapshot 1), append
     // Jan 16+ (snapshot 2), read ONLY the increment from the manifest

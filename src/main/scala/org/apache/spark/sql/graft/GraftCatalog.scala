@@ -77,14 +77,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = tablePath(ident)
-    val head = ManifestFileIndex.headVersion(path).getOrElse(
-      throw new RuntimeException(s"$path has no committed snapshots"))
-    val cutoffMs = timestampMicros / 1000L
-    val v = (1 to head).filter { v =>
-      val f = new java.io.File(s"$path/${ManifestFileIndex.SnapshotDir}", s"manifest-$v.tsv")
-      f.exists() && f.lastModified() <= cutoffMs
-    }.lastOption.getOrElse(throw new RuntimeException(
-      s"no snapshot of ${ident.name} committed at or before timestamp $timestampMicros"))
+    val v = ManifestFileIndex.versionAt(path, timestampMicros / 1000L)
+      .getOrElse(throw new RuntimeException(
+        s"no snapshot of ${ident.name} committed at or before timestamp $timestampMicros"))
     load(ident, Some(v.toString))
   }
 

@@ -36,6 +36,16 @@ import graft.plans.HourPartitionPruning
   * source only adds the hidden-partition semantics Spark's directory
   * partitioning lacks.
   */
+object GraftLakeSource {
+  /** `timestampAsOf` accepts epoch millis or a UTC timestamp string. */
+  private[graft] def parseCutoffMillis(raw: String): Long =
+    scala.util.Try(raw.toLong).getOrElse {
+      val norm = if (raw.contains("T")) raw else raw.replace(' ', 'T')
+      java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+}
+
 class GraftLakeSource extends ParquetDataSourceV2 {
   override def shortName(): String = "graft-lake"
 
@@ -52,6 +62,11 @@ class GraftLakeSource extends ParquetDataSourceV2 {
     // column read it as null, same as the V1 schema-on-read behavior
     val version = Option(options.get("changesTo"))
       .orElse(Option(options.get("versionAsOf"))).map(_.trim.toInt)
+      .orElse(for {
+        raw <- Option(options.get("timestampAsOf")); p <- path
+        v <- ManifestFileIndex.versionAt(p,
+          GraftLakeSource.parseCutoffMillis(raw.trim))
+      } yield v)
     val fromMeta = (path, version) match {
       case (Some(p), Some(v)) => ManifestFileIndex.snapshotSchema(p, v)
       case (Some(p), None)    => graft.sources.LakeIO.tableSchema(p)
@@ -116,6 +131,13 @@ class GraftLakeTable(inner: ParquetTable,
     // manifest + schema (appends never delete files, so old snapshots
     // stay readable — Iceberg snapshot semantics)
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(options.get("timestampAsOf")).map { raw =>
+        // reader-option twin of the catalog's SQL `TIMESTAMP AS OF`:
+        // accepts epoch millis or a UTC "yyyy-MM-dd HH:mm:ss[.SSS]"
+        val cutoffMs = GraftLakeSource.parseCutoffMillis(raw.trim)
+        ManifestFileIndex.versionAt(rootDir.get, cutoffMs).getOrElse(
+          sys.error(s"no snapshot committed at or before $raw under ${rootDir.get}"))
+      })
       .orElse(tableVersion)
     // change-feed mode: plan the MANIFEST DIFF between two snapshots as
     // the file list — `changeSide=added` scans files live in changesTo but

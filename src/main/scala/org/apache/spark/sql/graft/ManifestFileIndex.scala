@@ -683,6 +683,19 @@ object ManifestFileIndex {
     ).toOption
   }
 
+  /** Latest snapshot committed at or before `cutoffMs` (epoch millis) —
+    * commit times are the snapshot manifests' write times, the convention
+    * Iceberg's snapshot log records explicitly. Backs both the catalog's
+    * SQL `TIMESTAMP AS OF` and the reader's `timestampAsOf` option.
+    */
+  def versionAt(rootDir: String, cutoffMs: Long): Option[Int] = {
+    val head = headVersion(rootDir).getOrElse(0)
+    (1 to head).filter { v =>
+      val f = new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+      f.exists() && f.lastModified() <= cutoffMs
+    }.lastOption
+  }
+
   /** Snapshot v's frozen schema, if recorded. */
   def snapshotSchema(rootDir: String, v: Int): Option[StructType] = {
     val f = new java.io.File(s"$rootDir/$SnapshotDir", s"schema-$v.json")

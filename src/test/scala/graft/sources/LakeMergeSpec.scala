@@ -301,4 +301,65 @@ class LakeMergeSpec extends AnyFunSuite {
     val joined = pruned.join(base.select($"event_id"), Seq("event_id"))
     assert(joined.count() > 0)
   }
+
+  test("change-feed scan mode plans exactly the manifest diff; same-version diff is empty") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")                 // v2
+    def side(sd: String) = spark.read.format("graft-lake")
+      .option("changesFrom", "1").option("changesTo", "2")
+      .option("changeSide", sd).load(root)
+    val fromE = ManifestFileIndex.read(root, Some(1)).get._2.map(_.relPath).toSet
+    val toE = ManifestFileIndex.read(root, Some(2)).get._2.map(_.relPath).toSet
+    // row counts must equal the rows IN the diff files (planned, not listed)
+    val addedRows = spark.read.option("basePath", root)
+      .parquet((toE -- fromE).toSeq.map(root + "/" + _): _*).count()
+    val removedRows = spark.read.option("basePath", root)
+      .parquet((fromE -- toE).toSeq.map(root + "/" + _): _*).count()
+    assert(side("added").count() === addedRows)
+    assert(side("removed").count() === removedRows)
+    // v→v: both sides plan zero files and read as empty, not error
+    val same = spark.read.format("graft-lake")
+      .option("changesFrom", "2").option("changesTo", "2")
+      .option("changeSide", "added").load(root)
+    assert(same.isEmpty)
+  }
+
+  test("timestampAsOf reader option resolves to the last snapshot at or before the cutoff") {
+    freshLake()                                                    // v1
+    val snap1 = new java.io.File(s"$root/${ManifestFileIndex.SnapshotDir}", "manifest-1.tsv")
+    Thread.sleep(1100)  // commit times are file mtimes; force distinct seconds
+    LakeIO.mergeInto(spark, root, upd, "event_id")                 // v2
+    val v1Rows = readLake(Some(1)).count()
+    val headRows = readLake().count()
+    assert(v1Rows !== headRows, "merge must change the row count for this test to bite")
+    // cutoff = v1's commit instant → the pre-merge snapshot
+    val atV1 = spark.read.format("graft-lake")
+      .option("timestampAsOf", snap1.lastModified().toString).load(root)
+    assert(atV1.count() === v1Rows)
+    // cutoff = now → head
+    val atNow = spark.read.format("graft-lake")
+      .option("timestampAsOf", System.currentTimeMillis().toString).load(root)
+    assert(atNow.count() === headRows)
+    // cutoff before the first commit → loud error
+    val err = intercept[Exception] {
+      spark.read.format("graft-lake").option("timestampAsOf", "100").load(root).count()
+    }
+    assert(err.getMessage.contains("no snapshot"))
+  }
+
+  test("history: one row per version, file/partition/byte accounting matches the manifests") {
+    freshLake()
+    LakeIO.mergeInto(spark, root, upd, "event_id")
+    val h = LakeIO.history(spark, root).orderBy($"version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    h.foreach { r =>
+      val v = r.getLong(0).toInt
+      val entries = ManifestFileIndex.read(root, Some(v)).get._2
+      assert(r.getLong(2) === entries.size.toLong, s"n_files v$v")
+      assert(r.getLong(3) === entries.map(_.partValue).distinct.size.toLong, s"n_partitions v$v")
+      assert(r.getLong(4) === entries.map(_.size).sum, s"size_bytes v$v")
+    }
+    // commit times are non-decreasing across versions
+    assert(!h(0).getTimestamp(1).after(h(1).getTimestamp(1)))
+  }
 }
