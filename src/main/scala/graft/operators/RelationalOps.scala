@@ -217,6 +217,59 @@ object RelationalOps {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average) as a
+    // fact-side pre-aggregation joined back to the fact — the per-part
+    // averages are PART-dimension-sized, so the join back is a broadcast
+    // at any realistic fact:dim ratio; the fact table shuffles once (the
+    // avg groupBy), never twice. Exactness: the average is the integer-
+    // cents recipe, so the 0.5×avg comparison operand is bit-identical on
+    // both engines and the row set agrees exactly.
+    Op("q17_small_qty_rev",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val partAvg = li.groupBy($"l_partkey").agg(
+          (sum(cents($"l_quantity")).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_qty"))
+        li.join(broadcast(partAvg), Seq("l_partkey"))
+          .where($"l_quantity" < lit(0.5) * $"avg_qty")
+          .agg(moneySum($"l_extendedprice").as("small_qty_revenue"),
+            count(lit(1)).as("n_small"))
+      },
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / 100.0 / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS small_qty_revenue,
+        |  count(*) AS n_small
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE l.l_quantity < 0.5 * pa.avg_qty""".stripMargin),
+
+    // TPC-H Q13 shape: distribution of counts — LEFT OUTER join with a
+    // predicate INSIDE the join condition (customers with zero qualifying
+    // orders must survive with count 0), then a second aggregation over
+    // the first's result. Both aggregations shuffle key-sized data;
+    // the distribution output is O(max orders per customer).
+    Op("q13_order_distribution",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).where($"o_orderpriority" =!= "1-URGENT")
+        c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
   )
 }
