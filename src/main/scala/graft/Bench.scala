@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // local-FS listing on the driver (see Verify.scala — job-based
+      // discovery costs ~2 s of scheduling per V1 partitioned scan here)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-listing paths so the first timed query

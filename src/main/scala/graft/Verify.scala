@@ -16,6 +16,12 @@ object Verify {
       // reference's tolerant pipeline and DuckDB TRY_CAST-style oracles.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // local harness: list partition directories on the driver — the
+      // job-based parallel discovery pays ~2 s of task scheduling for
+      // 720 sub-millisecond local-FS listing calls per V1 scan (on a
+      // real cluster against object storage the default threshold is
+      // correct; this is a local-mode setting, not engine behavior)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -131,7 +131,11 @@ object LakeIO {
               s"schema evolution cannot change ${f.name}: ${old.dataType} -> ${f.dataType}")
           }
         }
-        val added = withHour.schema.fields.filterNot(f => curByName.contains(f.name))
+        // ts_hour never evolves INTO a schema that hides it: a table
+        // created hidden-partitioned (createEmpty) must stay hidden
+        // across appends — the writer derives the column for layout only
+        val added = withHour.schema.fields.filterNot(f =>
+          curByName.contains(f.name) || f.name == "ts_hour")
         writeSchemaFile(path,
           org.apache.spark.sql.types.StructType(current.fields ++ added.map(_.copy(nullable = true))))
       case None =>
@@ -602,6 +606,27 @@ object LakeIO {
     }
     s.createDataFrame(rows)
       .toDF("version", "committed_at", "n_files", "n_partitions", "size_bytes")
+  }
+
+  /** CREATE TABLE: commit an EMPTY snapshot (schema file + zero-entry
+    * manifest + HEAD) so the table is immediately a first-class lake —
+    * readable (zero rows), writable (INSERT INTO / appends route through
+    * the committing writer), time-travel version 1 is the empty state.
+    * The engine's one layout is hour(ts): the schema must carry a `ts`
+    * TIMESTAMP (ts_hour is derived, added here if absent).
+    */
+  def createEmpty(path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    require(schema.fields.exists(f => f.name == "ts" && f.dataType == TimestampType),
+      "graft lake tables are hour(ts)-partitioned: the schema must include " +
+        s"a `ts` TIMESTAMP column (got: ${schema.simpleString})")
+    // the schema is stored VERBATIM: unless the user declares ts_hour
+    // explicitly, the partition column stays TRULY HIDDEN (directory
+    // layout + manifests only — Iceberg hidden-partitioning semantics),
+    // which is what lets SQL INSERT/CTAS arity match the declared
+    // columns ([[evolveAppend]] never re-introduces it)
+    writeSchemaFile(path, schema)
+    org.apache.spark.sql.graft.ManifestFileIndex.commitEntries(path, "ts_hour", Seq.empty)
   }
 
   def tableSchema(path: String): Option[org.apache.spark.sql.types.StructType] = {

@@ -22,10 +22,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   Iceberg SQL surface, backed by the same snapshot log the
   *   DataFrame API reads via `versionAsOf`.
   *
-  * Read-facing by design: writes go through the single-writer LakeIO
-  * commit paths (write/evolveAppend/merge/delete), not SQL DDL/DML —
-  * `createTable` and friends reject loudly rather than half-support a
-  * second, uncommitted write path.
+  * The SQL surface is complete enough to live in: DML (`INSERT INTO`,
+  * `UPDATE`, `MERGE`, `DELETE FROM`) routes through the committing lake
+  * writers via GraftLakeTable, and DDL `CREATE TABLE`/CTAS/`DROP TABLE`
+  * lands here (empty-snapshot commit / directory removal). `ALTER TABLE`
+  * and `RENAME` stay unsupported by design — schemas evolve on write
+  * (the union-schema commit), and rename would break path-addressed
+  * readers.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -40,6 +43,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** Without this, `TableOutputResolver` refuses to fill the hidden
+    * `ts_hour` column's NULL default and every SQL INSERT/CTAS would have
+    * to supply a value for a column the engine derives (see
+    * GraftLakeTable.schema()).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def dir(parts: String*): java.io.File =
     new java.io.File((warehouse +: parts).mkString("/"))
@@ -93,20 +104,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLakeSource().getTable(new CaseInsensitiveStringMap(opts.asJava))
   }
 
+  /** SQL `CREATE TABLE` / CTAS: commits an EMPTY snapshot (schema +
+    * zero-entry manifest + HEAD), so the new table is immediately a
+    * first-class lake — CTAS is this plus Spark's follow-up append write,
+    * which routes through the committing lake writer. The engine has ONE
+    * layout (hidden hour(ts) partitioning), so only an empty or
+    * hours(ts)/identity(ts_hour) PARTITIONED BY clause is accepted, and
+    * the schema must carry a `ts` TIMESTAMP.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-facing: create tables via LakeIO.writeLake under the warehouse")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (isLakeTable(new java.io.File(path)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace.toSeq :+ ident.name).toSeq)
+    val okPartitioning = partitions.isEmpty || (partitions.length == 1 && {
+      val s = partitions.head.toString
+      s == "hours(ts)" || s == "ts_hour" || s == "identity(ts_hour)"
+    })
+    require(okPartitioning,
+      "graft lake tables have one layout — hidden hour(ts) partitioning; " +
+        s"PARTITIONED BY ${partitions.mkString(", ")} is not supported")
+    graft.sources.LakeIO.createEmpty(path, schema)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "graft catalog is read-facing: evolve schemas via LakeIO.evolveAppend")
+      "graft schemas evolve on write (LakeIO.evolveAppend commits the " +
+        "union schema); ALTER TABLE DDL is not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-facing")
+  /** SQL `DROP TABLE`: removes the table directory — data, manifests,
+    * snapshots. Destructive by definition; time travel does not survive
+    * a DROP (matching Iceberg `DROP TABLE ... PURGE`).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = new java.io.File(tablePath(ident))
+    if (!isLakeTable(f)) false
+    else {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(f); true
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-facing")
+    throw new UnsupportedOperationException(
+      "graft tables are path-addressed (warehouse/<ns>/<table>); RENAME " +
+        "would break existing path readers — copy via CTAS instead")
 
   // ── namespaces (one directory level under the warehouse)
 
@@ -136,5 +182,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-facing")
+    throw new UnsupportedOperationException(
+      "DROP NAMESPACE is not supported; drop tables individually")
 }

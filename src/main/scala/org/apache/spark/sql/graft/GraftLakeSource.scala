@@ -111,7 +111,26 @@ class GraftLakeTable(inner: ParquetTable,
     schemaOverride.orElse(rootDir.flatMap(graft.sources.LakeIO.tableSchema))
 
   override def name(): String = "graft_lake:" + inner.name
-  override def schema(): StructType = metaSchema.getOrElse(inner.schema)
+
+  /** The hidden partition column stays QUERYABLE (it is in the schema)
+    * but carries a NULL column DEFAULT, so SQL INSERTs and CTAS may omit
+    * it (SPARK-42521 fills missing trailing columns from defaults at
+    * output resolution) — writers re-derive it from `ts` anyway. Without
+    * the default, every INSERT would have to supply a value for a column
+    * the engine computes.
+    */
+  override def schema(): StructType = {
+    val base = metaSchema.getOrElse(inner.schema)
+    val pc = manifest.map(_._1).getOrElse("ts_hour")
+    StructType(base.fields.map { f =>
+      if (f.name == pc && manifest.isDefined)
+        f.copy(nullable = true, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", "NULL")
+            .putString("EXISTS_DEFAULT", "NULL").build())
+      else f
+    })
+  }
   override def partitioning(): Array[Transform] = manifest match {
     case Some((partCol, _)) =>
       Array(org.apache.spark.sql.connector.expressions.Expressions.identity(partCol))

@@ -70,12 +70,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no snapshot"), "before the first commit → error")
   }
 
-  test("catalog is read-facing: DDL/DML rejects loudly") {
+  test("CREATE TABLE commits an empty snapshot; INSERT INTO then SELECT round-trips") {
+    attach()
+    spark.sql("DROP TABLE IF EXISTS gcat.default.fresh")
+    spark.sql("CREATE TABLE gcat.default.fresh (id BIGINT, v STRING, ts TIMESTAMP)")
+    // readable-empty immediately, and version 1 IS the empty state
+    assert(spark.sql("SELECT * FROM gcat.default.fresh").count() === 0L)
+    spark.sql("""INSERT INTO gcat.default.fresh
+                |SELECT 1L, 'x', TIMESTAMP '2024-01-01 00:00:01'""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM gcat.default.fresh").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x")))
+    assert(spark.sql("SELECT * FROM gcat.default.fresh VERSION AS OF 1").count() === 0L)
+    // double create rejects; a schema without ts rejects
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.default.fresh (id BIGINT, ts TIMESTAMP)")
+    }
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.default.nots (id BIGINT, v STRING)")
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
+  test("CTAS writes through the committing lake writer; DROP TABLE removes it") {
+    attach(); seed()
+    spark.sql("DROP TABLE IF EXISTS gcat.default.ctas")
+    spark.sql("""CREATE TABLE gcat.default.ctas AS
+                |SELECT id, v, ts FROM gcat.default.items WHERE id <= 2""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM gcat.default.ctas ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    // it is a real lake: manifest-committed, hour-partitioned, time-travels
+    val path = s"$wh/default/ctas"
+    assert(org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).exists(_ >= 2))
+    assert(spark.read.format("graft-lake").load(path).count() === 2L)
+    assert(spark.sql("DROP TABLE gcat.default.ctas") != null)
+    assert(!new java.io.File(path).exists())
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.default.ctas").collect() }
+  }
+
+  test("ALTER TABLE and RENAME stay unsupported by design") {
     attach(); seed()
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE gcat.default.items")
+      spark.sql("ALTER TABLE gcat.default.items ADD COLUMN extra STRING")
     }
-    assert(e.getMessage.toLowerCase.contains("read-facing"))
+    assert(e.getMessage.contains("evolve"))
   }
 
   test("SQL INSERT INTO appends through the lake writer: visible at head, snapshot-isolated") {
