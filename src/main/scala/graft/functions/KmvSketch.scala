@@ -63,6 +63,7 @@ final class KmvBuffer(val k: Int) {
 case class KmvSketchAgg(
     child: Expression,
     k: Int = 1024,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
@@ -86,9 +87,29 @@ case class KmvSketchAgg(
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
   }
 
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  /** Portable hash family (cross-engine oracle-checkable, same recipe as
+    * the md5-MinHash in Dedup.scala): the first 8 bytes of
+    * `md5(string-rendering)` read big-endian are exactly DuckDB's
+    * `('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 16))::UBIGINT`. The
+    * sign bit is flipped so the signed TreeSet orders by the UNSIGNED
+    * value — the order the estimator is defined on.
+    */
+  private def portableHash(v: Any): Long = {
+    val s = v match {
+      case l: Long       => java.lang.Long.toString(l)
+      case i: Int        => java.lang.Integer.toString(i)
+      case u: UTF8String => u.toString
+    }
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong ^ Long.MinValue
+  }
+
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(hashOf(v))
+    if (v != null) buf.add(if (portable) portableHash(v) else hashOf(v))
     buf
   }
 
@@ -96,7 +117,17 @@ case class KmvSketchAgg(
     buf.mergeIn(other); buf
   }
 
-  override def eval(buf: KmvBuffer): Any = buf.estimate
+  /** Portable estimate uses EXACT 128-bit integer math —
+    * `floor((k-1) * 2^64 / h_k)` with h_k unsigned — so JVM and DuckDB
+    * agree bit-for-bit (no IEEE rounding at the compare boundary).
+    */
+  override def eval(buf: KmvBuffer): Any =
+    if (!portable) buf.estimate
+    else if (buf.set.size < k) buf.set.size.toLong
+    else {
+      val hU = (BigInt(buf.set.last ^ Long.MinValue)) & ((BigInt(1) << 64) - 1)
+      ((BigInt(k - 1) << 64) / hU).toLong
+    }
 
   override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.set.size)
@@ -128,4 +159,14 @@ object KmvSketch {
   def kmvDistinct(c: Column, k: Int = 1024): Column =
     GraftBridge.column(
       KmvSketchAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** Portable-hash variant (md5 family + exact integer estimator): same
+    * buffer and merge machinery, but every bit reproducible in ANSI-ish
+    * SQL — the keyed `approx_distinct_kmv` query uses this so the sketch
+    * pipeline carries a real cross-engine oracle.
+    */
+  def kmvDistinctPortable(c: Column, k: Int = 64): Column =
+    GraftBridge.column(
+      KmvSketchAgg(GraftBridge.expression(c), k, portable = true)
+        .toAggregateExpression())
 }

@@ -170,14 +170,41 @@ object TemporalJoins {
 
     // Mergeable KMV distinct sketch (native TypedImperativeAggregate,
     // functions/KmvSketch.scala): set-union merge across partitions —
-    // merge(sk(A), sk(B)) IS sk(A∪B), proved in KmvSketchSpec. Hash
-    // family isn't portable SQL → rows-only.
+    // merge(sk(A), sk(B)) IS sk(A∪B), proved in KmvSketchSpec. The keyed
+    // form runs the PORTABLE hash family (md5-derived 64-bit, exact
+    // integer estimator) at k=64 < the ~150 distinct users per type, so
+    // the estimator branch itself — k-th order statistic and all — is
+    // hash-exact against DuckDB, not just rows-only.
     Op("approx_distinct_kmv",
       (s, d) => Tables.events(s, d)
         .groupBy($"event_type")
-        .agg(graft.functions.KmvSketch.kmvDistinct($"user_id").as("kmv_users"),
+        .agg(graft.functions.KmvSketch.kmvDistinctPortable($"user_id", 64)
+            .as("kmv_users"),
           countDistinct($"user_id").as("exact_users"))
-        .orderBy($"event_type"), None),
+        .orderBy($"event_type"),
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |est AS (
+        |  SELECT event_type, max(n) AS nh,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM r GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type,
+        |  CAST(CASE WHEN est.nh < 64 THEN est.nh
+        |       ELSE (63::HUGEINT * 18446744073709551616::HUGEINT)
+        |            // est.hk::HUGEINT END AS BIGINT) AS kmv_users,
+        |  ex.exact_users
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin)),
 
     // Mergeable t-digest quantiles (functions/TDigest.scala): per-type
     // p50/p95/p99 of value through the k1-scale merging digest, with the

@@ -51,6 +51,26 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) === 300L)
   }
 
+  test("portable mode reproduces the md5 hash family and integer estimator exactly") {
+    val k = 64
+    val vals = (1 to 500).map(_.toLong)
+    // independent model of the contract: big-endian first-8-bytes of
+    // md5(decimal string), ordered UNSIGNED; estimate floor((k-1)*2^64/h_k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = vals.map { v =>
+      md.reset()
+      java.nio.ByteBuffer.wrap(md.digest(v.toString.getBytes("UTF-8"))).getLong
+    }.distinct.sortBy(h => h ^ Long.MinValue)
+    val hk = BigInt(hashes(k - 1)) & ((BigInt(1) << 64) - 1)
+    val expected = ((BigInt(k - 1) << 64) / hk).toLong
+    val got = vals.toDF("v").repartition(8)
+      .agg(KmvSketch.kmvDistinctPortable($"v", k).as("d"))
+      .collect().head.getLong(0)
+    assert(got === expected)
+    // and the estimate is a sane distinct-count at this k
+    assert(math.abs(got.toDouble - 500) / 500 < 0.5, s"estimate $got vs 500")
+  }
+
   test("keyed query runs partial+final (Partial/Final ObjectHashAggregate in plan)") {
     val q = graft.operators.TemporalJoins.ops
       .find(_.key == "approx_distinct_kmv").get.run(spark, graft.SharedSpark.sf)
