@@ -153,9 +153,13 @@ object Dedup {
 
     private def md5hex(md: java.security.MessageDigest, s: String): String = {
       val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hex(d, 0)
+    }
+
+    private def hex(d: Array[Byte], off: Int): String = {
       val sb = new java.lang.StringBuilder(32)
-      var i = 0
-      while (i < d.length) {
+      var i = off
+      while (i < off + 16) {
         sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
         sb.append(Character.forDigit(d(i) & 0xF, 16))
         i += 1
@@ -163,24 +167,65 @@ object Dedup {
       sb.toString
     }
 
-    /** (band, band-hash-hex) keys; empty input → no keys. */
+    /** Unsigned lexicographic compare of raw digests — EQUAL to comparing
+      * their lowercase-hex renderings ('0'-'9' < 'a'-'f' is monotone in
+      * the nibble), which is the order the SQL oracle's `min(md5(...))`
+      * uses. Lets the signature mins stay raw 16-byte buffers.
+      */
+    private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < 16) {
+        val x = a(i) & 0xFF; val y = b(i) & 0xFF
+        if (x != y) return x < y
+        i += 1
+      }
+      false
+    }
+
+    /** (band, band-hash-hex) keys; empty input → no keys.
+      *
+      * Allocation-lean by construction: shingle UTF-8 bytes are encoded
+      * ONCE (not once per hash function), each md5 lands in a reused
+      * 16-byte scratch via `digest(buf, off, len)`, and only the 16
+      * winning signatures are hex-encoded. The naive form (a hex string
+      * per (hash, shingle) = ~8k strings/doc) is pure GC pressure at
+      * corpus scale — this computes the same mins with ~0 steady-state
+      * garbage. Semantics unchanged (DedupClusterSpec asserts equality
+      * with the column-expression reference).
+      */
     def bandKeys(sh: Array[String]): Array[(Int, String)] =
       if (sh.isEmpty) Array.empty
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        val sigs = Array.tabulate(NumHashes) { h =>
-          var m: String = null
-          var j = 0
-          while (j < sh.length) {
-            val v = md5hex(md, h.toString + ":" + sh(j))
-            if (m == null || v < m) m = v
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val shBytes = new Array[Array[Byte]](sh.length)
+        var j = 0
+        while (j < sh.length) { shBytes(j) = sh(j).getBytes(utf8); j += 1 }
+        val scratch = new Array[Byte](16)
+        val mins = Array.fill(NumHashes)(new Array[Byte](16))
+        var h = 0
+        while (h < NumHashes) {
+          val prefix = (h.toString + ":").getBytes(utf8)
+          val min = mins(h)
+          var first = true
+          j = 0
+          while (j < shBytes.length) {
+            md.reset()
+            md.update(prefix)
+            md.update(shBytes(j))
+            md.digest(scratch, 0, 16)
+            if (first || less(scratch, min)) {
+              System.arraycopy(scratch, 0, min, 0, 16); first = false
+            }
             j += 1
           }
-          m
+          h += 1
         }
         Array.tabulate(NumBands) { b =>
-          (b, md5hex(md, sigs(b * RowsPerBand) + sigs(b * RowsPerBand + 1)
-            + sigs(b * RowsPerBand + 2) + sigs(b * RowsPerBand + 3)))
+          (b, md5hex(md, hex(mins(b * RowsPerBand), 0)
+            + hex(mins(b * RowsPerBand + 1), 0)
+            + hex(mins(b * RowsPerBand + 2), 0)
+            + hex(mins(b * RowsPerBand + 3), 0)))
         }
       }
   }
@@ -319,35 +364,65 @@ object Dedup {
     * dedup workloads.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // RDD loop, deliberately (the one other mapPartitions-tier exception
+    // besides the MinHash kernel): a DataFrame implementation re-plans,
+    // re-optimizes and re-CODEGENS a growing lineage on every iteration —
+    // measured ~3 s of pure overhead for a 256-edge graph at sf0.1 —
+    // while the RDD loop plans nothing per round and keeps both sides of
+    // every join co-partitioned (narrow). Per round exactly ONE shuffle
+    // (labels flowing along edges, irreducible); the convergence probe is
+    // an incremental take(1), not a full count. This is GraphX's own
+    // substrate; at 100 TB the shape is unchanged — state is (id, label)
+    // pairs of edge-touched docs, partitioned by id.
+    val spark2 = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
+    val e0 = edges.select($"src", $"dst").as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(spark2.sparkContext.defaultParallelism, e0.getNumPartitions))
+    // symmetric adjacency (node -> neighbor), hash-partitioned by node
+    val sym = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).persist(lvl)
+    sym.count() // materialize BEFORE the loop reuses it every round
+    // seed with the first hop already taken: label = min(id, neighbors) —
+    // a clique-shaped dup cluster (the common case) converges on the very
+    // first probe instead of after a no-op round
+    var labels = sym.foldByKey(Long.MaxValue, part)(math.min)
+      .mapPartitions(_.map { case (id, nbr) => (id, math.min(id, nbr)) },
+        preservesPartitioning = true)
       .persist(lvl)
-    // seed with the first hop already taken (label = min(id, neighbors)):
-    // a clique-shaped dup cluster — the common case — then converges on
-    // the very first check instead of after a no-op round
-    var labels = sym.groupBy($"src").agg(min($"dst").as("nbr"))
-      .select($"src".as("id"), least($"src", $"nbr").as("label"))
-      .persist(lvl)
+    // the persisted RDD the current labels read through (element type
+    // changes across rounds: seed is (id, label), rounds are (id, (label, chg)))
+    var owner: org.apache.spark.rdd.RDD[_] = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select($"id".as("dst"), $"label".as("nl")), "dst")
-        .groupBy($"src").agg(min($"nl").as("mn"))
-        .select($"src".as("id"), $"mn")
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id",
-          least($"label", coalesce($"mn", $"label")).as("label"),
-          ($"mn" < $"label").as("chg"))
+      // label(node) flows to each neighbor; min per receiver. sym and
+      // labels share `part`, so the join is narrow — the reduceByKey is
+      // the round's one shuffle.
+      val nbrMin = sym.join(labels)
+        .map { case (_, (nbr, lbl)) => (nbr, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val updated = labels.leftOuterJoin(nbrMin) // co-partitioned, narrow
+        .mapPartitions(_.map { case (id, (l, mn)) =>
+          val m = mn.getOrElse(l)
+          (id, (math.min(l, m), m < l))
+        }, preservesPartitioning = true)
         .persist(lvl)
-      converged = updated.where($"chg").limit(1).count() == 0
-      val prev = labels
-      labels = updated.select($"id", $"label")
-      prev.unpersist()
+      // materialize FULLY while the previous round's cache is still live —
+      // only then is it safe to drop the old generation (otherwise lazy
+      // partitions would recompute through an unpersisted lineage chain)
+      updated.count()
+      converged = updated.filter(_._2._2).isEmpty()
+      owner.unpersist(blocking = false)
+      owner = updated
+      labels = updated.mapValues(_._1) // narrow view over the cached round
       iter += 1
     }
-    labels
+    sym.unpersist(blocking = false)
+    // `owner` (one small (id, label) state RDD) stays persisted for the
+    // caller's downstream joins — the heavy inputs are all released.
+    spark2.createDataset(labels)(enc).toDF("id", "label")
   }
 
   /** Full corpus dedup: portable LSH candidates → exact-Jaccard verify →
@@ -384,6 +459,10 @@ object Dedup {
         / size(array_union($"sh_a", $"sh_b")) >= threshold)
       .select($"src", $"dst")
     val labels = connectedComponents(edges)
+    // the component loop materialized its label state eagerly — the
+    // shingle sets have no further consumer; release them now rather than
+    // leaking a heavy cache entry per call
+    sh.unpersist(blocking = false)
     val asg = docsDf.select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
