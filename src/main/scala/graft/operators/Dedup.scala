@@ -370,20 +370,29 @@ object Dedup {
     // measured ~3 s of pure overhead for a 256-edge graph at sf0.1 —
     // while the RDD loop plans nothing per round and keeps both sides of
     // every join co-partitioned (narrow). Per round exactly ONE shuffle
-    // (labels flowing along edges, irreducible); the convergence probe is
-    // an incremental take(1), not a full count. This is GraphX's own
-    // substrate; at 100 TB the shape is unchanged — state is (id, label)
-    // pairs of edge-touched docs, partitioned by id.
+    // (labels flowing along edges, irreducible) and ONE action (the
+    // materializing count doubles as the convergence probe). This is
+    // GraphX's own substrate; at 100 TB the shape is unchanged — state is
+    // (id, label) pairs of edge-touched docs, partitioned by id.
     val spark2 = edges.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long)]
-    val e0 = edges.select($"src", $"dst").as[(Long, Long)].rdd
+    val e0 = edges.select($"src", $"dst").as[(Long, Long)].rdd.persist(lvl)
+    val nEdges = e0.count() // one cached pass; sizes the loop's partitioner
+    // ~100k adjacency entries per partition: a dedup edge graph is tiny
+    // relative to its corpus (only near-dup pairs), so a few-hundred-edge
+    // local graph runs each round in ONE task (below that, scheduling —
+    // not data — dominates: 32 empty tasks × 4 stages × rounds), while a
+    // billion-edge graph still fans out to full cluster parallelism.
     val part = new org.apache.spark.HashPartitioner(
-      math.max(spark2.sparkContext.defaultParallelism, e0.getNumPartitions))
+      math.max(1, math.min(
+        math.max(spark2.sparkContext.defaultParallelism, e0.getNumPartitions),
+        (nEdges * 2 / 100000L).toInt)))
     // symmetric adjacency (node -> neighbor), hash-partitioned by node
     val sym = e0.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .partitionBy(part).persist(lvl)
     sym.count() // materialize BEFORE the loop reuses it every round
+    e0.unpersist(blocking = false)
     // seed with the first hop already taken: label = min(id, neighbors) —
     // a clique-shaped dup cluster (the common case) converges on the very
     // first probe instead of after a no-op round
@@ -409,11 +418,11 @@ object Dedup {
           (id, (math.min(l, m), m < l))
         }, preservesPartitioning = true)
         .persist(lvl)
-      // materialize FULLY while the previous round's cache is still live —
-      // only then is it safe to drop the old generation (otherwise lazy
-      // partitions would recompute through an unpersisted lineage chain)
-      updated.count()
-      converged = updated.filter(_._2._2).isEmpty()
+      // ONE job: pulling the filter through `updated` materializes its
+      // cache (full, while the previous round's cache is still live — only
+      // then is it safe to drop the old generation) AND returns the
+      // changed-row count that decides convergence.
+      converged = updated.filter(_._2._2).count() == 0L
       owner.unpersist(blocking = false)
       owner = updated
       labels = updated.mapValues(_._1) // narrow view over the cached round

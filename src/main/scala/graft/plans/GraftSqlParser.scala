@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.ManifestFileIndex
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampType}
+
+/** SQL surface for lake MAINTENANCE — the statements Spark's grammar
+  * doesn't have but every lakehouse operator runs on a cron
+  * (Delta/Iceberg parity; reference admin scripts run the Trino
+  * equivalents out of band):
+  *
+  *   OPTIMIZE <table>                       -- compact fragmented partitions
+  *   OPTIMIZE <table> ZORDER BY (a, b)      -- Morton-clustered rewrite
+  *   VACUUM <table>                         -- drop crashed-write debris
+  *   VACUUM <table> RETAIN <n> SNAPSHOTS    -- + expire old time travel
+  *   DESCRIBE HISTORY <table>               -- the snapshot log
+  *
+  * Injected ahead of the delegate parser ([[GraftExtensions]]); anything
+  * that doesn't FULLY match one of the five statement shapes above falls
+  * through untouched, so the whole Spark SQL dialect keeps working.
+  * Tables are addressed as `<catalog>.<ns>.<table>` (resolved through the
+  * catalog's configured warehouse directory) or as a quoted `'/path'`.
+  *
+  * These are commands, not queries: each runs eagerly through the same
+  * snapshot-committing maintenance APIs the Scala surface exposes
+  * (`LakeIO.compactSnapshots` / `optimizeZOrder`,
+  * `ManifestFileIndex.expireSnapshots` / `removeOrphanFiles`,
+  * `LakeIO.history`) and returns its accounting as rows. Old snapshots
+  * stay readable (`VERSION AS OF`) until a VACUUM RETAIN expires them —
+  * OPTIMIZE alone never destroys time travel.
+  */
+case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  // anchored full-match patterns — `Regex.unapplySeq` on a String matches
+  // the WHOLE statement, so partial hits can't shadow real SQL
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`'/-]+?)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`'/-]+?)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`'/-]+?)\s*;?\s*""".r
+
+  /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
+    * catalog's registered warehouse, or a quoted filesystem path verbatim.
+    */
+  private def lakeRoot(raw: String): String = {
+    val clean = raw.replace("`", "").trim
+    if (clean.startsWith("'") || clean.startsWith("/"))
+      clean.stripPrefix("'").stripSuffix("'")
+    else {
+      val parts = clean.split('.')
+      val wh = session.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+      require(parts.length >= 2 && wh.isDefined,
+        s"cannot resolve '$clean' to a lake table: use <catalog>.<ns>.<table> " +
+          "with a registered graft catalog, or a quoted '/path'")
+      (wh.get +: parts.tail.toSeq).mkString("/")
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Vacuum(ident, retain) =>
+      GraftVacuumCommand(lakeRoot(ident), Option(retain).map(_.toInt))
+    case Optimize(ident, null, null) =>
+      GraftOptimizeCommand(lakeRoot(ident), None)
+    case Optimize(ident, colA, colB) =>
+      GraftOptimizeCommand(lakeRoot(ident), Some((colA, colB)))
+    case History(ident) =>
+      GraftHistoryCommand(lakeRoot(ident))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** `VACUUM`: delete crashed-write debris (files no snapshot references,
+  * past the in-flight grace period); with `RETAIN n SNAPSHOTS`, first
+  * expire all but the last n snapshots and delete data files only they
+  * referenced. Returns the file accounting. Metadata-scan only — never
+  * reads table data.
+  */
+case class GraftVacuumCommand(root: String, retainSnapshots: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_data_files", LongType, nullable = false)(),
+    AttributeReference("orphan_files_removed", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val expired = retainSnapshots
+      .map(k => ManifestFileIndex.expireSnapshots(root, k)).getOrElse(0)
+    val orphans = ManifestFileIndex.removeOrphanFiles(root)
+    Seq(Row(expired.toLong, orphans.toLong))
+  }
+}
+
+/** `OPTIMIZE [ZORDER BY (a, b)]`: copy-on-write maintenance rewrite —
+  * plain form compacts fragmented partitions to one file each, ZORDER
+  * form re-clusters every partition along the Morton curve so the
+  * manifest's per-file bounds turn predicates on either column into
+  * planning-time file skips. Commits a new snapshot; earlier versions
+  * stay readable until vacuumed.
+  */
+case class GraftOptimizeCommand(root: String, zorder: Option[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    def liveFiles: Int =
+      ManifestFileIndex.read(root, None).map(_._2.size).getOrElse(0)
+    val before = liveFiles
+    zorder match {
+      case Some((a, b)) => graft.sources.LakeIO.optimizeZOrder(session, root, a, b)
+      case None         => graft.sources.LakeIO.compactSnapshots(session, root)
+    }
+    Seq(Row(before.toLong, liveFiles.toLong,
+      ManifestFileIndex.headVersion(root).getOrElse(0).toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY`: the snapshot log as rows — version, commit time,
+  * live-file accounting (see `LakeIO.history`). O(versions) metadata
+  * reads, zero data-file opens.
+  */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_partitions", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.sources.LakeIO.history(session, root).collect().toIndexedSeq
+}

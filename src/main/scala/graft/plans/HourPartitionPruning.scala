@@ -110,6 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stats-pruned copy-on-write commands (resolution-time, before
     // Spark's row-level rewrite rejects the table)
     e.injectResolutionRule(s => GraftDmlRewrite(s))
+    // lake maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY) —
+    // full-match intercepts only; everything else reaches Spark's parser
+    e.injectParser((s, p) => GraftSqlParser(s, p))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

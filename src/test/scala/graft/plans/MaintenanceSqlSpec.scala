@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.spark
+import graft.sources.LakeIO
+
+/** The maintenance SQL statements (GraftSqlParser): OPTIMIZE [ZORDER],
+  * VACUUM [RETAIN n SNAPSHOTS], DESCRIBE HISTORY — each routing into the
+  * snapshot-committing maintenance APIs, with time travel preserved
+  * until an explicit RETAIN expires it.
+  */
+class MaintenanceSqlSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft_maint_wh").toString
+
+  private def attach(): Unit = {
+    spark.conf.set("spark.sql.catalog.mcat",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mcat.warehouse", wh)
+  }
+
+  private def df(rows: (Long, String)*) =
+    rows.toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+
+  /** A table whose single hour partition holds MULTIPLE files: one
+    * writeLake plus one evolveAppend into the same hour.
+    */
+  private def fragmented(name: String): String = {
+    val path = s"$wh/default/$name"
+    LakeIO.writeLake(df(1L -> "a", 2L -> "b"), path)
+    LakeIO.evolveAppend(df(3L -> "c", 4L -> "d"), path)
+    path
+  }
+
+  test("OPTIMIZE compacts fragments; data identical; pre-optimize snapshot survives") {
+    attach()
+    val path = fragmented("frag")
+    val before = org.apache.spark.sql.graft.ManifestFileIndex
+      .read(path, None).get._2.size
+    assert(before >= 2, "setup must fragment the partition")
+    val out = spark.sql("OPTIMIZE mcat.default.frag").collect().head
+    assert(out.getLong(0) === before.toLong)
+    assert(out.getLong(1) < out.getLong(0), "compaction must shrink file count")
+    val rows = spark.sql("SELECT id, v FROM mcat.default.frag ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // the fragmented generation is still time-travel readable
+    val v2 = spark.sql(
+      s"SELECT count(*) FROM mcat.default.frag VERSION AS OF ${out.getLong(2) - 1}")
+      .collect().head.getLong(0)
+    assert(v2 === 4L)
+  }
+
+  test("OPTIMIZE ZORDER BY rewrites with identical logical content") {
+    attach()
+    val path = s"$wh/default/zt"
+    LakeIO.writeLake(
+      Seq.tabulate(100)(i => (i.toLong, (i * 37 % 100).toLong))
+        .toDF("x", "y")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01"))), path)
+    val before = spark.sql("SELECT x, y FROM mcat.default.zt ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = spark.sql("OPTIMIZE mcat.default.zt ZORDER BY (x, y)").collect().head
+    assert(out.getLong(2) >= 2L, "z-order commit must advance the version")
+    val after = spark.sql("SELECT x, y FROM mcat.default.zt ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq === before.toSeq, "OPTIMIZE is a physical rewrite only")
+  }
+
+  test("VACUUM RETAIN expires old snapshots and deletes their parked files") {
+    attach()
+    val path = s"$wh/default/vac"
+    LakeIO.writeLake(df(1L -> "a", 2L -> "b"), path)
+    LakeIO.mergeInto(spark, path, df(2L -> "B2"), "id") // v2: CoW parks v1's file
+    assert(spark.sql("SELECT count(*) FROM mcat.default.vac VERSION AS OF 1")
+      .collect().head.getLong(0) === 2L)
+    val out = spark.sql("VACUUM mcat.default.vac RETAIN 1 SNAPSHOTS").collect().head
+    assert(out.getLong(0) >= 1L, "the parked pre-merge file must be deleted")
+    // head unaffected; expired version no longer readable
+    val head = spark.sql("SELECT id, v FROM mcat.default.vac ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(head.toSeq === Seq(1L -> "a", 2L -> "B2"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mcat.default.vac VERSION AS OF 1").collect()
+    }
+  }
+
+  test("plain VACUUM only sweeps aged orphans, never live or parked data") {
+    attach()
+    val path = s"$wh/default/keep"
+    LakeIO.writeLake(df(1L -> "a"), path)
+    LakeIO.mergeInto(spark, path, df(1L -> "A2"), "id")
+    val out = spark.sql("VACUUM mcat.default.keep").collect().head
+    assert(out.getLong(0) === 0L, "no RETAIN → no snapshot expiry")
+    assert(out.getLong(1) === 0L, "fresh files are inside the grace period")
+    assert(spark.sql("SELECT count(*) FROM mcat.default.keep VERSION AS OF 1")
+      .collect().head.getLong(0) === 1L, "time travel must survive a plain VACUUM")
+  }
+
+  test("DESCRIBE HISTORY lists one row per committed version") {
+    attach()
+    val path = s"$wh/default/hist"
+    LakeIO.writeLake(df(1L -> "a"), path)
+    LakeIO.mergeInto(spark, path, df(2L -> "b"), "id")
+    val h = spark.sql("DESCRIBE HISTORY mcat.default.hist").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h.last.getLong(2) >= 1L, "head version reports live files")
+  }
+
+  test("the parser intercept is additive: ordinary SQL still parses") {
+    attach()
+    assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
+    // identifiers that merely CONTAIN the keywords are untouched
+    Seq(5L).toDF("optimize").createOrReplaceTempView("vacuum_v")
+    assert(spark.sql("SELECT optimize FROM vacuum_v").collect().head.getLong(0) === 5L)
+    spark.catalog.dropTempView("vacuum_v")
+  }
+}
