@@ -141,7 +141,53 @@ object CorpusOps {
         $"col.n_tokens".as("n_tokens"), $"col.chunk".as("chunk"))
   }
 
+  /** Deterministic global training-data shuffle: every document gets a
+    * pseudo-random but reproducible position (1..N, contiguous) in the
+    * epoch's read order — `md5(seed || doc_id)` is the sort key, so the
+    * permutation is stable across runs/engines and CHANGES with the seed
+    * (a new epoch = a new seed = a fresh permutation, no data movement
+    * until the epoch is materialized).
+    *
+    * The global contiguous rank is computed WITHOUT a single-partition
+    * window (the naive `row_number() OVER (ORDER BY key)` serializes the
+    * corpus through one task): documents are bucketed by the key's first
+    * byte-pair (256 buckets), each bucket ranks independently (distributed
+    * windows), and bucket base offsets come from one 256-row count
+    * aggregate — the only single-partition step is a window over those
+    * 256 metadata rows. At 100 TB: one range-shuffle-equivalent hash
+    * bucketing + per-bucket sorts, exactly a global sort's cost.
+    */
+  def corpusShuffle(df: DataFrame, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select($"doc_id",
+        md5(concat(lit(seed), $"doc_id".cast("string")).cast("binary")).as("skey"))
+      .withColumn("bucket", substring($"skey", 1, 2))
+    val offsets = keyed.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum($"n").over(Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"offset")
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"bucket")
+          .orderBy($"skey", $"doc_id")).cast("long") + $"offset")
+      .select($"pos", $"doc_id", $"skey")
+  }
+
   def ops: Seq[Op] = Seq(
+
+    // Deterministic epoch shuffle: seed "ep1". The oracle recomputes the
+    // whole permutation with a global row_number — proving the bucketed
+    // distributed rank assigns the IDENTICAL contiguous position to every
+    // document (hash-exact), while the Spark plan never funnels the corpus
+    // through one task.
+    Op("corpus_shuffle",
+      (s, d) => corpusShuffle(docs(s, d), "ep1").orderBy($"pos"),
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+        |  doc_id, md5('ep1' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents ORDER BY pos""".stripMargin),
 
     // Token-window chunking: window 64, stride 48 (16-token overlap).
     // The oracle re-derives every window by list slicing, so the hash

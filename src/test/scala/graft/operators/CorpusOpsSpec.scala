@@ -123,4 +123,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rebuilt = c4.head ++ c4.tail.flatMap(_.drop(16))
     assert(rebuilt === doc(150).split(" ").toSeq)
   }
+
+  test("corpusShuffle: contiguous permutation, seed-sensitive, no global window over data") {
+    val docs = (1L to 300L).toDF("doc_id")
+    val ep1 = CorpusOps.corpusShuffle(docs, "ep1").collect()
+    // positions are exactly 1..N (the bucketed rank is globally contiguous)
+    assert(ep1.map(_.getLong(0)).sorted.toSeq === (1L to 300L).toSeq)
+    // reproducible: same seed → identical permutation
+    val ep1b = CorpusOps.corpusShuffle(docs, "ep1").collect()
+    assert(ep1.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      ep1b.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    // a new epoch seed is a genuinely different permutation
+    val ep2 = CorpusOps.corpusShuffle(docs, "ep2").collect()
+    assert(ep1.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq !==
+      ep2.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    // the only unpartitioned window runs over the 256-row bucket counts,
+    // never the documents: every data-side Window node must carry keys
+    val plan = CorpusOps.corpusShuffle(docs, "ep1").queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "per-bucket rank must be a partitioned window")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(w =>
+      !w.child.output.map(_.name).contains("doc_id")),
+      "an unpartitioned window may only consume the 256-row bucket counts, " +
+        "never the document stream")
+  }
 }
