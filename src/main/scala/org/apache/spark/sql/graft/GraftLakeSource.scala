@@ -174,8 +174,11 @@ class GraftLakeTable(inner: ParquetTable,
         require(rootDir.isDefined, "graft-lake change feed requires a lake path")
         def entriesOf(v: Int) = ManifestFileIndex.read(rootDir.get, Some(v))
           .getOrElse(sys.error(s"no snapshot version $v under ${rootDir.get}"))
-        val (pc, fromE) = entriesOf(f0)
-        val (_, toE) = entriesOf(t0)
+        val (pc, toE) = entriesOf(t0)
+        // changesFrom=0 is the EMPTY table (version 0 commits no
+        // manifest): every to-side row is an insert — the CDF backfill
+        val fromE =
+          if (f0 == 0) Seq.empty[ManifestFileIndex.Entry] else entriesOf(f0)._2
         val entries = side match {
           case "added" =>
             val fromSet = fromE.map(_.relPath).toSet

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.spark
+import graft.sources.LakeIO
+import graft.syntax._
+
+/** The streaming CHANGE DATA FEED: CoW mutations (merge, delete) stream
+  * as exact row-level delete+insert pairs with commit attribution;
+  * physical rewrites (compaction) stream as NOTHING; restarts resume
+  * from the checkpointed version.
+  */
+class GraftLakeCdfSpec extends AnyFunSuite {
+
+  private val root = "/tmp/graft_lake_test/cdf_src/events"
+  private val ckpt = "/tmp/graft_lake_test/cdf_src/ckpt"
+  private val out = "/tmp/graft_lake_test/cdf_src/out"
+
+  private def rm(p: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete()
+    }
+    go(new java.io.File(p))
+  }
+
+  private def batch(fromId: Long, n: Long) =
+    spark.range(fromId, fromId + n).select(
+      $"id".as("event_id"),
+      expr("timestampadd(MINUTE, CAST(id % 120 AS INT), timestamp'2024-05-01 00:00:00')")
+        .as("ts"),
+      ($"id" % 97).cast("double").as("value"))
+
+  private def startQuery() = spark.readStream.format("graft-lake-cdf").load(root)
+    .writeStream.format("parquet").option("path", out)
+    .option("checkpointLocation", ckpt)
+    .outputMode("append").start()
+
+  private def sunk = spark.read.parquet(out)
+
+  test("CDF stream: backfill inserts, merge as delete+insert, delete, compaction silent") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 100), root)                        // v1 append
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      // backfill: the whole table as version-1 inserts
+      assert(sunk.count() === 100L)
+      assert(sunk.where($"change" === "insert" && $"_commit_version" === 1L)
+        .count() === 100L)
+
+      // v2: merge updates 10 rows -> 10 deletes (old) + 10 inserts (new);
+      // the ~90 rows merely REWRITTEN by copy-on-write must not appear
+      LakeIO.mergeInto(spark, root,
+        batch(0, 10).withColumn("value", $"value" + 1000.0), "event_id")
+      q.processAllAvailable()
+      val v2 = sunk.where($"_commit_version" === 2L)
+      assert(v2.count() === 20L, "10 updates = 10 deletes + 10 inserts, no carried rows")
+      assert(v2.where($"change" === "delete").count() === 10L)
+      assert(v2.where($"change" === "insert" && $"value" > 999.0).count() === 10L)
+
+      // v3: DELETE WHERE streams as pure deletes
+      LakeIO.deleteWhere(spark, root, $"event_id" >= 95L && $"event_id" < 100L)
+      q.processAllAvailable()
+      val v3 = sunk.where($"_commit_version" === 3L)
+      assert(v3.count() === 5L)
+      assert(v3.where($"change" =!= "delete").count() === 0L)
+
+      // v4: compaction is a physical rewrite -- logically SILENT
+      LakeIO.compactSnapshots(spark, root)
+      q.processAllAvailable()
+      assert(sunk.where($"_commit_version" === 4L).count() === 0L,
+        "a compaction commit must stream zero changes")
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed version; catch-up keeps per-commit attribution") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 50), root)                         // v1
+    val q = startQuery()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(sunk.count() === 50L)
+
+    // two commits while the stream is DOWN: one update of the same key
+    // twice -> catch-up must show BOTH updates, each under its own commit
+    LakeIO.mergeInto(spark, root,
+      batch(0, 1).withColumn("value", lit(111.0)), "event_id")   // v2
+    LakeIO.mergeInto(spark, root,
+      batch(0, 1).withColumn("value", lit(222.0)), "event_id")   // v3
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(sunk.count() === 50L + 2L + 2L, "no backfill re-delivery on restart")
+      assert(sunk.where($"_commit_version" === 2L && $"change" === "insert")
+        .select($"value").collect().map(_.getDouble(0)).toSeq === Seq(111.0))
+      assert(sunk.where($"_commit_version" === 3L && $"change" === "insert")
+        .select($"value").collect().map(_.getDouble(0)).toSeq === Seq(222.0))
+      // and the intermediate state 111.0 is v3's delete side
+      assert(sunk.where($"_commit_version" === 3L && $"change" === "delete")
+        .select($"value").collect().map(_.getDouble(0)).toSeq === Seq(111.0))
+    } finally q2.stop()
+  }
+
+  test("startingVersion skips the backfill and streams only future commits") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 40), root)                         // v1
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .forall(!_.getName.endsWith(".parquet")),
+        "nothing to stream at head = startingVersion")
+      LakeIO.evolveAppend(batch(40, 5), root)                    // v2
+      q.processAllAvailable()
+      assert(sunk.count() === 5L)
+      assert(sunk.where($"change" === "insert" && $"_commit_version" === 2L)
+        .count() === 5L)
+    } finally q.stop()
+  }
+
+  test("the streamed feed equals the batch changefeed across the same range") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 60), root)                         // v1
+    LakeIO.mergeInto(spark, root,
+      batch(5, 10).withColumn("value", $"value" + 500.0), "event_id") // v2
+    val q = startQuery()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = sunk.where($"_commit_version" === 2L)
+      .select($"event_id", $"value", $"change")
+      .orderBy($"event_id", $"change", $"value").collect().toSeq
+    val batchFeed = LakeIO.readChanges(spark, root, 1, 2)
+      .select($"event_id", $"value", $"change")
+      .orderBy($"event_id", $"change", $"value").collect().toSeq
+    assert(streamed === batchFeed)
+  }
+}
