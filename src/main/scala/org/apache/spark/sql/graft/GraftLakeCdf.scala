@@ -29,7 +29,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * `.option("startingVersion", n)` (default 0) sets the first streamed
   * commit to n+1: the default backfills the whole table as version-1
   * inserts; `startingVersion = <current head>` streams only future
-  * changes. This is a V1 `Source` deliberately: `getBatch` may return an
+  * changes. `.option("maxVersionsPerTrigger", k)` chunks backfill and
+  * catch-up to at most k commits per micro-batch (restart-safe via
+  * SupportsAdmissionControl — the engine hands back the committed
+  * offset, no source-side state). This is a V1 `Source` deliberately: `getBatch` may return an
   * arbitrary DataFrame (the diff computation), which the V2 file-list
   * scan contract cannot express — the plan is a real query, not a file
   * scan. Exactly-once delivery comes from checkpointed offsets, same as
@@ -62,18 +65,47 @@ class GraftLakeCdfProvider extends StreamSourceProvider with DataSourceRegister 
     val startV = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v.trim.toInt }
       .getOrElse(0)
-    new GraftLakeCdfSource(sqlContext, p, cdfSchema(sqlContext, p), startV)
+    val maxV = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toInt }
+    new GraftLakeCdfSource(sqlContext, p, cdfSchema(sqlContext, p), startV, maxV)
   }
 }
 
 class GraftLakeCdfSource(sqlContext: SQLContext, root: String,
-    override val schema: StructType, startingVersion: Int) extends Source {
+    override val schema: StructType, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+  extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles}
 
   private def head: Int = ManifestFileIndex.headVersion(root).getOrElse(0)
 
-  override def getOffset: Option[Offset] = {
+  // ADMISSION CONTROL the restart-safe way (FileStreamSource's own
+  // pattern): implementing SupportsAdmissionControl makes the engine pass
+  // the COMMITTED start offset into latestOffset(start, limit), so
+  // `maxVersionsPerTrigger` can cap each micro-batch's commit span with
+  // no internal high-water state to corrupt across restarts.
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(k => ReadLimit.maxFiles(k))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion.toLong)
+
+  override def reportLatestOffset(): OffsetV2 = LongOffset(head.toLong)
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val startV = Option(start).map(_.json().trim.toInt).getOrElse(startingVersion)
     val h = head
-    if (h <= startingVersion) None else Some(LongOffset(h))
+    val capped = limit match {
+      case mf: ReadMaxFiles => math.min(h, startV + math.max(1, mf.maxFiles()))
+      case _                => h
+    }
+    if (capped <= startV) null else LongOffset(capped.toLong)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

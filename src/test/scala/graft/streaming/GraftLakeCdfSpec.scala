@@ -123,6 +123,27 @@ class GraftLakeCdfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger chunks catch-up into per-commit micro-batches") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 30), root)                         // v1
+    LakeIO.evolveAppend(batch(30, 10), root)                     // v2
+    LakeIO.mergeInto(spark, root,
+      batch(0, 5).withColumn("value", $"value" + 900.0), "event_id") // v3
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sunk.count() === 30L + 10L + 10L)
+      assert(sunk.select($"_commit_version").distinct().count() === 3L)
+      // one commit per micro-batch under the cap
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString("batches: ", ",", ""))
+    } finally q.stop()
+  }
+
   test("the streamed feed equals the batch changefeed across the same range") {
     rm(root); rm(ckpt); rm(out)
     LakeIO.writeLake(batch(0, 60), root)                         // v1
