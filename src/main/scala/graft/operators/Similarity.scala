@@ -195,12 +195,26 @@ object Similarity {
     cents.count()
     var iter = 0
     while (iter < iters) {
-      val assigned = v.join(broadcast(cents.select($"c_id", $"ce", $"cn")))
-        .select($"vec_id", $"e", $"c_id",
-          (dot($"e", $"ce") / ($"nrm" * $"cn")).as("sim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_id")))
-        .where($"rk" === 1)
+      // map-only assignment: the k centroids collapse to ONE broadcast row
+      // (an array of (c_id, ce, cn)) and each vector picks its argmax-
+      // cosine centroid inside a higher-order aggregate — no exploded
+      // (vector × centroid) shuffle and no per-vector window sort, which
+      // were the whole per-iteration cost. The tie-break (equal sim →
+      // smallest c_id) matches the previous row_number ordering and the
+      // fold is order-independent under it, so labels stay bit-identical
+      // at any parallelism (KMeansSpec).
+      val centsRow = cents.agg(collect_list(struct($"c_id", $"ce", $"cn")).as("cs"))
+      val best = aggregate(
+        transform($"cs", c => struct(
+          (dot($"e", c("ce")) / ($"nrm" * c("cn"))).as("sim"),
+          c("c_id").as("c_id"))),
+        struct(lit(Double.NegativeInfinity).as("sim"),
+          lit(Long.MaxValue).as("c_id")),
+        (acc, x) => when(x("sim") > acc("sim") ||
+            (x("sim") === acc("sim") && x("c_id") < acc("c_id")), x)
+          .otherwise(acc))
+      val assigned = v.crossJoin(broadcast(centsRow))
+        .select($"vec_id", $"e", best.getField("c_id").as("c_id"))
       val dims = assigned
         .select($"c_id", posexplode($"e"))
         .select($"c_id", $"pos",
