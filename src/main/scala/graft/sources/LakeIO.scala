@@ -41,6 +41,51 @@ object LakeIO {
     commitMetadata(path, withHour.schema)
   }
 
+  /** Write with data-quality EXPECTATIONS — the ingestion gate a training
+    * pipeline puts in front of its lake (Delta Live Tables' expectations,
+    * Great-Expectations-shaped): each expectation is a named boolean
+    * predicate; rows passing ALL of them commit to the table, each
+    * failing row lands in `<path>_quarantine` carrying the names of the
+    * expectations it violated (never silently dropped, never poisoning
+    * the corpus). Returns per-expectation accounting.
+    *
+    * 100 TB shape: ONE pass over the batch — the violation array is a
+    * map-side column, both writes consume the same cached split, and the
+    * accounting is a single small aggregate (one row per expectation via
+    * explode of the precomputed violation names). No second scan of the
+    * input, no driver-side row handling.
+    */
+  def writeLakeWithExpectations(df: DataFrame, path: String,
+      expectations: Seq[(String, Column)]): DataFrame = {
+    require(expectations.nonEmpty, "writeLakeWithExpectations: no expectations")
+    val spark = df.sparkSession
+    val violated = array(expectations.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name)) }: _*)
+    val tagged = df.withColumn("__violated", filter(violated, _.isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeLake(tagged.where(size($"__violated") === 0).drop("__violated"), path)
+      val bad = tagged.where(size($"__violated") > 0)
+        .withColumn("violated", concat_ws(",", $"__violated"))
+        .drop("__violated")
+      if (!bad.isEmpty) writeLake(bad, path + "_quarantine")
+      val perExpectation = tagged
+        .select(explode($"__violated").as("expectation"))
+        .groupBy($"expectation").agg(count(lit(1)).as("failed"))
+      val totals = tagged.agg(
+        count(lit(1)).as("rows"),
+        coalesce(sum(when(size($"__violated") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("passed")).head()
+      val accounting = perExpectation.collect().toSeq
+      import spark.implicits._
+      (expectations.map { case (name, _) =>
+        (name, accounting.find(_.getString(0) == name)
+          .map(_.getLong(1)).getOrElse(0L),
+          totals.getLong(0), totals.getLong(1))
+      }).toDF("expectation", "failed", "rows_in", "rows_written")
+    } finally { tagged.unpersist(); () }
+  }
+
   /** Commit-time metadata: union schema + file manifest, so graft-lake V2
     * reads plan with ZERO filesystem listing and zero footer reads (the
     * walk below runs once per commit, on the single writer — not per
