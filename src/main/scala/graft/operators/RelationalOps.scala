@@ -270,6 +270,44 @@ object RelationalOps {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey) t
         |GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // TPC-H Q21 shape: DOUBLE-correlated subqueries on the same table —
+    // suppliers whose line was the ONLY late one in a multi-supplier
+    // order ("late" = shipped after a cutoff; this lineitem has no
+    // commit/receipt dates). The semi ("another supplier exists") and
+    // anti ("no OTHER supplier was late") correlations both become
+    // shuffle joins on l_orderkey; the supplier dimension broadcasts.
+    // Three passes over lineitem, each pruned to 3 columns — the plan a
+    // 100 TB run wants (no cartesian, no driver loop, one join key).
+    Op("q21_sole_late_supplier",
+      (s, d) => {
+        val late = $"l_shipdate" > to_timestamp(lit("1997-01-01 00:00:00"))
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        val l1 = li.where(late)
+        val l2 = li.select($"l_orderkey", $"l_suppkey".as("s2"))
+        val l3 = li.where(late).select($"l_orderkey", $"l_suppkey".as("s3"))
+        l1.join(l2, l1("l_orderkey") === l2("l_orderkey")
+            && $"l_suppkey" =!= $"s2", "left_semi")
+          .join(l3, l1("l_orderkey") === l3("l_orderkey")
+            && $"l_suppkey" =!= $"s3", "left_anti")
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(10)
+      },
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > TIMESTAMP '1997-01-01')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
   )
 }
