@@ -267,6 +267,39 @@ object CorpusOps {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // Deterministic mixture UPSAMPLING — the other half of mixture
+    // composition (mixture_weighted only downsamples): a source weighted
+    // w > 1 contributes floor(w) copies of every doc plus one more for
+    // the deterministic hash-bucket fraction, so epochs repeat
+    // high-value sources (wiki-style 2.5x) reproducibly. Even sources
+    // here get w = 0.25 (pure downsample), odd w = 2.5 (2 copies + 50%
+    // of a third). Map-only: one scan, copies materialized by a
+    // sequence-explode, no shuffle — at 100 TB this runs at scan
+    // throughput and composes with corpus_shuffle for the epoch order.
+    Op("mixture_upsample",
+      (s, d) => docs(s, d)
+        .select($"doc_id", $"source",
+          hashBucket($"doc_id").as("bucket"),
+          (substring($"source", 4, 8).cast("int") % 2).as("par"))
+        .withColumn("copies",
+          when($"par" === 0, lit(0L)).otherwise(lit(2L)) +
+            when($"bucket" < when($"par" === 0, "40").otherwise("80"), 1L)
+              .otherwise(0L))
+        .where($"copies" > 0L)
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1L), $"copies")).as("copy_id"))
+        .orderBy($"doc_id", $"copy_id"),
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 0 ELSE 2 END)
+        |    + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |         (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |          THEN '40' ELSE '80' END)
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
+        |FROM w WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin),
+
     // The composed curation pipeline — quality gate, stopword-ratio
     // language gate, exact dedup (min doc_id per normalized fingerprint),
     // token accounting — as ONE declarative plan: scan → map → single
