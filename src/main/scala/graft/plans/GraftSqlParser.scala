@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampType
   *   VACUUM <table>                         -- drop crashed-write debris
   *   VACUUM <table> RETAIN <n> SNAPSHOTS    -- + expire old time travel
   *   DESCRIBE HISTORY <table>               -- the snapshot log
+  *   DESCRIBE DETAIL <table>                -- table-level metadata
   *
   * Injected ahead of the delegate parser ([[GraftExtensions]]); anything
-  * that doesn't FULLY match one of the five statement shapes above falls
+  * that doesn't FULLY match one of the statement shapes above falls
   * through untouched, so the whole Spark SQL dialect keeps working.
   * Tables are addressed as `<catalog>.<ns>.<table>` (resolved through the
   * catalog's configured warehouse directory) or as a quoted `'/path'`.
@@ -45,6 +46,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*OPTIMIZE\s+([\w.`'/-]+?)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`'/-]+?)\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -72,6 +75,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftOptimizeCommand(lakeRoot(ident), Some((colA, colB)))
     case History(ident) =>
       GraftHistoryCommand(lakeRoot(ident))
+    case Detail(ident) =>
+      GraftDetailCommand(lakeRoot(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -135,6 +140,31 @@ case class GraftOptimizeCommand(root: String, zorder: Option[(String, String)])
     }
     Seq(Row(before.toLong, liveFiles.toLong,
       ManifestFileIndex.headVersion(root).getOrElse(0).toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL`: one row of table-level metadata (Delta parity) —
+  * location, current version, live file/partition/byte accounting and
+  * the partition column, read from the head manifest alone.
+  */
+case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("partition_column", StringType, nullable = true)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (partCol, entries) = ManifestFileIndex.read(root, None)
+      .getOrElse(sys.error(s"DESCRIBE DETAIL: no committed manifest under $root"))
+    Seq(Row("graft-lake", root,
+      ManifestFileIndex.headVersion(root).getOrElse(0).toLong,
+      partCol, entries.size.toLong,
+      entries.iterator.map(_.partValue).toSet.size.toLong,
+      entries.iterator.map(_.size).sum))
   }
 }
 

@@ -111,6 +111,20 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(h.last.getLong(2) >= 1L, "head version reports live files")
   }
 
+  test("DESCRIBE DETAIL reports head-manifest accounting in one row") {
+    attach()
+    val path = s"$wh/default/det"
+    LakeIO.writeLake(df(1L -> "a", 2L -> "b"), path)
+    val r = spark.sql("DESCRIBE DETAIL mcat.default.det").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "graft-lake")
+    assert(row.getString(1) === path)
+    assert(row.getLong(2) === 1L)
+    assert(row.getString(3) === "ts_hour")
+    assert(row.getLong(4) >= 1L && row.getLong(6) > 0L)
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
