@@ -15,7 +15,7 @@ object SparkEntry {
 
   def allOps: Seq[Op] =
     EventOps.ops ++ Generator.ops ++ LakeIO.ops ++ Bucketed.ops ++ RelationalOps.ops ++
-      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++
+      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++ RetrievalOps.ops ++
       TemporalJoins.ops ++ CorpusOps.ops ++ CurationOps.ops ++ graft.plans.Mv.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

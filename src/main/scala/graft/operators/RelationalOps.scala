@@ -308,6 +308,422 @@ object RelationalOps {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > TIMESTAMP '1997-01-01')
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
+
+    // TPC-H Q14 shape: promo revenue share over one ship window — the
+    // date predicate pushes to the scan, part broadcasts, and both the
+    // numerator and denominator aggregate through DECIMAL so the final
+    // percentage is a single double division on bit-identical operands.
+    Op("q14_promo_rev",
+      (s, d) => {
+        val disc = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
+        val zero = lit(BigDecimal(0)).cast(DecimalType(18, 8))
+        Tables.lineitem(s, d)
+          .where($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
+            && $"l_shipdate" < to_timestamp(lit("1997-03-01 00:00:00")))
+          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .agg(
+            sum(when($"p_type" === "PROMO", disc).otherwise(zero))
+              .cast(DecimalType(24, 4)).cast("double").as("promo_rev"),
+            sum(disc).cast(DecimalType(24, 4)).cast("double").as("total_rev"))
+          .select((lit(100.0) * $"promo_rev" / $"total_rev").as("promo_pct"),
+            $"promo_rev", $"total_rev")
+      },
+      """SELECT 100.0 * promo_rev / total_rev AS promo_pct, promo_rev, total_rev
+        |FROM (
+        |  SELECT
+        |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                       THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))
+        |                       ELSE CAST(0 AS DECIMAL(18,8)) END) AS DECIMAL(24,4)) AS DOUBLE) AS promo_rev,
+        |    CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00')""".stripMargin),
+
+    // TPC-H Q18 shape: large-volume orders — the HAVING subquery is the
+    // same aggregation the output needs, so it is computed ONCE (group
+    // lineitem by order, filter, join back to orders + broadcast
+    // customer) instead of the literal semi-join-then-reaggregate a naive
+    // translation would run. One fact shuffle on l_orderkey.
+    Op("q18_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d).groupBy($"l_orderkey")
+          .agg(moneySum($"l_quantity").as("sum_qty"))
+          .where($"sum_qty" > 150.0)
+        big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+            $"o_totalprice", $"sum_qty")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey) lq
+        |JOIN orders ON lq.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 150.0
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q10 shape: returned-item revenue per customer in one order
+    // quarter — fact⋈fact shuffle on the order key with BOTH sides
+    // pre-filtered (returnflag on lineitem, the date window on orders,
+    // each pushed to its scan), then broadcast customer/nation.
+    Op("q10_returned_rev",
+      (s, d) => Tables.lineitem(s, d)
+        .where($"l_returnflag" === "R")
+        .join(Tables.orders(s, d)
+          .where($"o_orderdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
+            && $"o_orderdate" < to_timestamp(lit("1997-07-01 00:00:00"))),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+          .cast(DecimalType(24, 4)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20),
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // TPC-H Q8 shape: national market share by year — the full 6-table
+    // snowflake (fact ⋈ orders shuffle once; part/customer/nation/region/
+    // supplier all broadcast, nation twice under different roles). The
+    // share is a conditional-sum ratio through DECIMAL, divided once.
+    Op("q8_market_share",
+      (s, d) => {
+        val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
+        val zero = lit(BigDecimal(0)).cast(DecimalType(18, 8))
+        val custNation = Tables.nation(s, d)
+          .select($"n_nationkey", $"n_regionkey")
+        val suppNation = Tables.nation(s, d)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where($"p_type" === "PROMO")
+            .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(custNation), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d).where($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+          .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+          .agg(
+            sum(when($"supp_nation" === "NATION_5", vol).otherwise(zero))
+              .cast(DecimalType(24, 4)).cast("double").as("nation_vol"),
+            sum(vol).cast(DecimalType(24, 4)).cast("double").as("total_vol"))
+          .select($"o_year", round($"nation_vol" / $"total_vol", 6).as("mkt_share"),
+            $"nation_vol", $"total_vol")
+          .orderBy($"o_year")
+      },
+      """SELECT o_year, round(nation_vol / total_vol, 6) AS mkt_share, nation_vol, total_vol
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |                       THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))
+        |                       ELSE CAST(0 AS DECIMAL(18,8)) END) AS DECIMAL(24,4)) AS DOUBLE) AS nation_vol,
+        |    CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS total_vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  GROUP BY year(o_orderdate))
+        |ORDER BY o_year""".stripMargin),
+
+    // Bidirectional nation-pair trade volume (TPC-H Q7 shape): the OR of
+    // the two (supp_nation, cust_nation) orientations survives into one
+    // fact pass — both nation lookups broadcast, one shuffle for the agg.
+    Op("q7_volume_shipping",
+      (s, d) => {
+        val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
+        val suppNation = Tables.nation(s, d)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+        val custNation = Tables.nation(s, d)
+          .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+        Tables.lineitem(s, d)
+          .where($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00"))
+            && $"l_shipdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
+          .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
+          .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8")
+            || ($"supp_nation" === "NATION_8" && $"cust_nation" === "NATION_3"))
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").cast("long").as("l_year"))
+          .agg(sum(vol).cast(DecimalType(24, 4)).cast("double").as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // Top supplier by quarterly revenue with a scalar-max subquery
+    // (TPC-H Q15 shape). The max joins back on the DECIMAL revenue —
+    // exact equality, no double ties; the 1-row max is broadcast.
+    Op("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
+            && $"l_shipdate" < to_timestamp(lit("1997-04-01 00:00:00")))
+          .groupBy($"l_suppkey".as("supplier_no"))
+          .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+            .cast(DecimalType(24, 4)).as("total_rev"))
+        val top = rev.agg(max($"total_rev").as("max_rev"))
+        Tables.supplier(s, d)
+          .join(rev, $"s_suppkey" === $"supplier_no")
+          .crossJoin(broadcast(top))
+          .where($"total_rev" === $"max_rev")
+          .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_rev"))
+          .orderBy($"s_suppkey")
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // Disjunctive multi-attribute predicate over a broadcast dimension
+    // join (TPC-H Q19 shape): the OR-of-ANDs references both sides, so
+    // it evaluates post-join — the plan to want is broadcast-hash-join
+    // with the residual filter fused into the probe, one fact pass.
+    Op("q19_disjunctive_rev",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"p_partkey" === $"l_partkey")
+        .where(($"p_brand" === "Brand#12" && $"p_size".between(1, 15)
+            && $"l_quantity" >= 1 && $"l_quantity" <= 21)
+          || ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
+            && $"l_quantity" >= 10 && $"l_quantity" <= 30)
+          || ($"p_brand" === "Brand#34" && $"p_size".between(1, 35)
+            && $"l_quantity" >= 20 && $"l_quantity" <= 40))
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
+            .cast(DecimalType(24, 4)).cast("double").as("revenue"),
+          count(lit(1)).as("cnt")),
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin),
+
+    // Min-cost supplier per part via correlated-min (TPC-H Q2 shape,
+    // adapted: unit cost = min observed l_extendedprice/l_quantity since
+    // there is no partsupp table). Ranking compares DECIMAL(18,6) unit
+    // costs (rounded once at 6 dp under identical IEEE order on both
+    // engines) — the min-equality join is exact. Both aggs shuffle on
+    // l_partkey; AQE coalesces the tiny dimension joins.
+    Op("q2_min_cost_supplier",
+      (s, d) => {
+        val cost = Tables.lineitem(s, d)
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(min(round($"l_extendedprice" / $"l_quantity", 6).cast(DecimalType(18, 6)))
+            .as("unit_cost"))
+        val best = cost.groupBy($"l_partkey".as("b_key"))
+          .agg(min($"unit_cost").as("best_cost"))
+        cost.join(best, $"l_partkey" === $"b_key" && $"unit_cost" === $"best_cost")
+          .join(broadcast(Tables.part(s, d).where($"p_size" <= 5)),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+          .select($"p_partkey", $"p_brand", $"s_suppkey", $"s_name", $"s_acctbal",
+            $"unit_cost".cast("double").as("unit_cost"))
+          .orderBy($"s_acctbal".desc, $"p_partkey", $"s_suppkey")
+      },
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6))) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+        |  CAST(unit_cost AS DOUBLE) AS unit_cost
+        |FROM cost
+        |JOIN best ON cost.l_partkey = best.l_partkey AND cost.unit_cost = best.best_cost
+        |JOIN part ON p_partkey = cost.l_partkey
+        |JOIN supplier ON s_suppkey = cost.l_suppkey
+        |WHERE p_size <= 5
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin),
+
+    // Product-line profit by supplier nation and year (TPC-H Q9 shape,
+    // adapted: cost proxy = 0.6 * p_retailprice * l_quantity — no
+    // partsupp supplycost). Both profit terms round into DECIMAL(18,8)
+    // from identically-ordered double expressions, so the subtraction
+    // and sum are exact on both engines.
+    Op("q9_profit_by_nation",
+      (s, d) => {
+        val revenue = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
+        val cost = ($"p_retailprice" * $"l_quantity" * lit(0.6)).cast(DecimalType(18, 8))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where($"p_name".contains("gear"))),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+          .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+          .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+          .agg(sum(revenue - cost).cast(DecimalType(24, 4)).cast("double").as("profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,8))
+        |             - CAST(p_retailprice * l_quantity * 0.6 AS DECIMAL(18,8))) AS DECIMAL(24,4)) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin),
+
+    // Parts above a global value-share threshold: HAVING against a
+    // scalar subquery (TPC-H Q11 shape). The share test multiplies
+    // DECIMALs by integer constants (exact) instead of dividing — no
+    // double epsilon at the cut line. Total is a 1-row broadcast.
+    Op("q11_important_parts",
+      (s, d) => {
+        val value = sum($"l_extendedprice".cast(DecimalType(18, 4))).cast(DecimalType(28, 4))
+        val v = Tables.lineitem(s, d).groupBy($"l_partkey".as("p_key")).agg(value.as("part_value"))
+        val t = Tables.lineitem(s, d).agg(value.as("total_value"))
+        v.crossJoin(broadcast(t))
+          .where($"part_value" * 10000 > $"total_value" * 7)
+          .select($"p_key", $"part_value".cast("double").as("part_value"))
+          .orderBy($"part_value".desc, $"p_key")
+      },
+      """WITH v AS (
+        |  SELECT l_partkey AS p_key,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS part_value
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_value FROM lineitem)
+        |SELECT p_key, CAST(part_value AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE part_value * 10000 > total_value * 7
+        |ORDER BY part_value DESC, p_key""".stripMargin),
+
+    // Supplier diversity per part attribute with a NOT-IN exclusion
+    // (TPC-H Q16 shape): the complaint-supplier set becomes a broadcast
+    // anti join; count(DISTINCT) shuffles once on the group keys.
+    Op("q16_supplier_count",
+      (s, d) => {
+        val excluded = Tables.supplier(s, d).where($"s_acctbal" < 0)
+          .select($"s_suppkey".as("x_key"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .where($"p_type" =!= "PROMO" && $"p_size".isin(1, 9, 14, 19, 23, 36, 45, 49))),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(excluded), $"l_suppkey" === $"x_key", "left_anti")
+          .groupBy($"p_brand", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+      },
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin),
+
+    // Suppliers holding >30% share of a brand's yearly volume (TPC-H Q20
+    // shape, adapted to shipped-quantity share — no partsupp availqty).
+    // Share test is integer-only (qty*10 > total*3). One fact shuffle on
+    // (part, supp); the per-part total is a second agg of the FIRST
+    // agg's output (tiny), not a second fact pass.
+    Op("q20_share_suppliers",
+      (s, d) => {
+        val sq = Tables.lineitem(s, d)
+          .where($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
+            && $"l_shipdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+          .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
+          .agg(sum($"l_quantity".cast("long")).as("qty"))
+        val tot = sq.groupBy($"pk".as("t_pk")).agg(sum($"qty").as("tqty"))
+        sq.join(tot, $"pk" === $"t_pk")
+          .join(broadcast(Tables.part(s, d).where($"p_brand" === "Brand#12")),
+            $"p_partkey" === $"pk")
+          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"sk")
+          .where($"qty" * 10 > $"tqty" * 3)
+          .select($"s_suppkey", $"s_name").distinct()
+          .orderBy($"s_suppkey")
+      },
+      """WITH sq AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT pk, sum(qty) AS tqty FROM sq GROUP BY pk)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM sq JOIN tot USING (pk) JOIN supplier ON s_suppkey = sk
+        |JOIN part ON p_partkey = pk
+        |WHERE p_brand = 'Brand#12' AND sq.qty * 10 > tot.tqty * 3
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // Wealthy-but-dormant customers per nation (TPC-H Q22 shape, adapted:
+    // no orders since 1999 — every customer has SOME order in this data).
+    // The above-average test is exact integer cents × count (no double
+    // average at the cut); the dormant set is a broadcast anti join.
+    Op("q22_no_order_customers",
+      (s, d) => {
+        val cents = (($"c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+        val avgbal = Tables.customer(s, d).where($"c_acctbal" > 0)
+          .agg(sum(cents).as("cents"), count(lit(1)).as("n"))
+        val recent = Tables.orders(s, d)
+          .where($"o_orderdate" >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select($"o_custkey")
+        Tables.customer(s, d)
+          .crossJoin(broadcast(avgbal))
+          .where(cents * $"n" > $"cents")
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum($"c_acctbal".cast(DecimalType(18, 4))).cast(DecimalType(24, 4))
+              .cast("double").as("totacctbal"))
+          .orderBy($"c_nationkey")
+      },
+      """WITH avgbal AS (
+        |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0),
+        |cand AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avgbal
+        |  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > cents
+        |    AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS DOUBLE) AS totacctbal
+        |FROM cand GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   )
 }
