@@ -29,16 +29,29 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read it as epoch-nanos long and truncate to microseconds
-    * (same truncation DuckDB applies on CAST(ts_ns AS TIMESTAMP), so the
-    * oracle sees identical instants).
+  /** `events.ts` normalizer — the physical encoding has differed across
+    * driver-generated datasets, so the reader dispatches on the decoded
+    * type rather than assuming one:
+    *   - parquet TIMESTAMP(NANOS): Spark cannot read it natively; decode
+    *     as epoch-nanos long (`nanosAsLong`) and truncate to micros (the
+    *     same truncation DuckDB applies, so the oracle sees identical
+    *     instants);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): decoded as
+    *     TIMESTAMP_NTZ; cast to TimestampType (session TZ is pinned UTC
+    *     everywhere, so the wall clock is preserved bit-exactly);
+    *   - already TimestampType: pass through.
+    * Every engine path reads events through this one seam.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
