@@ -205,6 +205,38 @@ object LakeIO {
     ManifestFileIndex.commitEntries(path, "ts_hour", current ++ appended)
   }
 
+  /** MULTI-WRITER-safe append: stages this batch's files under a unique
+    * token, then commits them as a DELTA via the optimistic CAS
+    * ([[org.apache.spark.sql.graft.ManifestFileIndex.commitDelta]]).
+    * N uncoordinated writers appending to the same table all succeed —
+    * each loser of the version race rebases its (pure-add) delta onto the
+    * winner's snapshot and retries, so no commit is lost and every commit
+    * gets a distinct, readable snapshot version. This is the ingestion
+    * shape a 100 TB table actually sees: many executors' streaming sinks,
+    * a backfill job, and a compactor all landing commits with no
+    * coordination service — safety comes from the commit protocol, not
+    * from a lock around the writers. Returns the committed version.
+    */
+  def appendTxn(df: DataFrame, path: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val withHour = hourPartitioned(df)
+    if (tableSchema(path).isEmpty) writeSchemaFile(path, withHour.schema)
+    val base = ManifestFileIndex.claimedVersion(path)
+    // UUID token, not head+1: two racing writers would collide on a
+    // version-derived stage directory/file prefix before ever reaching
+    // the commit protocol
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val stage = path + s"_stage_t$token"
+    withHour
+      .repartition(col("ts_hour"))
+      .write.mode("overwrite")
+      .partitionBy("ts_hour")
+      .option("compression", "zstd")
+      .parquet(stage)
+    val appended = moveStaged(path, "ts_hour", stage, s"t$token-")
+    ManifestFileIndex.commitDelta(path, "ts_hour", base, appended, Set.empty)
+  }
+
   /** Move every staged partition file into the live tree under
     * `prefix`-unique names and return its manifest entries (footer stats
     * included). Shared by the CoW tail and the append path; the staged
@@ -531,6 +563,7 @@ object LakeIO {
   def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val prefix = s"b$batchId-"
+    val baseV = ManifestFileIndex.claimedVersion(path)
     val prior: Seq[ManifestFileIndex.Entry] =
       ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty)
     if (prior.exists(e => e.relPath.split('/').last.startsWith(prefix))) return
@@ -569,7 +602,13 @@ object LakeIO {
           }
       }
     rmDir(stage)
-    ManifestFileIndex.commitEntries(path, "ts_hour", prior ++ newEntries.result())
+    // Delta commit, not full-state: a batch is a pure ADD, so if another
+    // writer (a second stream, a compactor) committed between our base
+    // read and here, the commit rebases onto their snapshot instead of
+    // silently reverting it — exactly-once AND multi-writer-safe.
+    ManifestFileIndex.commitDelta(path, "ts_hour", baseV,
+      newEntries.result(), Set.empty)
+    ()
   }
 
   /** Incremental (CDC-style) read: the rows ADDED between two snapshots —

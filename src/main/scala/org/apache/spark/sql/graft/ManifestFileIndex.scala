@@ -9,6 +9,14 @@ import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, P
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** A [[ManifestFileIndex.commitDelta]] lost a file-level write-write race
+  * (another writer rewrote the same files between this transaction's base
+  * read and its commit). The table is untouched by the loser; callers
+  * re-read the new head and retry the whole operation or surface the
+  * failure.
+  */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** File index backed by the lake's commit manifest instead of filesystem
   * listing — the Iceberg idea (manifests over listing; reference:
   * trino/sql/init-tables.sql Iceberg tables) applied to the graft lake.
@@ -76,9 +84,11 @@ class ManifestFileIndex(
   /** File-level min/max skipping (Iceberg column metrics): the commit
     * recorded per-file INT64 and UTF8 bounds in the manifest, so a pushed
     * data filter can eliminate whole FILES at planning — no task launched,
-    * no footer read. Conservative: only `=`/`<`/`<=`/`>`/`>=` conjuncts on
-    * a long or string column with recorded stats ever drop a file; string
-    * comparisons are unsigned-byte lexicographic, the parquet UTF8 order.
+    * no footer read. Conservative: only `=`/`<`/`<=`/`>`/`>=`/`IN`
+    * conjuncts on a long or string column with recorded stats ever drop a
+    * file (IN keeps a file iff some listed point falls inside its
+    * bounds); string comparisons are unsigned-byte lexicographic, the
+    * parquet UTF8 order.
     */
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -88,29 +98,48 @@ class ManifestFileIndex(
     val bounds = ManifestFileIndex.requiredBounds(dataFilters)
     val strBounds = ManifestFileIndex.requiredStrBounds(dataFilters)
     val dblBounds = ManifestFileIndex.requiredDblBounds(dataFilters)
-    if ((bounds.isEmpty || statsByPath.isEmpty) &&
-        (strBounds.isEmpty || strStatsByPath.isEmpty) &&
+    val inSets = ManifestFileIndex.requiredInSets(dataFilters)
+    val strInSets = ManifestFileIndex.requiredStrInSets(dataFilters)
+    if ((bounds.isEmpty && inSets.isEmpty || statsByPath.isEmpty) &&
+        (strBounds.isEmpty && strInSets.isEmpty || strStatsByPath.isEmpty) &&
         (dblBounds.isEmpty || dblStatsByPath.isEmpty)) dirs
     else dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val longOk = statsByPath.get(f.getPath.toString) match {
-          case Some(stats) => bounds.forall { case (col, (lo, hi)) =>
-            stats.get(col) match {
-              case Some((mn, mx)) => mx >= lo && mn <= hi
-              case None           => true
+          case Some(stats) =>
+            bounds.forall { case (col, (lo, hi)) =>
+              stats.get(col) match {
+                case Some((mn, mx)) => mx >= lo && mn <= hi
+                case None           => true
+              }
+            } &&
+            // IN-list: keep the file iff SOME point can be inside it
+            inSets.forall { case (col, pts) =>
+              stats.get(col) match {
+                case Some((mn, mx)) => pts.exists(v => v >= mn && v <= mx)
+                case None           => true
+              }
             }
-          }
           case None => true
         }
         val strOk = strStatsByPath.get(f.getPath.toString) match {
-          case Some(stats) => strBounds.forall { case (col, (lo, hi)) =>
-            stats.get(col) match {
-              case Some((mn, mx)) =>
-                lo.forall(l => ManifestFileIndex.hexCompare(mx, l) >= 0) &&
-                hi.forall(h => ManifestFileIndex.hexCompare(mn, h) <= 0)
-              case None => true
+          case Some(stats) =>
+            strBounds.forall { case (col, (lo, hi)) =>
+              stats.get(col) match {
+                case Some((mn, mx)) =>
+                  lo.forall(l => ManifestFileIndex.hexCompare(mx, l) >= 0) &&
+                  hi.forall(h => ManifestFileIndex.hexCompare(mn, h) <= 0)
+                case None => true
+              }
+            } &&
+            strInSets.forall { case (col, pts) =>
+              stats.get(col) match {
+                case Some((mn, mx)) => pts.exists(v =>
+                  ManifestFileIndex.hexCompare(v, mn) >= 0 &&
+                  ManifestFileIndex.hexCompare(v, mx) <= 0)
+                case None => true
+              }
             }
-          }
           case None => true
         }
         val dblOk = dblStatsByPath.get(f.getPath.toString) match {
@@ -213,6 +242,72 @@ object ManifestFileIndex {
       case LessThanOrEqual(x, y) =>
         for (n <- attrName(x); v <- longLit(y)) add(n, Long.MinValue, v)
         for (n <- attrName(y); v <- longLit(x)) add(n, v, Long.MaxValue)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  /** Per-column literal point-sets implied by pushed IN-list predicates
+    * on LONG columns (`user_id IN (…)` — THE at-scale point-lookup shape:
+    * a 100 TB table with per-file bounds answers it by dropping every
+    * file whose [min,max] contains none of the points, no bloom or index
+    * needed when the layout clusters the column). Both the unresolved
+    * `In(attr, literals)` and the optimizer's compiled `InSet` form are
+    * handled; a NULL literal in the list adds no point (IN with NULL
+    * matches nothing extra under three-valued logic, so dropping a file
+    * on the non-null points alone stays exact for the rows a scan could
+    * ever return).
+    */
+  def requiredInSets(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Map[String, Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val acc = scala.collection.mutable.Map.empty[String, Set[Long]]
+    def add(col: String, vs: Set[Long]): Unit =
+      // two IN conjuncts on one column intersect
+      acc(col) = acc.get(col).fold(vs)(_ intersect vs)
+    filters.foreach {
+      case In(a: Attribute, list) if a.dataType == LongType &&
+          list.nonEmpty && list.forall {
+            case Literal(_, LongType) => true
+            case _ => false
+          } =>
+        add(a.name, list.collect { case Literal(v: Long, LongType) => v }.toSet)
+      case InSet(a: Attribute, hset) if a.dataType == LongType && hset.nonEmpty =>
+        val longs = hset.collect { case v: java.lang.Long => v.longValue }
+        if (longs.size == hset.size) add(a.name, longs.toSet)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  /** IN-list point-sets on STRING columns, hex-encoded to the manifest's
+    * unsigned-byte order (see [[hexCompare]]).
+    */
+  def requiredStrInSets(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Map[String, Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    def add(col: String, vs: Set[String]): Unit =
+      acc(col) = acc.get(col).fold(vs)(_ intersect vs)
+    filters.foreach {
+      case In(a: Attribute, list) if a.dataType == StringType &&
+          list.nonEmpty && list.forall {
+            case Literal(v, StringType) => v != null
+            case _ => false
+          } =>
+        add(a.name, list.collect {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            hexEncode(v.getBytes)
+        }.toSet)
+      case InSet(a: Attribute, hset) if a.dataType == StringType && hset.nonEmpty =>
+        val strs = hset.collect {
+          case v: org.apache.spark.unsafe.types.UTF8String => hexEncode(v.getBytes)
+        }
+        if (strs.size == hset.size) add(a.name, strs.toSet)
       case _ => ()
     }
     acc.toMap
@@ -562,6 +657,21 @@ object ManifestFileIndex {
     val prevLive = read(rootDir, None).map(_._2.map(_.relPath).toSet).getOrElse(Set.empty)
     val parked = (readParked(rootDir).getOrElse(Set.empty) ++ (prevLive -- newLive))
       .filter(p => new java.io.File(rootDir, p).exists())
+    val content = renderManifest(partCol, entries, parked)
+    // The VERSION claim goes through the same CAS as [[commitDelta]], so
+    // even two "single-writer" commits racing can never share a snapshot
+    // number or tear each other's snapshot files. The table STATE is
+    // still whatever this caller computed (full-state API: last writer
+    // wins semantically) — writers needing lost-update safety commit a
+    // delta instead.
+    var v = claimedVersion(rootDir) + 1
+    while (!tryClaim(rootDir, v, content)) v += 1
+    publishClaimed(rootDir, v, content)
+  }
+
+  /** Render the manifest TSV for a live-entry set + parked set. */
+  private def renderManifest(partCol: String, entries: Seq[Entry],
+      parked: Set[String]): String = {
     // a ':' inside a column name would corrupt the ':'-separated stat
     // field on read — omit that column's stats (pure skipping loss, never
     // a wrong answer) rather than write an unparseable manifest
@@ -588,30 +698,156 @@ object ManifestFileIndex {
       }
       sb.append('\n')
     }
-    val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
-    java.nio.file.Files.write(tmp.toPath, sb.toString.getBytes("UTF-8"))
-    tmp.renameTo(new java.io.File(rootDir, ManifestName))
+    sb.toString
+  }
 
-    // snapshot log: the same manifest becomes snapshot v = HEAD+1, plus a
-    // frozen copy of the current schema metadata; HEAD advances by atomic
-    // rename LAST, so a reader never observes a half-written snapshot.
-    // Appends never delete data files, so every previous snapshot's file
-    // list stays valid — that is what makes `versionAsOf` reads work.
+  /** Highest snapshot version CLAIMED on disk — ≥ [[headVersion]], which
+    * is published last and may lag by one mid-commit. Concurrency-aware
+    * writers target `claimedVersion + 1`; readers keep using HEAD (a
+    * claimed-but-unpublished snapshot is a commit still in flight).
+    */
+  def claimedVersion(rootDir: String): Int = {
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    val claimed = Option(snapDir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      val n = f.getName
+      if (n.startsWith("manifest-") && n.endsWith(".tsv"))
+        scala.util.Try(n.stripPrefix("manifest-").stripSuffix(".tsv").toInt).toOption
+      else None
+    }
+    (claimed :+ headVersion(rootDir).getOrElse(0)).max
+  }
+
+  /** CAS primitive of the commit protocol: atomically claim snapshot
+    * version `v` with `content`. The content is written to a temp file
+    * first and exposed via hard-link creation — link succeeds atomically
+    * iff `manifest-v.tsv` does not exist yet, and a successful link is
+    * already fully-formed (no reader can see a half-written snapshot).
+    * Returns false when another writer holds `v` (caller re-reads and
+    * retries at the next version).
+    */
+  private def tryClaim(rootDir: String, v: Int, content: String): Boolean = {
     val snapDir = new java.io.File(rootDir, SnapshotDir)
     snapDir.mkdirs()
-    val v = headVersion(rootDir).getOrElse(0) + 1
-    java.nio.file.Files.write(
-      new java.io.File(snapDir, s"manifest-$v.tsv").toPath,
-      sb.toString.getBytes("UTF-8"))
-    val schemaFile = new java.io.File(rootDir, "_graft_schema.json")
-    if (schemaFile.exists())
-      java.nio.file.Files.copy(schemaFile.toPath,
-        new java.io.File(snapDir, s"schema-$v.json").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val headTmp = new java.io.File(snapDir, ".HEAD.tmp")
-    java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
-    headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
-    ()
+    val tmp = java.io.File.createTempFile(s".claim$v-", ".tmp", snapDir)
+    try {
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(
+          new java.io.File(snapDir, s"manifest-$v.tsv").toPath, tmp.toPath)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { tmp.delete(); () }
+  }
+
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Publish an already-claimed snapshot `v`: freeze the schema, refresh
+    * the mirror manifest, and advance HEAD by atomic rename LAST.
+    * MONOTONIC: if a later version was already published (a racing
+    * writer that rebased on top of us finished first), the mirror and
+    * HEAD are left at the newer state — this commit is durable in its
+    * snapshot file and its changes are already folded into the newer
+    * version by that writer's rebase.
+    */
+  private def publishClaimed(rootDir: String, v: Int, content: String): Unit = {
+    val key = new java.io.File(rootDir).getAbsolutePath
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val snapDir = new java.io.File(rootDir, SnapshotDir)
+      val schemaFile = new java.io.File(rootDir, "_graft_schema.json")
+      if (schemaFile.exists())
+        java.nio.file.Files.copy(schemaFile.toPath,
+          new java.io.File(snapDir, s"schema-$v.json").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (headVersion(rootDir).getOrElse(0) < v) {
+        val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
+        java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+        tmp.renameTo(new java.io.File(rootDir, ManifestName))
+        val headTmp = new java.io.File(snapDir, ".HEAD.tmp")
+        java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
+        headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
+      }
+    }
+  }
+
+  /** Parked set of a specific CLAIMED snapshot (the `#parked` section of
+    * its frozen manifest). Empty for v=0 / pre-tracking snapshots.
+    */
+  def readParkedAt(rootDir: String, v: Int): Set[String] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+    if (v <= 0 || !f.exists()) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.startsWith("#parked\t"))
+        .map(_.substring("#parked\t".length)).toSet
+    }
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit (the multi-writer path — Delta/Iceberg
+    * optimistic transactions): the caller expresses its commit as a DELTA
+    * against the snapshot it read at transaction start (`baseVersion`):
+    * `added` entries join the table, `removedPaths` leave it (empty for a
+    * pure append). The commit REBASES onto whatever head exists at commit
+    * time and claims `head+1` via the [[tryClaim]] CAS; on a lost race it
+    * re-reads and retries. File-granular conflict detection
+    * (write-serializable, Delta's default isolation):
+    *   - a file this txn removes that a concurrent commit ALSO removed →
+    *     write-write conflict, [[CommitConflictException]];
+    *   - a pure append NEVER conflicts — it rebases cleanly onto any
+    *     concurrent state (Delta/Iceberg append semantics);
+    *   - concurrent appends to a partition this txn rewrites survive (the
+    *     rewrite is serialized BEFORE the append — file-level, not
+    *     predicate-level, serializability; documented, like Delta
+    *     WriteSerializable).
+    * Returns the committed version. At 100 TB this is what makes N
+    * streaming writers + a compactor + a GDPR deleter safe on one table
+    * with no coordination service: conflicts cost one metadata read, and
+    * the loser retries or surfaces after O(changed files) work, never a
+    * table scan.
+    */
+  def commitDelta(rootDir: String, partCol: String, baseVersion: Int,
+      added: Seq[Entry], removedPaths: Set[String], maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = claimedVersion(rootDir)
+      val headEntries: Seq[Entry] =
+        if (head == 0) Seq.empty
+        else read(rootDir, Some(head)).map(_._2).getOrElse(Seq.empty)
+      val headLive = headEntries.map(_.relPath).toSet
+      if (head != baseVersion) {
+        val baseLive: Set[String] =
+          if (baseVersion == 0) Set.empty
+          else read(rootDir, Some(baseVersion)).map(_._2.map(_.relPath).toSet)
+            .getOrElse(Set.empty)
+        val removedSince = baseLive -- headLive
+        val clash = removedPaths.intersect(removedSince)
+        if (clash.nonEmpty)
+          throw new CommitConflictException(
+            s"write-write conflict: ${clash.size} file(s) this transaction " +
+            s"rewrites were already rewritten between v$baseVersion and v$head " +
+            s"(e.g. ${clash.head}) — re-read and retry the operation")
+        val gone = removedPaths.filterNot(headLive)
+        if (gone.nonEmpty)
+          throw new CommitConflictException(
+            s"stale base: ${gone.size} file(s) this transaction rewrites are " +
+            s"no longer live at v$head (e.g. ${gone.head})")
+      }
+      val newEntries = headEntries.filterNot(e => removedPaths(e.relPath)) ++ added
+      val newLive = newEntries.map(_.relPath).toSet
+      val parked = (readParkedAt(rootDir, head) ++ (headLive -- newLive))
+        .filter(p => new java.io.File(rootDir, p).exists())
+      val content = renderManifest(partCol, newEntries, parked)
+      if (tryClaim(rootDir, head + 1, content)) {
+        publishClaimed(rootDir, head + 1, content)
+        return head + 1
+      }
+      attempt += 1
+    }
+    throw new CommitConflictException(
+      s"could not claim a snapshot version after $maxAttempts attempts " +
+      s"(sustained commit contention on $rootDir)")
   }
 
   /** Expire all but the last `keepLast` snapshots and VACUUM: delete any

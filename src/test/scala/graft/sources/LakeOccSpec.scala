@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CommitConflictException, ManifestFileIndex}
+
+import graft.SharedSpark.{spark, sf}
+import graft.syntax._
+
+/** Optimistic concurrency on the lake commit protocol: uncoordinated
+  * writers never lose a commit (appends rebase through the version-claim
+  * CAS), genuine write-write file conflicts abort exactly one loser, and
+  * HEAD/snapshot state stays consistent throughout. This is the property
+  * that lets N streaming sinks + a compactor + a deleter share one 100 TB
+  * table with no coordination service.
+  */
+class LakeOccSpec extends AnyFunSuite {
+
+  private val base = "/tmp/graft_lake_test/occ_spec"
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  private def events = Tables.events(spark, sf)
+    .select($"event_id", $"ts", $"event_type", $"value")
+
+  test("concurrent appendTxn writers: no lost update, distinct versions, exact union") {
+    val root = s"$base/concurrent_appends"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 100), root)
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val nWriters = 6
+    // each writer appends a disjoint, recognizable slice
+    val slices = (0 until nWriters).map { i =>
+      events.where($"event_id" >= 100 + i * 50 && $"event_id" < 100 + (i + 1) * 50)
+        .withColumn("event_id", $"event_id" + lit(i * 1000000L))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    slices.foreach { df =>
+      pool.execute(() =>
+        try results.add(LakeIO.appendTxn(df, root))
+        catch { case t: Throwable => errors.add(t); () })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"append failed: ${Option(errors.peek()).map(_.toString)}")
+
+    import scala.jdk.CollectionConverters._
+    val versions = results.asScala.toSeq.sorted
+    // every writer committed, each at its own version, none skipped
+    assert(versions == (v0 + 1 to v0 + nWriters))
+    assert(ManifestFileIndex.headVersion(root).get == v0 + nWriters)
+    assert(ManifestFileIndex.claimedVersion(root) == v0 + nWriters)
+
+    // union is exact: the base plus every writer's slice, no dups, no loss
+    val got = spark.read.format("graft-lake").load(root)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val expected = slices.foldLeft(events.where($"event_id" < 100))(_ unionByName _)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+
+    // every intermediate version remains a readable snapshot with
+    // monotonically growing row counts (append-only chain)
+    val counts = (v0 to v0 + nWriters).map { v =>
+      spark.read.format("graft-lake").option("versionAsOf", v.toString)
+        .load(root).count()
+    }
+    assert(counts == counts.sorted)
+  }
+
+  test("write-write conflict: two deltas removing the same file — one wins, one aborts") {
+    val root = s"$base/conflict"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 200), root)
+    val baseV = ManifestFileIndex.headVersion(root).get
+    val entries = ManifestFileIndex.read(root).get._2
+    val victim = entries.head
+
+    // both transactions read base, both rewrite the same file
+    def rewrite(tag: String): Int = {
+      val dir = new java.io.File(root, s"ts_hour=${victim.partValue}")
+      val f = java.io.File.createTempFile(s"occ$tag-", ".parquet", dir)
+      java.nio.file.Files.copy(
+        new java.io.File(root, victim.relPath).toPath, f.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val entry = victim.copy(relPath = s"ts_hour=${victim.partValue}/${f.getName}")
+      ManifestFileIndex.commitDelta(root, "ts_hour", baseV,
+        Seq(entry), Set(victim.relPath))
+    }
+
+    val first = rewrite("a")
+    assert(first == baseV + 1)
+    val err = intercept[CommitConflictException] { rewrite("b") }
+    assert(err.getMessage.contains("conflict") || err.getMessage.contains("stale"))
+    // loser left no trace in table state
+    assert(ManifestFileIndex.headVersion(root).get == baseV + 1)
+  }
+
+  test("append delta vs concurrent rewrite: append rebases cleanly, both survive") {
+    val root = s"$base/append_vs_rewrite"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 200), root)
+    val baseV = ManifestFileIndex.headVersion(root).get
+    val before = spark.read.format("graft-lake").load(root).count()
+
+    // a rewrite commits first (simulating a compactor winning the race)...
+    val entries = ManifestFileIndex.read(root).get._2
+    val victim = entries.head
+    val dir = new java.io.File(root, s"ts_hour=${victim.partValue}")
+    val f = java.io.File.createTempFile("occcompact-", ".parquet", dir)
+    java.nio.file.Files.copy(
+      new java.io.File(root, victim.relPath).toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ManifestFileIndex.commitDelta(root, "ts_hour", baseV,
+      Seq(victim.copy(relPath = s"ts_hour=${victim.partValue}/${f.getName}")),
+      Set(victim.relPath))
+
+    // ...then an append whose base predates the rewrite commits anyway
+    val appended = events.where($"event_id" >= 200 && $"event_id" < 300)
+      .withColumn("event_id", $"event_id" + 5000000L)
+    val v = LakeIO.appendTxn(appended, root)
+    assert(v == baseV + 2)
+
+    val after = spark.read.format("graft-lake").load(root)
+    assert(after.count() == before + appended.count())
+    // the rewritten file's rows are present exactly once (rewrite survived)
+    assert(after.where($"event_id" < 200).count() ==
+      events.where($"event_id" < 200).count())
+  }
+
+  test("commitEntries racers can never share a snapshot version") {
+    val root = s"$base/version_race"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 50), root)
+    val v0 = ManifestFileIndex.headVersion(root).get
+    val entries = ManifestFileIndex.read(root).get._2
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    (0 until 4).foreach { _ =>
+      pool.execute(() => ManifestFileIndex.commitEntries(root, "ts_hour", entries))
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+
+    // four commits → four distinct snapshot files, head at the last
+    assert(ManifestFileIndex.headVersion(root).get == v0 + 4)
+    val snaps = (1 to v0 + 4).map(v =>
+      new java.io.File(s"$root/${ManifestFileIndex.SnapshotDir}", s"manifest-$v.tsv"))
+    assert(snaps.forall(_.exists()))
+  }
+}
