@@ -70,6 +70,36 @@ class LakeStatsSpec extends AnyFunSuite {
     assert(n === Tables.events(spark, sf).where($"event_id" <= 50L).count())
   }
 
+  test("requiredInSets extracts IN-list points; conjuncts intersect") {
+    import org.apache.spark.sql.catalyst.expressions.In
+    val id = AttributeReference("user_id", LongType)()
+    val in = ManifestFileIndex.requiredInSets(Seq(
+      In(id, Seq(Literal(3L), Literal(7L), Literal(9L)))))
+    assert(in === Map("user_id" -> Set(3L, 7L, 9L)))
+    // two IN conjuncts on the same column intersect
+    val both = ManifestFileIndex.requiredInSets(Seq(
+      In(id, Seq(Literal(3L), Literal(7L))),
+      In(id, Seq(Literal(7L), Literal(9L)))))
+    assert(both === Map("user_id" -> Set(7L)))
+    // a non-literal member disables extraction (conservative)
+    assert(ManifestFileIndex.requiredInSets(
+      Seq(In(id, Seq(Literal(3L), id)))).isEmpty)
+  }
+
+  test("an IN-list point lookup plans fewer files than the full scan") {
+    def lake = spark.read.format("graft-lake").load(path)
+    val all = plannedFiles(lake.select($"event_id", $"value"))
+    // two clustered points: event_ids are time-ordered, so both live in
+    // a couple of hour files and every other file's bounds exclude them
+    val probe = lake.where($"event_id".isin(5L, 17L))
+      .select($"event_id", $"value")
+    val planned = plannedFiles(probe)
+    assert(planned > 0 && planned < all,
+      s"expected IN-list skipping: $planned < $all")
+    assert(probe.count() ===
+      Tables.events(spark, sf).where($"event_id".isin(5L, 17L)).count())
+  }
+
   test("keyed scan_stats_skip plans a fraction of the lake's files") {
     val df = graft.SparkEntry.queries("scan_stats_skip")(spark, sf)
     val all = plannedFiles(
