@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.ManifestFileIndex
-import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
 
 /** SQL surface for lake MAINTENANCE — the statements Spark's grammar
   * doesn't have but every lakehouse operator runs on a cron
@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampType
   *   VACUUM <table>                         -- drop crashed-write debris
   *   VACUUM <table> RETAIN <n> SNAPSHOTS    -- + expire old time travel
   *   DESCRIBE HISTORY <table>               -- the snapshot log
+  *   ALTER TABLE t CREATE TAG name [AS OF VERSION v]  -- pin a release
+  *   ALTER TABLE t DROP TAG name
+  *   SHOW TAGS IN t
   *   DESCRIBE DETAIL <table>                -- table-level metadata
   *
   * Injected ahead of the delegate parser ([[GraftExtensions]]); anything
@@ -48,6 +51,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val CreateTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+CREATE\s+TAG\s+['"]?([\w.-]+)['"]?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropTag =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+TAG\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
+  private val ShowTags =
+    """(?is)\s*SHOW\s+TAGS\s+(?:IN|FOR)\s+([\w.`'/-]+?)\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -77,6 +86,13 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftHistoryCommand(lakeRoot(ident))
     case Detail(ident) =>
       GraftDetailCommand(lakeRoot(ident))
+    case CreateTag(ident, name, version) =>
+      GraftTagCommand(lakeRoot(ident), name, Option(version).map(_.toInt),
+        drop = false)
+    case DropTag(ident, name) =>
+      GraftTagCommand(lakeRoot(ident), name, None, drop = true)
+    case ShowTags(ident) =>
+      GraftShowTagsCommand(lakeRoot(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -181,4 +197,36 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("size_bytes", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     graft.sources.LakeIO.history(session, root).collect().toIndexedSeq
+}
+
+/** `ALTER TABLE … CREATE/DROP TAG`: named immutable snapshot refs
+  * (Iceberg tag semantics) — `CREATE TAG name` pins the head (or an
+  * explicit `AS OF VERSION v`), after which `VERSION AS OF 'name'` reads
+  * it forever and VACUUM RETAIN never expires it.
+  */
+case class GraftTagCommand(root: String, name: String,
+    version: Option[Int], drop: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    if (drop) {
+      val v = ManifestFileIndex.resolveRef(root, name).getOrElse(
+        sys.error(s"no tag '$name' under $root"))
+      ManifestFileIndex.dropTag(root, name)
+      Seq(Row(name, v.toLong))
+    } else {
+      val v = graft.sources.LakeIO.tagSnapshot(root, name, version)
+      Seq(Row(name, v.toLong))
+    }
+}
+
+/** `SHOW TAGS IN t`: every named ref and the version it pins. */
+case class GraftShowTagsCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestFileIndex.listRefs(root).toSeq.sortBy(_._1)
+      .map { case (n, v) => Row(n, v.toLong) }
 }

@@ -237,6 +237,80 @@ object LakeIO {
     ManifestFileIndex.commitDelta(path, "ts_hour", base, appended, Set.empty)
   }
 
+  // -------------------------------------------------------------------
+  // Write-audit-publish (WAP) — Iceberg's stage/audit/cherry-pick flow
+  // -------------------------------------------------------------------
+
+  /** Stage an append WITHOUT committing it: files land in the live tree
+    * (invisible — the manifest defines liveness) and a STAGED snapshot
+    * records what the table would become. Head readers see nothing; the
+    * audit step reads `.option("stagedAsOf", stageId)` and runs its
+    * quality checks against the exact post-publish state. A failed audit
+    * calls [[dropStagedAppend]]; a passed one calls [[publishStaged]],
+    * which replays the delta through the OCC commit (so commits that
+    * landed DURING the audit are rebased over, not lost). This is how a
+    * training-data pipeline gates a 100 TB ingest batch on its quality
+    * suite without a staging copy of the table.
+    */
+  def stageAppend(df: DataFrame, path: String, stageId: String): Unit = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    require(ManifestFileIndex.validRefName(stageId), s"invalid stage id '$stageId'")
+    val withHour = hourPartitioned(df)
+    if (tableSchema(path).isEmpty) writeSchemaFile(path, withHour.schema)
+    val base = ManifestFileIndex.claimedVersion(path)
+    val stage = path + s"_stage_w$stageId"
+    withHour
+      .repartition(col("ts_hour"))
+      .write.mode("overwrite")
+      .partitionBy("ts_hour")
+      .option("compression", "zstd")
+      .parquet(stage)
+    val appended = moveStaged(path, "ts_hour", stage, s"w$stageId-")
+    ManifestFileIndex.writeStaged(path, stageId, base, "ts_hour", appended)
+  }
+
+  /** The audit view: the table as it WOULD read after publish. */
+  def auditStaged(s: SparkSession, path: String, stageId: String): DataFrame =
+    s.read.format("graft-lake").option("stagedAsOf", stageId).load(path)
+
+  /** Publish a staged append: replay its recorded delta through the
+    * optimistic commit (pure add — rebases over anything committed since
+    * the stage), then drop the stage marker. Returns the version.
+    */
+  def publishStaged(path: String, stageId: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val (baseV, addedPaths) = ManifestFileIndex.readStagedDelta(path, stageId)
+      .getOrElse(sys.error(s"no staged snapshot '$stageId' under $path"))
+    val addedSet = addedPaths.toSet
+    val added = ManifestFileIndex.readStaged(path, stageId).get._2
+      .filter(e => addedSet(e.relPath))
+    val v = ManifestFileIndex.commitDelta(path, "ts_hour", baseV, added, Set.empty)
+    ManifestFileIndex.dropStaged(path, stageId)
+    v
+  }
+
+  /** Abandon a staged append: delete its marker AND its (never-live)
+    * data files.
+    */
+  def dropStagedAppend(path: String, stageId: String): Unit = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    ManifestFileIndex.readStagedDelta(path, stageId).foreach { case (_, paths) =>
+      paths.foreach { p => new java.io.File(path, p).delete(); () }
+    }
+    ManifestFileIndex.dropStaged(path, stageId)
+  }
+
+  /** Tag the current head (or an explicit version) — see
+    * [[org.apache.spark.sql.graft.ManifestFileIndex.createTag]].
+    */
+  def tagSnapshot(path: String, name: String, version: Option[Int] = None): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val v = version.getOrElse(ManifestFileIndex.headVersion(path).getOrElse(
+      sys.error(s"no committed snapshot to tag under $path")))
+    ManifestFileIndex.createTag(path, name, v)
+    v
+  }
+
   /** Move every staged partition file into the live tree under
     * `prefix`-unique names and return its manifest entries (footer stats
     * included). Shared by the CoW tail and the append path; the staged
@@ -563,9 +637,15 @@ object LakeIO {
   def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val prefix = s"b$batchId-"
+    // the replay check and the commit rebase must share ONE base: the
+    // CLAIMED head, not the mirror manifest — after a crash between a
+    // claim and its HEAD publish the mirror lags by one, and a replay
+    // checked against it would re-append an already-claimed batch
     val baseV = ManifestFileIndex.claimedVersion(path)
     val prior: Seq[ManifestFileIndex.Entry] =
-      ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty)
+      if (baseV == 0) Seq.empty
+      else ManifestFileIndex.read(path, Some(baseV)).map(_._2)
+        .getOrElse(ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty))
     if (prior.exists(e => e.relPath.split('/').last.startsWith(prefix))) return
     // orphans of a failed attempt: on disk, in no manifest — remove
     val root = new java.io.File(path)
@@ -1096,6 +1176,24 @@ object LakeIO {
         s.sql(s"""SELECT event_id, ts, event_type, value
                  |FROM graft_tt.`$ns`.events VERSION AS OF 1
                  |ORDER BY event_id""".stripMargin)
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Tag-based time travel over the merged lake: pin the pre-merge
+    // snapshot under a NAME, then read `VERSION AS OF` that name through
+    // the reader option — proving the named-ref seam end-to-end against
+    // the same oracle as the numeric form (the tag IS version 1).
+    Op("lake_tag_travel",
+      (s, d) => {
+        val path = mergedLake(s, d)
+        import org.apache.spark.sql.graft.ManifestFileIndex
+        if (ManifestFileIndex.resolveRef(path, "pre-merge").isEmpty)
+          ManifestFileIndex.createTag(path, "pre-merge", 1)
+        s.read.format("graft-lake")
+          .option("versionAsOf", "pre-merge").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
       },
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events ORDER BY event_id""".stripMargin),

@@ -60,8 +60,10 @@ class GraftLakeSource extends ParquetDataSourceV2 {
     // a change-feed read (changesFrom/changesTo) carries the END snapshot's
     // schema on both sides — removed-side files missing a later-added
     // column read it as null, same as the V1 schema-on-read behavior
-    val version = Option(options.get("changesTo"))
-      .orElse(Option(options.get("versionAsOf"))).map(_.trim.toInt)
+    val version = Option(options.get("changesTo")).map(_.trim.toInt)
+      .orElse(for {
+        raw <- Option(options.get("versionAsOf")); p <- path
+      } yield ManifestFileIndex.resolveVersionSpec(p, raw))
       .orElse(for {
         raw <- Option(options.get("timestampAsOf")); p <- path
         v <- ManifestFileIndex.versionAt(p,
@@ -77,7 +79,10 @@ class GraftLakeSource extends ParquetDataSourceV2 {
 
   override def getTable(options: CaseInsensitiveStringMap): Table =
     new GraftLakeTable(super.getTable(options).asInstanceOf[ParquetTable],
-      tableVersion = Option(options.get("versionAsOf")).map(_.trim.toInt))
+      tableVersion = for {
+        raw <- Option(options.get("versionAsOf"))
+        p <- getPaths(options).headOption
+      } yield ManifestFileIndex.resolveVersionSpec(p, raw))
 
   override def getTable(options: CaseInsensitiveStringMap, schema: StructType): Table =
     new GraftLakeTable(super.getTable(options, schema).asInstanceOf[ParquetTable],
@@ -149,7 +154,8 @@ class GraftLakeTable(inner: ParquetTable,
     // time travel: `.option("versionAsOf", v)` reads snapshot v's frozen
     // manifest + schema (appends never delete files, so old snapshots
     // stay readable — Iceberg snapshot semantics)
-    val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val version = Option(options.get("versionAsOf"))
+      .map(raw => ManifestFileIndex.resolveVersionSpec(rootDir.get, raw))
       .orElse(Option(options.get("timestampAsOf")).map { raw =>
         // reader-option twin of the catalog's SQL `TIMESTAMP AS OF`:
         // accepts epoch millis or a UTC "yyyy-MM-dd HH:mm:ss[.SSS]"
@@ -190,19 +196,29 @@ class GraftLakeTable(inner: ParquetTable,
         }
         (Some((pc, entries)),
           rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, t0)).orElse(metaSchema))
-      case None => version match {
-        case Some(v) =>
+      case None => (version, Option(options.get("stagedAsOf")).map(_.trim)) match {
+        case (Some(v), _) =>
           val m = rootDir.flatMap(ManifestFileIndex.read(_, Some(v)))
           require(m.isDefined, s"no snapshot version $v under ${rootDir.getOrElse("?")}")
           (m, rootDir.flatMap(ManifestFileIndex.snapshotSchema(_, v)).orElse(metaSchema))
-        case None => (manifest, metaSchema)
+        case (None, Some(id)) =>
+          // write-audit-publish: read the staged (uncommitted) snapshot —
+          // the table exactly as it would look after publish
+          require(rootDir.isDefined, "graft-lake stagedAsOf requires a lake path")
+          val m = ManifestFileIndex.readStaged(rootDir.get, id)
+          require(m.isDefined, s"no staged snapshot '$id' under ${rootDir.get}")
+          (m, metaSchema)
+        case _ => (manifest, metaSchema)
       }
     }
     (snapManifest, snapSchema) match {
       case (Some((partCol, entries)), Some(full)) =>
         val idx = new ManifestFileIndex(inner.sparkSession,
           new org.apache.hadoop.fs.Path(rootDir.get), entries, partCol,
-          Some(full), pinnedVersion = version)
+          Some(full),
+          // a staged read pins -1: never answerable from a head MV
+          pinnedVersion = version.orElse(
+            Option(options.get("stagedAsOf")).map(_ => -1)))
         val dataSchema = StructType(full.fields.filterNot(_.name == partCol))
         new GraftLakeScanBuilder(ParquetScanBuilder(
           inner.sparkSession, idx, full, dataSchema, options))

@@ -499,9 +499,20 @@ object ManifestFileIndex {
       case Some(v) => new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
       case None    => new java.io.File(rootDir, ManifestName)
     }
+    parseManifestFile(f)
+  }
+
+  /** Parse any manifest-format TSV (the mirror, a snapshot, or a staged
+    * WAP manifest) into (partition column, entries).
+    */
+  private def parseManifestFile(f: java.io.File): Option[(String, Seq[Entry])] = {
     if (!f.exists()) None
-    else {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
+    else parseManifestLines(java.nio.file.Files.readAllLines(f.toPath))
+  }
+
+  private def parseManifestLines(lines: java.util.List[String])
+    : Option[(String, Seq[Entry])] = {
+    {
       val it = lines.iterator()
       if (!it.hasNext) None
       else {
@@ -806,6 +817,15 @@ object ManifestFileIndex {
     * with no coordination service: conflicts cost one metadata read, and
     * the loser retries or surfaces after O(changed files) work, never a
     * table scan.
+    *
+    * CRASH SEMANTICS: the CLAIM is the commit point (the snapshot file is
+    * complete the instant it is visible); the HEAD publish is a pointer
+    * update. A writer that dies between claim and publish leaves a
+    * durable, invisible commit — the NEXT committer rebases onto the
+    * claimed head (folding the orphaned commit's changes in) and its
+    * publish advances HEAD past both, ARIES-style redo by successor.
+    * Writers must therefore base idempotence checks on [[claimedVersion]],
+    * never the mirror manifest.
     */
   def commitDelta(rootDir: String, partCol: String, baseVersion: Int,
       added: Seq[Entry], removedPaths: Set[String], maxAttempts: Int = 20): Int = {
@@ -850,6 +870,152 @@ object ManifestFileIndex {
       s"(sustained commit contention on $rootDir)")
   }
 
+  // ---------------------------------------------------------------------
+  // Named refs (tags) + staged write-audit-publish snapshots
+  // ---------------------------------------------------------------------
+
+  val RefsName = "refs.tsv"
+
+  /** Tag names must not collide with numeric version specs and must not
+    * break the TSV format.
+    */
+  def validRefName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+      !name.forall(_.isDigit)
+
+  /** All named refs: tag name → snapshot version. */
+  def listRefs(rootDir: String): Map[String, Int] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", RefsName)
+    if (!f.exists()) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.flatMap { line =>
+        line.split('\t') match {
+          case Array(n, v) => scala.util.Try(n -> v.toInt).toOption
+          case _           => None
+        }
+      }.toMap
+    }
+  }
+
+  private def writeRefs(rootDir: String, refs: Map[String, Int]): Unit = {
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    snapDir.mkdirs()
+    val content = refs.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n\t$v" }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(snapDir, "." + RefsName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(snapDir, RefsName))
+    ()
+  }
+
+  /** Create an IMMUTABLE named tag for a committed snapshot (Iceberg
+    * tags): `VERSION AS OF 'name'` / `.option("versionAsOf", name)` then
+    * read it forever — a release pointer ("training-run-7's corpus") that
+    * survives later commits and, unlike a raw number, documents itself.
+    * Tagged snapshots are also protected from [[expireSnapshots]].
+    */
+  def createTag(rootDir: String, name: String, v: Int): Unit = {
+    require(validRefName(name),
+      s"invalid tag name '$name' (alphanumeric/-/_/., not all digits)")
+    require(v >= 1 && v <= claimedVersion(rootDir),
+      s"cannot tag nonexistent snapshot v$v")
+    val key = new java.io.File(rootDir).getAbsolutePath
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val refs = listRefs(rootDir)
+      require(!refs.contains(name),
+        s"tag '$name' already exists (tags are immutable; dropTag first)")
+      writeRefs(rootDir, refs + (name -> v))
+    }
+  }
+
+  def dropTag(rootDir: String, name: String): Unit = {
+    val key = new java.io.File(rootDir).getAbsolutePath
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized { writeRefs(rootDir, listRefs(rootDir) - name) }
+  }
+
+  def resolveRef(rootDir: String, name: String): Option[Int] =
+    listRefs(rootDir).get(name)
+
+  /** Resolve a `versionAsOf` SPEC: a numeric snapshot version, or a named
+    * tag. One seam for the reader option and the catalog's SQL
+    * `VERSION AS OF`, so `VERSION AS OF 'corpus-v1'` works everywhere a
+    * number does.
+    */
+  def resolveVersionSpec(rootDir: String, raw: String): Int = {
+    val t = raw.trim
+    t.toIntOption.orElse(resolveRef(rootDir, t)).getOrElse(
+      sys.error(s"unknown snapshot version or tag '$t' under $rootDir"))
+  }
+
+  /** Write a STAGED snapshot for write-audit-publish: the full manifest
+    * the table WOULD have if the delta committed now, plus the delta
+    * itself (`#wapbase`/`#wapadd` headers) so publish can replay it
+    * through the OCC commit. Creation is CREATE_NEW — a stage id is
+    * single-use until dropped. Staged snapshots are invisible to head
+    * readers, never rebased onto by other writers (they live outside the
+    * `manifest-N` chain), and readable via `.option("stagedAsOf", id)`
+    * for the audit step.
+    */
+  def writeStaged(rootDir: String, stageId: String, baseVersion: Int,
+      partCol: String, added: Seq[Entry]): Unit = {
+    require(validRefName(stageId), s"invalid stage id '$stageId'")
+    val baseEntries: Seq[Entry] =
+      if (baseVersion == 0) Seq.empty
+      else read(rootDir, Some(baseVersion)).map(_._2).getOrElse(Seq.empty)
+    val sb = new StringBuilder
+    sb.append("#wapbase\t").append(baseVersion).append('\n')
+    added.foreach(e => sb.append("#wapadd\t").append(e.relPath).append('\n'))
+    sb.append(renderManifest(partCol, baseEntries ++ added,
+      readParkedAt(rootDir, baseVersion)))
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    snapDir.mkdirs()
+    val f = new java.io.File(snapDir, s"staged-$stageId.tsv")
+    java.nio.file.Files.write(f.toPath, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    ()
+  }
+
+  /** The staged manifest's full (partCol, entries) — the audit view. */
+  def readStaged(rootDir: String, stageId: String): Option[(String, Seq[Entry])] = {
+    // the entry parser requires #partcol as the FIRST line — strip the
+    // #wap headers before handing the body over
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+    if (!f.exists()) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val body = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .dropWhile(_.startsWith("#wap"))
+      parseManifestLines(body.asJava)
+    }
+  }
+
+  /** The staged DELTA: (base version, added relPaths). */
+  def readStagedDelta(rootDir: String, stageId: String): Option[(Int, Seq[String])] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+    if (!f.exists()) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.readAllLines(f.toPath).asScala
+      val base = ls.collectFirst {
+        case l if l.startsWith("#wapbase\t") => l.substring("#wapbase\t".length).toInt
+      }
+      base.map { b =>
+        (b, ls.filter(_.startsWith("#wapadd\t"))
+          .map(_.substring("#wapadd\t".length)).toSeq)
+      }
+    }
+  }
+
+  def dropStaged(rootDir: String, stageId: String): Unit = {
+    new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv").delete()
+    ()
+  }
+
   /** Expire all but the last `keepLast` snapshots and VACUUM: delete any
     * data file referenced only by expired snapshots. Time travel to the
     * surviving versions keeps working; disk stops accumulating every
@@ -859,13 +1025,18 @@ object ManifestFileIndex {
   def expireSnapshots(rootDir: String, keepLast: Int): Int = {
     val head = headVersion(rootDir).getOrElse(return 0)
     val cutoff = head - keepLast + 1
-    val keptVersions = (cutoff to head).filter(v => read(rootDir, Some(v)).isDefined)
+    // TAGGED snapshots are pinned releases ("the corpus run 7 trained
+    // on") — they survive expiration along with every file they
+    // reference, regardless of age
+    val tagged = listRefs(rootDir).values.toSet
+    val keptVersions = ((cutoff to head) ++ tagged.filter(_ < cutoff))
+      .filter(v => read(rootDir, Some(v)).isDefined)
     val live: Set[String] =
       (keptVersions.flatMap(v => read(rootDir, Some(v)).get._2.map(_.relPath)) ++
         read(rootDir, None).map(_._2.map(_.relPath)).getOrElse(Seq.empty)).toSet
     val snapDir = new java.io.File(rootDir, SnapshotDir)
     var removed = 0
-    (1 until cutoff).foreach { v =>
+    (1 until cutoff).filterNot(tagged).foreach { v =>
       read(rootDir, Some(v)).foreach { case (_, entries) =>
         entries.filterNot(e => live.contains(e.relPath)).foreach { e =>
           val f = new java.io.File(rootDir, e.relPath)
@@ -891,10 +1062,20 @@ object ManifestFileIndex {
     val cur = read(rootDir, None).getOrElse(return 0)
     val (partCol, current) = cur
     val head = headVersion(rootDir).getOrElse(0)
+    // staged (write-audit-publish) snapshots reference data files that no
+    // committed snapshot knows yet — an in-audit stage must survive
+    val stagedRefs: Seq[String] =
+      Option(new java.io.File(rootDir, SnapshotDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("staged-") && f.getName.endsWith(".tsv"))
+        .flatMap { f =>
+          val id = f.getName.stripPrefix("staged-").stripSuffix(".tsv")
+          readStaged(rootDir, id).map(_._2.map(_.relPath)).getOrElse(Seq.empty)
+        }.toSeq
     val referenced: Set[String] =
       ((1 to head).flatMap(v =>
         read(rootDir, Some(v)).map(_._2.map(_.relPath)).getOrElse(Seq.empty)) ++
-        current.map(_.relPath)).toSet
+        current.map(_.relPath) ++ stagedRefs).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     var removed = 0
     val root = new java.io.File(rootDir)

@@ -132,6 +132,52 @@ class LakeOccSpec extends AnyFunSuite {
       events.where($"event_id" < 200).count())
   }
 
+  test("crash between claim and publish: successor commit redoes the orphaned publish") {
+    val root = s"$base/crash_recovery"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 100), root)
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    // simulate a writer that CLAIMED v0+1 (complete snapshot on disk)
+    // but died before publishing HEAD: claim an append of one copied file
+    val entries = ManifestFileIndex.read(root).get._2
+    val donor = entries.head
+    val dir = new java.io.File(root, s"ts_hour=${donor.partValue}")
+    val f = java.io.File.createTempFile("crashed-", ".parquet", dir)
+    java.nio.file.Files.copy(new java.io.File(root, donor.relPath).toPath,
+      f.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val orphanEntry = donor.copy(
+      relPath = s"ts_hour=${donor.partValue}/${f.getName}")
+    // hand-write the claimed snapshot (manifest-v.tsv) without touching
+    // HEAD or the mirror — exactly the on-disk state a crash leaves
+    val snapDir = new java.io.File(root, ManifestFileIndex.SnapshotDir)
+    val headContent = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(snapDir, s"manifest-$v0.tsv").toPath), "UTF-8")
+    val orphanLine = s"${orphanEntry.partValue}\t${orphanEntry.relPath}" +
+      s"\t${orphanEntry.size}\t${orphanEntry.mtime}"
+    java.nio.file.Files.write(
+      new java.io.File(snapDir, s"manifest-${v0 + 1}.tsv").toPath,
+      (headContent + orphanLine + "\n").getBytes("UTF-8"))
+
+    // HEAD still points at v0; readers see the old state
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+    assert(ManifestFileIndex.claimedVersion(root) == v0 + 1)
+
+    // a successor append rebases ONTO the orphaned claim and publishes
+    val appended = events.where($"event_id" >= 100 && $"event_id" < 150)
+      .withColumn("event_id", $"event_id" + 9000000L)
+    val v = LakeIO.appendTxn(appended, root)
+    assert(v == v0 + 2)
+    assert(ManifestFileIndex.headVersion(root).get == v0 + 2)
+    // both the orphaned commit's file and the new append are live
+    val live = ManifestFileIndex.read(root).get._2.map(_.relPath).toSet
+    assert(live.contains(orphanEntry.relPath),
+      "orphaned claimed commit must be folded in by the successor")
+    assert(appended.count() > 0 &&
+      spark.read.format("graft-lake").load(root)
+        .where($"event_id" >= 9000000L).count() == appended.count())
+  }
+
   test("commitEntries racers can never share a snapshot version") {
     val root = s"$base/version_race"
     rm(new java.io.File(root))
