@@ -801,6 +801,28 @@ object LakeIO {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** Schema-ONLY evolution commit: widen the table schema (additive,
+    * nullable) and commit a snapshot with the SAME file set through the
+    * OCC delta path — old files read the new columns as null, earlier
+    * snapshots keep their own frozen schema, and the evolution itself is
+    * a time-travelable version. Backs SQL `ALTER TABLE ADD COLUMN(S)`.
+    */
+  def evolveSchema(path: String,
+      added: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val current = tableSchema(path).getOrElse(
+      sys.error(s"evolveSchema: no committed schema metadata under $path"))
+    added.foreach { f =>
+      require(!current.fieldNames.contains(f.name),
+        s"evolveSchema: column ${f.name} already exists")
+    }
+    writeSchemaFile(path, org.apache.spark.sql.types.StructType(
+      current.fields ++ added.map(_.copy(nullable = true))))
+    val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
+    ManifestFileIndex.commitDelta(path, partCol,
+      ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+  }
+
   private def writeSchemaFile(path: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val dir = new java.io.File(path)

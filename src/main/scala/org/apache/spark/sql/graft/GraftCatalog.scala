@@ -129,10 +129,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schemas evolve on write (LakeIO.evolveAppend commits the " +
-        "union schema); ALTER TABLE DDL is not supported")
+  /** `ALTER TABLE … ADD COLUMN(S)`: widen the table schema with nullable
+    * top-level columns and commit a SCHEMA-ONLY snapshot (same file set,
+    * new frozen schema) through the OCC delta commit — old files read the
+    * new column as null (schema-on-read), earlier snapshots keep their
+    * own narrower schema, and the evolution itself is time-travelable.
+    * Everything else (drop/rename/retype) stays unsupported: those are
+    * rewrites in disguise, and the write path's union-schema evolution
+    * (`LakeIO.evolveAppend`) already covers additive drift.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    require(isLakeTable(new java.io.File(path)),
+      s"not a graft lake table: ${ident.name}")
+    val current = graft.sources.LakeIO.tableSchema(path).getOrElse(
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE: ${ident.name} has no committed schema metadata"))
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN: only top-level columns")
+        require(!current.fieldNames.contains(a.fieldNames.head),
+          s"column ${a.fieldNames.head} already exists")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft supports only additive evolution (ADD COLUMN); got $other — " +
+            "drop/rename/retype would be a table rewrite in disguise")
+    }
+    graft.sources.LakeIO.evolveSchema(path, added)
+    loadTable(ident)
+  }
 
   /** SQL `DROP TABLE`: removes the table directory — data, manifests,
     * snapshots. Destructive by definition; time travel does not survive

@@ -113,7 +113,15 @@ class GraftLakeTable(inner: ParquetTable,
   def pinnedTableVersion: Option[Int] = tableVersion
   private lazy val manifest = rootDir.flatMap(ManifestFileIndex.read(_))
   private lazy val metaSchema =
-    schemaOverride.orElse(rootDir.flatMap(graft.sources.LakeIO.tableSchema))
+    schemaOverride
+      // a catalog-level VERSION AS OF pin reads with that snapshot's
+      // FROZEN schema — a pre-evolution snapshot must not grow columns
+      // added later (they'd read as all-null phantoms)
+      .orElse(for {
+        p <- rootDir; v <- tableVersion
+        s <- ManifestFileIndex.snapshotSchema(p, v)
+      } yield s)
+      .orElse(rootDir.flatMap(graft.sources.LakeIO.tableSchema))
 
   override def name(): String = "graft_lake:" + inner.name
 

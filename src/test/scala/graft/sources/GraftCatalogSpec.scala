@@ -108,12 +108,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM gcat.default.ctas").collect() }
   }
 
-  test("ALTER TABLE and RENAME stay unsupported by design") {
-    attach(); seed()
+  test("ALTER TABLE ADD COLUMN: schema-only snapshot, nulls on old files, time-travelable") {
+    attach()
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_alter_wh").toString
+    spark.conf.set("spark.sql.catalog.galt",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt.warehouse", wh2)
+    val path = s"$wh2/default/evolving"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.writeLake(base, path)
+    val v0 = org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+
+    spark.sql("ALTER TABLE galt.default.evolving ADD COLUMN extra STRING")
+    // schema-only commit: one new version, same files, old rows read null
+    assert(org.apache.spark.sql.graft.ManifestFileIndex.headVersion(path).get
+      == v0 + 1)
+    val head = spark.sql(
+      "SELECT id, extra FROM galt.default.evolving ORDER BY id").collect()
+    assert(head.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(head.forall(_.isNullAt(1)))
+    // the pre-evolution snapshot keeps its narrower schema
+    val old = spark.sql(
+      s"SELECT * FROM galt.default.evolving VERSION AS OF $v0")
+    assert(!old.columns.contains("extra"))
+
+    // destructive evolution stays rejected
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.default.items ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE galt.default.evolving DROP COLUMN v")
     }
-    assert(e.getMessage.contains("evolve"))
+    assert(e.getMessage.contains("additive"))
+    // RENAME TABLE stays unsupported
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.default.evolving RENAME TO renamed")
+    }
   }
 
   test("SQL INSERT INTO appends through the lake writer: visible at head, snapshot-isolated") {
