@@ -201,8 +201,11 @@ object LakeIO {
       .option("compression", "zstd")
       .parquet(stage)
     val appended = moveStaged(path, "ts_hour", stage, s"a$v-")
-    val current = ManifestFileIndex.read(path).map(_._2).getOrElse(Seq.empty)
-    ManifestFileIndex.commitEntries(path, "ts_hour", current ++ appended)
+    // delta commit: appends rebase over concurrent commits and carry any
+    // live deletion vectors forward (commitEntries would drop both)
+    ManifestFileIndex.commitDelta(path, "ts_hour",
+      ManifestFileIndex.claimedVersion(path), appended, Set.empty)
+    ()
   }
 
   /** MULTI-WRITER-safe append: stages this batch's files under a unique
@@ -372,6 +375,7 @@ object LakeIO {
     */
   def optimizeZOrder(s: SparkSession, path: String, colA: String, colB: String,
       filesPerPartition: Int = 4): Unit = {
+    requireNoDvs(path, "optimizeZOrder")
     import org.apache.spark.sql.graft.ManifestFileIndex
     val cur = ManifestFileIndex.read(path)
     require(cur.isDefined, s"optimizeZOrder: $path has no committed manifest")
@@ -399,6 +403,7 @@ object LakeIO {
     * for manifest-less V1 lakes), this preserves time travel.
     */
   def compactSnapshots(s: SparkSession, path: String): Unit = {
+    requireNoDvs(path, "compactSnapshots")
     val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
     require(cur.isDefined, s"compactSnapshots: $path has no committed manifest")
     val (partCol, entries) = cur.get
@@ -437,6 +442,7 @@ object LakeIO {
     */
   def mergeInto(s: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
+    requireNoDvs(path, "mergeInto")
     val withHour = hourPartitioned(updates)
     val affected: Set[String] =
       withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
@@ -549,6 +555,7 @@ object LakeIO {
     * prune on the partition value with zero data I/O.
     */
   def deleteWhere(s: SparkSession, path: String, cond: Column): Unit = {
+    requireNoDvs(path, "deleteWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -563,6 +570,128 @@ object LakeIO {
     writeCow(s, path, partCol, survivors, untouched)
   }
 
+  // -------------------------------------------------------------------
+  // Merge-on-read deletes (deletion vectors / position deletes)
+  // -------------------------------------------------------------------
+
+  /** Extract a manifest relPath (`<partCol>=<v>/<file>`) from the scan's
+    * absolute `_metadata.file_path`.
+    */
+  private def relPathCol: Column =
+    regexp_extract(col("_metadata.file_path"), "([^/]+=[^/]+/[^/]+)$", 1)
+
+  /** MERGE-ON-READ delete: instead of rewriting every touched file (the
+    * copy-on-write [[deleteWhere]]), record the matching rows' POSITIONS
+    * in a deletion-vector sidecar (parquet of file relPath × row index —
+    * Iceberg v2 position deletes, Delta deletion vectors) and commit it
+    * as a metadata-only delta. At 100 TB this is the GDPR-delete shape:
+    * deleting 1k rows spread over 1k multi-GB files costs ONE stats-pruned
+    * scan of the candidate files plus a kilobyte-scale sidecar write —
+    * not a terabyte rewrite. Readers apply DVs via [[readMoR]];
+    * [[compactDeletes]] folds them into a real rewrite when maintenance
+    * chooses. Stacks: each MoR delete adds a sidecar, all apply together.
+    * Returns the number of deleted positions.
+    */
+  def deleteWhereMoR(s: SparkSession, path: String, cond: Column): Long = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val base = ManifestFileIndex.claimedVersion(path)
+    val (partCol, cands, _) = deleteCandidates(s, path, cond)
+    if (cands.isEmpty) return 0L
+    // positions already deleted by LIVE DVs must not be re-recorded (a
+    // re-delete of the same predicate would double-count, and stacked
+    // sidecars stay minimal)
+    val prior = ManifestFileIndex.readDvs(path)
+    val scan = hourPartitioned(
+      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+      .withColumn("_dv_file", relPathCol)
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val fresh = scan.where(cond).select($"_dv_file", $"_dv_pos")
+    val positions =
+      if (prior.isEmpty) fresh
+      else fresh.join(s.read.parquet(prior.map(d => path + "/" + d): _*),
+        Seq("_dv_file", "_dv_pos"), "left_anti")
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val dvRel = s"_graft_dv/dv-$token"
+    positions.write.mode("errorifexists").parquet(s"$path/$dvRel")
+    val n = s.read.parquet(s"$path/$dvRel").count()
+    if (n == 0L) { rmDir(s"$path/$dvRel"); return 0L }
+    ManifestFileIndex.commitDelta(path, partCol, base, Seq.empty, Set.empty,
+      addDvs = Seq(dvRel))
+    n
+  }
+
+  /** DV-aware read: the live file set MINUS every live deletion vector's
+    * positions (anti-join on (file, row index) — the merge in
+    * "merge-on-read"). With no DVs this is the plain manifest-planned
+    * scan. The DV side is kilobytes-to-megabytes and broadcast-joins
+    * against the scan, so the read tax is one map-side hash probe per
+    * row — the price paid for not rewriting terabytes at delete time.
+    */
+  def readMoR(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val dvs = ManifestFileIndex.readDvs(path)
+    if (dvs.isEmpty) s.read.format("graft-lake").load(path)
+    else {
+      val (_, entries) = ManifestFileIndex.read(path).get
+      val dv = s.read.parquet(dvs.map(d => path + "/" + d): _*)
+      // V1 multi-path scan: _metadata row indexes are a parquet-scan
+      // surface; hourPartitioned re-derives the hidden partition column
+      val cols = tableSchema(path).map(_.fieldNames.toSeq)
+      val base = hourPartitioned(
+        s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
+        .withColumn("_dv_file", relPathCol)
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+      val survived = base.join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
+        .drop("_dv_file", "_dv_pos")
+      cols.fold(survived)(cs => survived.select(cs.map(col): _*))
+    }
+  }
+
+  /** Fold every live deletion vector into a real rewrite: partitions
+    * holding DV'd files are rewritten without the deleted positions, the
+    * commit CLEARS the DV list (full-state commit), and the sidecars are
+    * removed. Run from maintenance (like OPTIMIZE) when the read-side DV
+    * tax outweighs a rewrite of the touched partitions. Returns the
+    * number of folded positions.
+    */
+  def compactDeletes(s: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val dvs = ManifestFileIndex.readDvs(path)
+    if (dvs.isEmpty) return 0L
+    val (partCol, entries) = ManifestFileIndex.read(path).get
+    val dv = s.read.parquet(dvs.map(d => path + "/" + d): _*)
+    val folded = dv.count()
+    // touched FILES from the DV sidecars: maintenance-path metadata,
+    // bounded by the live file count
+    val touchedFiles = dv.select($"_dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedParts = entries.filter(e => touchedFiles(e.relPath))
+      .map(_.partValue).toSet
+    val (touched, untouched) = entries.partition(e => touchedParts(e.partValue))
+    val survivors = hourPartitioned(
+      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+      .withColumn("_dv_file", relPathCol)
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
+      .drop("_dv_file", "_dv_pos")
+    writeCow(s, path, partCol, survivors, untouched)
+    dvs.foreach(d => rmDir(s"$path/$d"))
+    folded
+  }
+
+  /** Copy-on-write mutations define the complete new state of the files
+    * they rewrite — running one while merge-on-read deletion vectors are
+    * live would resurrect the MoR-deleted rows (the CoW read side plans
+    * from files alone). Refuse loudly; [[compactDeletes]] first.
+    */
+  private def requireNoDvs(path: String, op: String): Unit = {
+    val dvs = org.apache.spark.sql.graft.ManifestFileIndex.readDvs(path)
+    require(dvs.isEmpty,
+      s"$op: table has ${dvs.size} live deletion vector(s) — run " +
+        "LakeIO.compactDeletes first (CoW over live DVs would resurrect " +
+        "MoR-deleted rows)")
+  }
+
   /** Copy-on-write UPDATE: rows matching `cond` get `assignments` applied
     * (SQL UPDATE semantics: condition and every right-hand side evaluate
     * against the OLD row, so `SET a = b, b = a` swaps). Same stats-pruned
@@ -571,6 +700,7 @@ object LakeIO {
     */
   def updateWhere(s: SparkSession, path: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
+    requireNoDvs(path, "updateWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -1178,6 +1308,35 @@ object LakeIO {
         |UNION ALL
         |SELECT b.event_id, b.ts, b.event_type, b.value FROM base b
         |WHERE b.event_id NOT IN (SELECT event_id FROM upd)
+        |ORDER BY event_id""".stripMargin),
+
+    // MERGE-ON-READ delete end-to-end, oracle-checked: build a fresh
+    // lake, record two stacked deletion-vector commits (click rows, then
+    // high-value purchase rows) WITHOUT rewriting any data file, and read
+    // through the DV-applying reader. The oracle is a plain WHERE NOT —
+    // proving position-delete semantics equal predicate-delete semantics.
+    Op("lake_delete_mor",
+      (s, d) => {
+        val path = "/tmp/graft_lake/v5_mor_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+        val marker = new java.io.File(path, "_graft_mor_done")
+        if (!marker.exists()) {
+          rmDir(path)
+          writeLake(Tables.events(s, d)
+            .select($"event_id", $"ts", $"event_type", $"value"), path)
+          deleteWhereMoR(s, path, $"event_type" === "click")
+          deleteWhereMoR(s, path,
+            $"event_type" === "purchase" && $"value" > 500.0)
+          java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        }
+        readMoR(s, path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |WHERE NOT (event_type = 'click')
+        |  AND NOT (event_type = 'purchase' AND value > 500.0)
         |ORDER BY event_id""".stripMargin),
 
     // SQL time travel through the graft V2 TableCatalog: the merged lake

@@ -118,12 +118,21 @@ class GraftLakeMicroBatchStream(scan: ParquetScan, root: String, partCol: String
       val next = entriesAt(v + 1)
       val nextPaths = next.map(_.relPath).toSet
       val removed = prev -- nextPaths
-      if (removed.isEmpty) out ++= next.filterNot(e => prev.contains(e.relPath))
+      // a merge-on-read delete commit adds/removes NO files — only a
+      // deletion-vector line — so the file diff alone would stream it as
+      // an empty append while rows logically vanished
+      val dvChanged = ManifestFileIndex.readDvs(root, Some(v + 1)) !=
+        ManifestFileIndex.readDvs(root, Some(v))
+      if (removed.isEmpty && !dvChanged)
+        out ++= next.filterNot(e => prev.contains(e.relPath))
       else if (!skipChangeCommits)
         throw new IllegalStateException(
           s"graft-lake stream: commit v${v + 1} under $root is not append-only " +
-          s"(${removed.size} file(s) removed/rewritten — a MERGE/DELETE/OPTIMIZE). " +
-          "Streaming it would re-deliver rewritten partitions as inserts. " +
+          (if (removed.nonEmpty)
+            s"(${removed.size} file(s) removed/rewritten — a MERGE/DELETE/OPTIMIZE). "
+          else
+            "(deletion vectors changed — a merge-on-read DELETE). ") +
+          "Streaming it would mis-deliver the change as plain inserts. " +
           "Set .option(\"skipChangeCommits\", true) to skip change commits " +
           "and stream only appended data.")
       prev = nextPaths

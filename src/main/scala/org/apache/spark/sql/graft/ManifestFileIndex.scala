@@ -650,7 +650,7 @@ object ManifestFileIndex {
                   f.length(), f.lastModified(), ls, ss, ds)
               }
           }
-        commitEntries(rootDir, pc, current ++ buf.result())
+        commitEntries(rootDir, pc, current ++ buf.result(), carryDvs = true)
     }
 
   /** Commit an EXPLICIT live-file set — the copy-on-write path
@@ -659,7 +659,8 @@ object ManifestFileIndex {
     * directory walk can no longer define table state; the entry list is
     * the table state (Iceberg's manifest-defines-liveness semantics).
     */
-  def commitEntries(rootDir: String, partCol: String, entries: Seq[Entry]): Unit = {
+  def commitEntries(rootDir: String, partCol: String, entries: Seq[Entry],
+      carryDvs: Boolean = false): Unit = {
     // parked bookkeeping: whatever was live before this commit but is not
     // live after it just became a parked old generation (kept on disk for
     // time travel). Carry the previous parked set forward, dropping paths
@@ -668,7 +669,11 @@ object ManifestFileIndex {
     val prevLive = read(rootDir, None).map(_._2.map(_.relPath).toSet).getOrElse(Set.empty)
     val parked = (readParked(rootDir).getOrElse(Set.empty) ++ (prevLive -- newLive))
       .filter(p => new java.io.File(rootDir, p).exists())
-    val content = renderManifest(partCol, entries, parked)
+    // full-state commits DROP deletion vectors by default (an overwrite
+    // or a DV-folding rewrite defines the complete new state); the
+    // external reconcile-append opts in to carrying them
+    val content = renderManifest(partCol, entries, parked,
+      if (carryDvs) readDvs(rootDir) else Nil)
     // The VERSION claim goes through the same CAS as [[commitDelta]], so
     // even two "single-writer" commits racing can never share a snapshot
     // number or tear each other's snapshot files. The table STATE is
@@ -680,9 +685,11 @@ object ManifestFileIndex {
     publishClaimed(rootDir, v, content)
   }
 
-  /** Render the manifest TSV for a live-entry set + parked set. */
+  /** Render the manifest TSV for a live-entry set + parked set (+ live
+    * deletion-vector paths, `#dv` lines — see [[readDvs]]).
+    */
   private def renderManifest(partCol: String, entries: Seq[Entry],
-      parked: Set[String]): String = {
+      parked: Set[String], dvs: Seq[String] = Nil): String = {
     // a ':' inside a column name would corrupt the ':'-separated stat
     // field on read — omit that column's stats (pure skipping loss, never
     // a wrong answer) rather than write an unparseable manifest
@@ -691,6 +698,7 @@ object ManifestFileIndex {
     val sb = new StringBuilder(s"#partcol\t$partCol\n")
     sb.append("#parkedv\t1\n")
     parked.toSeq.sorted.foreach(p => sb.append("#parked\t").append(p).append('\n'))
+    dvs.distinct.sorted.foreach(d => sb.append("#dv\t").append(d).append('\n'))
     entries.sortBy(e => (e.partValue, e.relPath)).foreach { e =>
       sb.append(e.partValue).append('\t').append(e.relPath)
         .append('\t').append(e.size).append('\t').append(e.mtime)
@@ -782,6 +790,25 @@ object ManifestFileIndex {
     }
   }
 
+  /** Live DELETION VECTORS of a manifest (the `#dv` section): paths of
+    * position-delete sidecars (parquet of `_dv_file` relPath ×
+    * `_dv_pos` row index) whose positions are logically deleted at this
+    * version — Iceberg v2 position deletes / Delta deletion vectors.
+    * `version = None` reads the mirror (head) manifest.
+    */
+  def readDvs(rootDir: String, version: Option[Int] = None): Seq[String] = {
+    val f = version match {
+      case Some(v) => new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+      case None    => new java.io.File(rootDir, ManifestName)
+    }
+    if (!f.exists()) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.startsWith("#dv\t")).map(_.substring("#dv\t".length)).toSeq
+    }
+  }
+
   /** Parked set of a specific CLAIMED snapshot (the `#parked` section of
     * its frozen manifest). Empty for v=0 / pre-tracking snapshots.
     */
@@ -828,7 +855,8 @@ object ManifestFileIndex {
     * never the mirror manifest.
     */
   def commitDelta(rootDir: String, partCol: String, baseVersion: Int,
-      added: Seq[Entry], removedPaths: Set[String], maxAttempts: Int = 20): Int = {
+      added: Seq[Entry], removedPaths: Set[String], maxAttempts: Int = 20,
+      addDvs: Seq[String] = Nil, clearDvs: Boolean = false): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = claimedVersion(rootDir)
@@ -858,7 +886,13 @@ object ManifestFileIndex {
       val newLive = newEntries.map(_.relPath).toSet
       val parked = (readParkedAt(rootDir, head) ++ (headLive -- newLive))
         .filter(p => new java.io.File(rootDir, p).exists())
-      val content = renderManifest(partCol, newEntries, parked)
+      // deletion vectors carry forward across unrelated commits (an
+      // append must not resurrect MoR-deleted rows); compactDeletes
+      // clears them after folding the deletes into rewritten files
+      val dvs =
+        (if (clearDvs || head == 0) Seq.empty
+         else readDvs(rootDir, Some(head))) ++ addDvs
+      val content = renderManifest(partCol, newEntries, parked, dvs)
       if (tryClaim(rootDir, head + 1, content)) {
         publishClaimed(rootDir, head + 1, content)
         return head + 1
