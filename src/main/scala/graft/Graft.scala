@@ -81,6 +81,46 @@ object Graft {
     /** Copy-on-write DELETE of rows matching `cond`. */
     def delete(spark: SparkSession, path: String, cond: Column): Unit =
       LakeIO.deleteWhere(spark, path, cond)
+    /** MERGE-ON-READ delete: record matching positions in a deletion
+      * vector instead of rewriting files — the GDPR-delete shape at
+      * 100 TB. Apply with [[readMoR]]; fold with [[compactDeletes]].
+      */
+    def deleteMoR(spark: SparkSession, path: String, cond: Column): Long =
+      LakeIO.deleteWhereMoR(spark, path, cond)
+    /** DV-aware read: live files minus every deletion vector's positions. */
+    def readMoR(spark: SparkSession, path: String): DataFrame =
+      LakeIO.readMoR(spark, path)
+    /** Fold live deletion vectors into a real partition rewrite. */
+    def compactDeletes(spark: SparkSession, path: String): Long =
+      LakeIO.compactDeletes(spark, path)
+    /** Multi-writer-safe append: optimistic delta commit, rebases over
+      * concurrent commits, no lost update. Returns the version.
+      */
+    def append(df: DataFrame, path: String): Int = LakeIO.appendTxn(df, path)
+    /** Pin a snapshot under an immutable name; read with
+      * `versionAsOf = name` or SQL `VERSION AS OF 'name'`. Tagged
+      * snapshots survive expiration.
+      */
+    def tag(path: String, name: String, version: Option[Int] = None): Int =
+      LakeIO.tagSnapshot(path, name, version)
+    /** Write-audit-publish: stage an invisible append… */
+    def stageAppend(df: DataFrame, path: String, stageId: String): Unit =
+      LakeIO.stageAppend(df, path, stageId)
+    /** …audit the exact post-publish table state… */
+    def auditStaged(spark: SparkSession, path: String, stageId: String): DataFrame =
+      LakeIO.auditStaged(spark, path, stageId)
+    /** …and publish (OCC delta, rebases over mid-audit commits)… */
+    def publishStaged(path: String, stageId: String): Int =
+      LakeIO.publishStaged(path, stageId)
+    /** …or abandon it without a trace. */
+    def dropStaged(path: String, stageId: String): Unit =
+      LakeIO.dropStagedAppend(path, stageId)
+    /** Additive schema evolution without data: commit the widened schema
+      * as a new snapshot; old files read the new columns as null.
+      */
+    def evolveSchema(path: String,
+        added: Seq[org.apache.spark.sql.types.StructField]): Int =
+      LakeIO.evolveSchema(path, added)
     /** Incremental (CDC) read: rows added between two snapshots, planned
       * from the manifest diff alone.
       */
