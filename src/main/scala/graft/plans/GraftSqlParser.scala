@@ -172,15 +172,25 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("partition_column", StringType, nullable = true)(),
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("num_partitions", LongType, nullable = false)(),
-    AttributeReference("size_bytes", LongType, nullable = false)())
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("num_tags", LongType, nullable = false)(),
+    AttributeReference("num_staged", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (partCol, entries) = ManifestFileIndex.read(root, None)
       .getOrElse(sys.error(s"DESCRIBE DETAIL: no committed manifest under $root"))
+    val staged = Option(
+      new java.io.File(root, ManifestFileIndex.SnapshotDir).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("staged-") && f.getName.endsWith(".tsv"))
     Seq(Row("graft-lake", root,
       ManifestFileIndex.headVersion(root).getOrElse(0).toLong,
       partCol, entries.size.toLong,
       entries.iterator.map(_.partValue).toSet.size.toLong,
-      entries.iterator.map(_.size).sum))
+      entries.iterator.map(_.size).sum,
+      ManifestFileIndex.readDvs(root).size.toLong,
+      ManifestFileIndex.listRefs(root).size.toLong,
+      staged.toLong))
   }
 }
 

@@ -123,6 +123,14 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(row.getLong(2) === 1L)
     assert(row.getString(3) === "ts_hour")
     assert(row.getLong(4) >= 1L && row.getLong(6) > 0L)
+    // fresh table: no deletion vectors, tags, or staged snapshots
+    assert(row.getLong(7) === 0L && row.getLong(8) === 0L && row.getLong(9) === 0L)
+    // the counters go live with the features
+    LakeIO.deleteWhereMoR(spark, path,
+      org.apache.spark.sql.functions.col("v") === "a")
+    LakeIO.tagSnapshot(path, "det-tag")
+    val row2 = spark.sql("DESCRIBE DETAIL mcat.default.det").collect().head
+    assert(row2.getLong(7) === 1L && row2.getLong(8) === 1L)
   }
 
   test("the parser intercept is additive: ordinary SQL still parses") {
