@@ -62,8 +62,11 @@ class GraftLakeCdfProvider extends StreamSourceProvider with DataSourceRegister 
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val p = path(parameters)
+    // numeric version or a named tag ("resume the feed from the corpus
+    // release") — the same spec seam as versionAsOf
     val startV = parameters
-      .collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v.trim.toInt }
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") =>
+        ManifestFileIndex.resolveVersionSpec(p, v) }
       .getOrElse(0)
     val maxV = parameters
       .collectFirst { case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toInt }

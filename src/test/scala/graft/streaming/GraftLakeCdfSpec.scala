@@ -123,6 +123,25 @@ class GraftLakeCdfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion accepts a tag name: the feed resumes from the tagged release") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 40), root)                         // v1
+    LakeIO.tagSnapshot(root, "cdf-release")                      // tag v1
+    LakeIO.evolveAppend(batch(40, 7), root)                      // v2
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("startingVersion", "cdf-release").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only v2's insert rows stream — the tagged release is the baseline
+      assert(sunk.count() === 7L)
+      assert(sunk.where($"change" === "insert" && $"_commit_version" === 2L)
+        .count() === 7L)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger chunks catch-up into per-commit micro-batches") {
     rm(root); rm(ckpt); rm(out)
     LakeIO.writeLake(batch(0, 30), root)                         // v1
