@@ -259,6 +259,18 @@ object Graft {
       */
     def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
       Similarity.kmeansFit(embeddings, k, iters)
+    /** Product-quantization codebook: per-subspace L2 k-means,
+      * parallelism-invariant (the PQ training step).
+      */
+    def pqTrain(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+        iters: Int = 2): DataFrame = Similarity.pqTrain(embeddings, m, k, iters)
+    /** Map-only PQ encode: vectors → (codes, true norm). */
+    def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame =
+      Similarity.pqEncode(embeddings, codebook)
+    /** ADC search over codes + exact re-rank of the shortlist. */
+    def pqTopK(embeddings: DataFrame, codebook: DataFrame,
+        numQueries: Int, k: Int, rerank: Int = 4): DataFrame =
+      Similarity.pqTopK(embeddings, codebook, numQueries, k, rerank)
   }
 
   object text {

@@ -338,6 +338,174 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  // ── Product quantization (IVF-ADC family): the codes-not-vectors
+  //    search tier. A D-dim float vector compresses to m small codes
+  //    (here m=4 × 4 bits of codebook each → 4 bytes vs 256), and query
+  //    scoring becomes m table lookups per candidate — at 100 TB the
+  //    ranking scan reads the CODES column only (64× less I/O than the
+  //    embeddings), with an exact float re-rank of just the shortlist.
+
+  /** Train per-subspace L2 codebooks: dims split into `m` contiguous
+    * subspaces, each k-means'd independently. ONE broadcast of all m×k
+    * sub-centroids per iteration (not m separate jobs); means recombine
+    * through DECIMAL(18,6) (order-independent exact), so codebooks — and
+    * therefore every code — are bit-identical at any parallelism, the
+    * same determinism contract as [[kmeansFit]]. Init = the first k
+    * vectors' subvectors (deterministic). Output: (subspace, code, pos, c)
+    * with codes densely 0..k-1 per subspace.
+    */
+  def pqTrain(embDf: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = embDf.select($"vec_id", asDouble($"embedding").as("e"))
+      .withColumn("len", (size($"e") / m).cast("int"))
+      .select($"vec_id", posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice($"e", i * $"len" + 1, $"len"))))
+      .select($"vec_id", $"pos".cast("long").as("sub"), $"col".as("sv"))
+      .persist(lvl)
+    var cents = v.where($"vec_id" < k)
+      .select($"sub", $"vec_id".as("c_id"), $"sv".as("ce"))
+      .persist(lvl)
+    cents.count()
+    var iter = 0
+    while (iter < iters) {
+      // argmin L2 = argmin (⟨c,c⟩ − 2⟨x,c⟩); ties → smallest c_id, so the
+      // fold is order-independent and labels parallelism-invariant
+      val centsRow = cents
+        .groupBy($"sub")
+        .agg(collect_list(struct($"c_id", $"ce", dot($"ce", $"ce").as("cc"))).as("cs"))
+      val best = aggregate(
+        transform($"cs", c => struct(
+          (c("cc") - lit(2.0) * dot($"sv", c("ce"))).as("d"),
+          c("c_id").as("c_id"))),
+        struct(lit(Double.PositiveInfinity).as("d"),
+          lit(Long.MaxValue).as("c_id")),
+        (acc, x) => when(x("d") < acc("d") ||
+            (x("d") === acc("d") && x("c_id") < acc("c_id")), x)
+          .otherwise(acc))
+      val assigned = v.join(broadcast(centsRow), Seq("sub"))
+        .select($"sub", $"vec_id", $"sv", best.getField("c_id").as("c_id"))
+      val dims = assigned
+        .select($"sub", $"c_id", posexplode($"sv"))
+        .select($"sub", $"c_id", $"pos",
+          round($"col", 6).cast("decimal(18,6)").as("xd"))
+        .groupBy($"sub", $"c_id", $"pos")
+        .agg(sum($"xd").as("s"), count(lit(1)).as("n"))
+        .select($"sub", $"c_id", $"pos", ($"s".cast("double") / $"n").as("c"))
+      val computed = dims.groupBy($"sub", $"c_id").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      val next = cents.select($"sub", $"c_id", $"ce".as("prev_ce"))
+        .join(computed, Seq("sub", "c_id"), "left")
+        .select($"sub", $"c_id", coalesce($"ce", $"prev_ce").as("ce"))
+        .persist(lvl)
+      next.count()
+      val prev = cents
+      cents = next
+      prev.unpersist()
+      iter += 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    val out = cents
+      .withColumn("code",
+        (row_number().over(Window.partitionBy($"sub").orderBy($"c_id")) - 1)
+          .cast("long"))
+      .select($"sub".as("subspace"), $"code", posexplode($"ce"))
+      .select($"subspace", $"code", $"pos".cast("long").as("pos"), $"col".as("c"))
+      .orderBy($"subspace", $"code", $"pos")
+    v.unpersist()
+    out
+  }
+
+  /** The codebook rolled into ONE broadcastable row: an array indexed by
+    * subspace of (code-ordered) sub-centroid arrays — code i of subspace
+    * s is `cball[s][i]`, the alignment both the encoder's argmin and the
+    * ADC table lookup rely on.
+    */
+  private def codebookRow(codebook: DataFrame): DataFrame =
+    codebook
+      .groupBy($"subspace", $"code")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x("c")).as("ce"))
+      .groupBy($"subspace")
+      .agg(transform(array_sort(collect_list(struct($"code", $"ce"))),
+        x => struct(x("ce").as("ce"), dot(x("ce"), x("ce")).as("cc"))).as("cs"))
+      .agg(transform(array_sort(collect_list(struct($"subspace", $"cs"))),
+        x => x("cs")).as("cball"))
+
+  /** Map-only PQ encode: per subspace, the argmin-L2 code against the
+    * broadcast codebook — no explode, no shuffle; vectors become
+    * (vec_id, codes array, true norm). The norm rides along exactly so
+    * ADC can rank by approximate COSINE, not just dot.
+    */
+  def pqEncode(embDf: DataFrame, codebook: DataFrame): DataFrame = {
+    val m = codebookRow(codebook)
+    embDf.select($"vec_id", asDouble($"embedding").as("e"))
+      .crossJoin(broadcast(m))
+      .withColumn("len", (size($"e") / size($"cball")).cast("int"))
+      .select($"vec_id", sqrt(dot($"e", $"e")).as("nrm"),
+        transform(sequence(lit(0), size($"cball") - 1), i => {
+          val sv = slice($"e", i * $"len" + 1, $"len")
+          aggregate(
+            transform(element_at($"cball", i + 1), c =>
+              struct((c("cc") - lit(2.0) * dot(sv, c("ce"))).as("d"), c("ce"))),
+            struct(lit(Double.PositiveInfinity).as("d"),
+              lit(-1L).as("code"), lit(0).as("seen")),
+            (acc, x) => struct(
+              least(acc("d"), x("d")).as("d"),
+              when(x("d") < acc("d"), acc("seen").cast("long"))
+                .otherwise(acc("code")).as("code"),
+              (acc("seen") + 1).as("seen")),
+            acc => acc("code"))
+        }).as("codes"))
+  }
+
+  /** PQ-ADC top-k: per query, ONE flat lookup table (m×k dots against the
+    * sub-centroids), then every candidate scores with m array lookups
+    * over its codes — the scan never touches the float vectors. The
+    * approximate-cosine shortlist (`rerank`×k) re-ranks EXACTLY against
+    * the true vectors (candidate-sized join), the standard two-stage PQ
+    * serving shape.
+    */
+  def pqTopK(embDf: DataFrame, codebook: DataFrame,
+      numQueries: Int, k: Int, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = pqEncode(embDf, codebook)
+    val cb = codebookRow(codebook)
+    val q = broadcast(
+      embDf.where($"vec_id" < numQueries)
+        .select($"vec_id".as("q_id"), asDouble($"embedding").as("qe"))
+        .crossJoin(broadcast(cb))
+        .withColumn("len", (size($"qe") / size($"cball")).cast("int"))
+        .select($"q_id", sqrt(dot($"qe", $"qe")).as("qn"),
+          flatten(transform(sequence(lit(0), size($"cball") - 1), i =>
+            transform(element_at($"cball", i + 1), c =>
+              dot(slice($"qe", i * $"len" + 1, $"len"), c("ce"))))).as("qtab")))
+    val approx = q.join(enc, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"qn", $"nrm",
+        aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0),
+          (acc, i) => acc + element_at($"qtab",
+            // per-subspace table width k = |qtab| / m, derived in-plan
+            (i * (size($"qtab") / size($"codes")) +
+              element_at($"codes", i + 1) + 1).cast("int")))
+          .as("adot"))
+      .withColumn("acos", $"adot" / ($"qn" * $"nrm"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id")))
+      .where($"ark" <= rerank * k)
+    // exact re-rank of the shortlist only
+    val vv = embDf.select($"vec_id", asDouble($"embedding").as("e"))
+    approx.select($"q_id", $"vec_id")
+      .join(vv, Seq("vec_id"))
+      .join(broadcast(embDf.where($"vec_id" < numQueries)
+        .select($"vec_id".as("q_id"), asDouble($"embedding").as("qe"))), Seq("q_id"))
+      .select($"q_id", $"vec_id",
+        round(dot($"qe", $"e") / (norm($"qe") * norm($"e")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   private val sqlDot =
     "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
 
@@ -449,6 +617,14 @@ object Similarity {
     Op("similarity_ivf_trained",
       (s, d) => ivfTopKTrained(emb(s, d),
         kmeansFit(emb(s, d), k = 8, iters = 2), numQueries = 5, k = 10), None),
+    // Product-quantized ADC search: codes-only ranking + exact re-rank of
+    // the shortlist. No oracle (iterated per-subspace k-means is the same
+    // SQL-unwieldy shape as ivf_trained); PQSpec proves recall vs the
+    // exact top-k and bit-identical codes at any parallelism.
+    Op("similarity_pq",
+      (s, d) => pqTopK(emb(s, d),
+        pqTrain(emb(s, d), m = 4, k = 16, iters = 2),
+        numQueries = 5, k = 10), None),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
