@@ -115,6 +115,20 @@ object Graft {
     /** …or abandon it without a trace. */
     def dropStaged(path: String, stageId: String): Unit =
       LakeIO.dropStagedAppend(path, stageId)
+    /** Branch staging (multi-commit WAP): appends accumulate invisibly
+      * under a name…
+      */
+    def appendToBranch(df: DataFrame, path: String, name: String): Int =
+      LakeIO.appendToBranch(df, path, name)
+    /** …read as one state (base + every branch append)… */
+    def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+      LakeIO.readBranch(spark, path, name)
+    /** …published as ONE squashed commit rebased over main… */
+    def publishBranch(path: String, name: String): Int =
+      LakeIO.publishBranch(path, name)
+    /** …or dropped without a trace. */
+    def dropBranch(path: String, name: String): Unit =
+      LakeIO.dropBranch(path, name)
     /** Additive schema evolution without data: commit the widened schema
       * as a new snapshot; old files read the new columns as null.
       */

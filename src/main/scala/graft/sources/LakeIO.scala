@@ -303,6 +303,88 @@ object LakeIO {
     ManifestFileIndex.dropStaged(path, stageId)
   }
 
+  // -------------------------------------------------------------------
+  // Branch staging: multi-commit WAP. A branch is a CHAIN of staged
+  // snapshots (ids `b-<name>-<k>`), each carrying the CUMULATIVE added
+  // file set over the shared base — so the latest stage alone defines
+  // the branch state, reads/audits reuse `stagedAsOf`, and publish is
+  // ONE squashed OCC delta commit that rebases over whatever landed on
+  // main meanwhile. Iceberg-branch-shaped isolation without a second
+  // commit chain: main readers never see branch work, branch work never
+  // blocks main writers.
+  // -------------------------------------------------------------------
+
+  private def branchStages(path: String, name: String): Seq[String] = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val snapDir = new java.io.File(path, ManifestFileIndex.SnapshotDir)
+    Option(snapDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith(s"staged-b-$name-") && n.endsWith(".tsv"))
+      .flatMap(n => n.stripPrefix(s"staged-b-$name-").stripSuffix(".tsv").toIntOption)
+      .sorted.map(k => s"b-$name-$k").toSeq
+  }
+
+  /** Append a batch to branch `name` (creating it on first use, based at
+    * the current claimed head). The commit is a STAGE, not a table
+    * commit: invisible on main, readable via [[readBranch]]. Returns the
+    * branch length.
+    */
+  def appendToBranch(df: DataFrame, path: String, name: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    require(ManifestFileIndex.validRefName(name), s"invalid branch name '$name'")
+    val stages = branchStages(path, name)
+    val (base, priorAdds) = stages.lastOption match {
+      case None => (ManifestFileIndex.claimedVersion(path), Seq.empty)
+      case Some(last) =>
+        val (b, addPaths) = ManifestFileIndex.readStagedDelta(path, last).get
+        val addSet = addPaths.toSet
+        (b, ManifestFileIndex.readStaged(path, last).get._2
+          .filter(e => addSet(e.relPath)))
+    }
+    val k = stages.size
+    val withHour = hourPartitioned(df)
+    if (tableSchema(path).isEmpty) writeSchemaFile(path, withHour.schema)
+    val stage = path + s"_stage_br_${name}_$k"
+    withHour
+      .repartition(col("ts_hour"))
+      .write.mode("overwrite")
+      .partitionBy("ts_hour")
+      .option("compression", "zstd")
+      .parquet(stage)
+    val appended = moveStaged(path, "ts_hour", stage, s"br$name-$k-")
+    ManifestFileIndex.writeStaged(path, s"b-$name-$k", base, "ts_hour",
+      priorAdds ++ appended)
+    k + 1
+  }
+
+  /** The branch state: base snapshot + every branch append. */
+  def readBranch(s: SparkSession, path: String, name: String): DataFrame =
+    branchStages(path, name).lastOption match {
+      case Some(last) => auditStaged(s, path, last)
+      case None => sys.error(s"no branch '$name' under $path")
+    }
+
+  /** Publish the branch: ONE squashed delta commit of every branch
+    * append, rebased over anything committed on main since the branch
+    * base (pure adds — never conflicts); branch markers are consumed.
+    * Returns the committed version.
+    */
+  def publishBranch(path: String, name: String): Int = {
+    val stages = branchStages(path, name)
+    require(stages.nonEmpty, s"no branch '$name' under $path")
+    val v = publishStaged(path, stages.last)
+    stages.init.foreach(org.apache.spark.sql.graft.ManifestFileIndex.dropStaged(path, _))
+    v
+  }
+
+  /** Abandon the branch: delete its (never-live) data files + markers. */
+  def dropBranch(path: String, name: String): Unit = {
+    val stages = branchStages(path, name)
+    // the LAST stage's delta is cumulative — its file set is the whole branch
+    stages.lastOption.foreach(last => dropStagedAppend(path, last))
+    stages.init.foreach(org.apache.spark.sql.graft.ManifestFileIndex.dropStaged(path, _))
+  }
+
   /** Tag the current head (or an explicit version) — see
     * [[org.apache.spark.sql.graft.ManifestFileIndex.createTag]].
     */
