@@ -26,6 +26,9 @@ object Graft {
     * (or set `spark.sql.extensions=graft.plans.GraftExtensions`).
     */
   def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApplyDeletionVectors))
+      spark.experimental.extraOptimizations =
+        graft.plans.ApplyDeletionVectors +: spark.experimental.extraOptimizations
     HourPartitionPruning.install(spark)
     graft.plans.AsOfJoinStrategy.install(spark)
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "vector_dot",

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.graft.{GraftLakeScan, GraftLakeSource, GraftLakeTable, ManifestFileIndex}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.LakeIO
+
+/** Makes merge-on-read deletes VISIBLE TO EVERY READER, not just
+  * [[LakeIO.readMoR]]: any graft-lake relation whose resolved snapshot
+  * carries live deletion vectors (`#dv` manifest lines) is rewritten to
+  * the DV-applied scan — the same broadcast anti-join on (file, row
+  * index) `readMoR` performs — so plain `spark.read.format("graft-lake")`
+  * loads, catalog SQL, time travel (`versionAsOf`/`timestampAsOf`, each
+  * with its OWN snapshot's DV set), and WAP audits (`stagedAsOf`) all see
+  * the logical table state. Without this, a `deleteWhereMoR` (the GDPR-
+  * delete path) would be honored only by callers who remembered to use
+  * `readMoR` — Delta/Iceberg apply DVs on all reads, and so does this.
+  *
+  * Snapshots with NO live DVs (the steady state — `compactDeletes` folds
+  * them away) are untouched: the manifest-planned V2 fast path stays.
+  *
+  * Two match shapes, because the rule is installable two ways:
+  *  - via `GraftExtensions` (`injectOptimizerRule`): runs inside operator
+  *    optimization, BEFORE V2 pushdown — matches [[DataSourceV2Relation]]
+  *    and the rewrite is unconditionally safe (no filters consumed yet);
+  *  - via `Graft.install` (`experimental.extraOptimizations`): runs AFTER
+  *    pushdown — matches [[DataSourceV2ScanRelation]]; a scan whose
+  *    partition/data filters were already consumed cannot be re-planned
+  *    faithfully here, so a DV-carrying FILTERED scan REFUSES loudly
+  *    rather than silently resurrecting deleted rows.
+  *
+  * Change-feed scans (`changesFrom`/`changesTo`) are excluded: each diff
+  * side has a different DV baseline, handled exactly in
+  * [[LakeIO.readChanges]].
+  */
+object ApplyDeletionVectors extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftLakeTable if eligible(t, r.options) =>
+        resolve(t, r.options) match {
+          case None => r
+          case Some((entries, dvs, schema)) =>
+            rewrite(r.output, t.lakeRoot.get, entries, dvs, schema)
+              .getOrElse(refuse(t))
+        }
+      case _ => r
+    }
+    case sr: DataSourceV2ScanRelation => (sr.relation.table, sr.scan) match {
+      case (t: GraftLakeTable, g: GraftLakeScan)
+          if eligible(t, sr.relation.options) =>
+        resolve(t, sr.relation.options) match {
+          case None => sr
+          case Some((entries, dvs, schema)) =>
+            if (g.initial.partitionFilters.nonEmpty ||
+                g.initial.dataFilters.nonEmpty ||
+                g.initial.pushedAggregate.nonEmpty) refuse(t)
+            else rewrite(sr.output, t.lakeRoot.get, entries, dvs, schema)
+              .getOrElse(refuse(t))
+        }
+      case _ => sr
+    }
+  }
+
+  private def eligible(t: GraftLakeTable, opts: CaseInsensitiveStringMap): Boolean =
+    t.lakeRoot.isDefined && !opts.containsKey("changesFrom")
+
+  private def refuse(t: GraftLakeTable): Nothing =
+    throw new UnsupportedOperationException(
+      s"table ${t.lakeRoot.getOrElse(t.name())} has live deletion vectors " +
+        "and this scan shape cannot apply them (already-pushed filters or " +
+        "aggregates) — read via LakeIO.readMoR, install GraftExtensions " +
+        "(spark.sql.extensions=graft.plans.GraftExtensions), or fold the " +
+        "deletes with LakeIO.compactDeletes")
+
+  /** (live entries, live DV paths, snapshot schema) of the snapshot this
+    * relation's reader options resolve to — None when that snapshot has
+    * no deletion vectors (leave the plan alone).
+    */
+  private def resolve(t: GraftLakeTable, opts: CaseInsensitiveStringMap)
+    : Option[(Seq[ManifestFileIndex.Entry], Seq[String], Option[StructType])] = {
+    val root = t.lakeRoot.get
+    Option(opts.get("stagedAsOf")).map(_.trim) match {
+      case Some(id) =>
+        // staged (WAP) reads are base + staged files: the BASE's live DVs
+        // still apply (a staged append neither adds nor clears DVs)
+        val dvs = ManifestFileIndex.readDvs(root)
+        if (dvs.isEmpty) None
+        else ManifestFileIndex.readStaged(root, id).map { case (_, entries) =>
+          (entries, dvs, LakeIO.tableSchema(root))
+        }
+      case None =>
+        val version: Option[Int] =
+          Option(opts.get("versionAsOf"))
+            .map(raw => ManifestFileIndex.resolveVersionSpec(root, raw.trim))
+            .orElse(Option(opts.get("timestampAsOf")).flatMap(raw =>
+              ManifestFileIndex.versionAt(root,
+                GraftLakeSource.parseCutoffMillis(raw.trim))))
+            .orElse(t.pinnedTableVersion)
+        val dvs = ManifestFileIndex.readDvs(root, version)
+        if (dvs.isEmpty) None
+        else ManifestFileIndex.read(root, version).map { case (_, entries) =>
+          (entries, dvs,
+            version.flatMap(v => ManifestFileIndex.snapshotSchema(root, v))
+              .orElse(LakeIO.tableSchema(root)))
+        }
+    }
+  }
+
+  /** Splice the DV-applied scan in, preserving the relation's output
+    * attribute ids/names/types so the substitution is invisible to the
+    * rest of the plan.
+    */
+  private def rewrite(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference],
+      root: String, entries: Seq[ManifestFileIndex.Entry], dvs: Seq[String],
+      schema: Option[StructType]): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val outCols = output.map(_.name)
+    val df = LakeIO.dvAppliedScan(spark, root, entries, dvs, schema, outCols)
+    val analyzed = df.queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    if (!outCols.forall(byName.contains)) None
+    else Some(Project(
+      output.map { o =>
+        val n = byName(o.name)
+        val e = if (n.dataType == o.dataType) n
+                else Cast(n, o.dataType)
+        Alias(e, o.name)(exprId = o.exprId)
+      },
+      analyzed))
+  }
+}

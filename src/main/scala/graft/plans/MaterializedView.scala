@@ -79,15 +79,20 @@ object Mv {
   def ensureHourly(s: SparkSession, basePath: String): HourlyMv = {
     val head = ManifestFileIndex.headVersion(basePath).getOrElse(
       sys.error(s"Mv.ensureHourly: $basePath has no committed snapshot"))
+    // live deletion vectors: the append-only increment algebra can't see
+    // them (a DV commit diffs to zero files) — build from the DV-applied
+    // read instead of incrementally, or the MV would mark itself fresh at
+    // `head` while still counting MoR-deleted rows
+    val hasDvs = ManifestFileIndex.readDvs(basePath).nonEmpty
     lookup(basePath) match {
       case Some(mv) if mv.baseVersion == head => mv
-      case Some(mv) if mv.baseVersion < head =>
+      case Some(mv) if mv.baseVersion < head && !hasDvs =>
         val prior = s.read.parquet(mv.mvPath)
         write(s, basePath, head,
           LakeIO.refreshHourlyAgg(s, basePath, prior, mv.baseVersion, head))
       case _ =>
         write(s, basePath, head,
-          LakeIO.hourlyAggState(s.read.format("graft-lake").load(basePath)))
+          LakeIO.hourlyAggState(LakeIO.readMoR(s, basePath)))
     }
   }
 

@@ -137,6 +137,16 @@ object LakeIO {
     * one-file-per-partition-per-task, same as [[writeLake]].
     */
   def compact(s: SparkSession, path: String, targetBytes: Long = 256L << 20): Unit = {
+    // Legacy WHOLE-DIRECTORY swap: correct only for plain parquet lakes.
+    // On a V2 (snapshot-chain) table it would destroy time travel and the
+    // DV sidecars — and live deletion vectors would be RESURRECTED (the
+    // raw read sees the files, not the logical state). Refuse both;
+    // [[compactSnapshots]] is the snapshot-safe maintenance path.
+    requireNoDvs(path, "compact")
+    require(!new java.io.File(path,
+        org.apache.spark.sql.graft.ManifestFileIndex.SnapshotDir).exists(),
+      s"compact: $path is a snapshot-chain (V2) lake — the legacy directory " +
+        "swap would invalidate its snapshots; use LakeIO.compactSnapshots")
     val df = s.read.parquet(path)
     val tmp = path + "_compacting"
     df.repartition(col("ts_hour"))
@@ -276,20 +286,34 @@ object LakeIO {
   def auditStaged(s: SparkSession, path: String, stageId: String): DataFrame =
     s.read.format("graft-lake").option("stagedAsOf", stageId).load(path)
 
-  /** Publish a staged append: replay its recorded delta through the
-    * optimistic commit (pure add — rebases over anything committed since
-    * the stage), then drop the stage marker. Returns the version.
+  /** Publish a staged append: atomically CONSUME the stage marker (the
+    * rename succeeds for exactly one of N racing publishers — no
+    * double-publish, and a crash after the commit leaves no re-playable
+    * marker), replay its recorded delta through the optimistic commit
+    * (pure add — rebases over anything committed since the stage), then
+    * delete the consumed marker. A FAILED commit (sustained contention)
+    * restores the marker so the stage survives for retry. Returns the
+    * version.
     */
   def publishStaged(path: String, stageId: String): Int = {
     import org.apache.spark.sql.graft.ManifestFileIndex
-    val (baseV, addedPaths) = ManifestFileIndex.readStagedDelta(path, stageId)
-      .getOrElse(sys.error(s"no staged snapshot '$stageId' under $path"))
-    val addedSet = addedPaths.toSet
-    val added = ManifestFileIndex.readStaged(path, stageId).get._2
-      .filter(e => addedSet(e.relPath))
-    val v = ManifestFileIndex.commitDelta(path, "ts_hour", baseV, added, Set.empty)
-    ManifestFileIndex.dropStaged(path, stageId)
-    v
+    val consumed = ManifestFileIndex.consumeStaged(path, stageId)
+      .getOrElse(sys.error(s"no staged snapshot '$stageId' under $path " +
+        "(already published, being published, or dropped)"))
+    try {
+      val (baseV, addedPaths) = ManifestFileIndex.parseStagedDeltaFile(consumed)
+        .getOrElse(sys.error(s"staged snapshot '$stageId' has no delta header"))
+      val addedSet = addedPaths.toSet
+      val added = ManifestFileIndex.parseStagedFile(consumed).get._2
+        .filter(e => addedSet(e.relPath))
+      val v = ManifestFileIndex.commitDelta(path, "ts_hour", baseV, added, Set.empty)
+      consumed.delete()
+      v
+    } catch {
+      case e: Throwable =>
+        ManifestFileIndex.restoreStaged(path, stageId, consumed)
+        throw e
+    }
   }
 
   /** Abandon a staged append: delete its marker AND its (never-live)
@@ -702,12 +726,61 @@ object LakeIO {
     n
   }
 
+  /** V1 multi-path scan of an explicit file set, each row tagged with its
+    * `(_dv_file, _dv_pos)` position identity (`_metadata` row indexes are
+    * a parquet-scan surface; `hourPartitioned` re-derives the hidden
+    * partition column). `schema`, when given (table/snapshot metadata),
+    * makes files predating an evolution read the union schema with
+    * null-fill instead of failing on the missing column.
+    */
+  private[graft] def positionedScan(s: SparkSession, path: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val dataSchema = schema.map(st => org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == "ts_hour")))
+    val reader = dataSchema.fold(s.read)(s.read.schema)
+    hourPartitioned(reader.parquet(files.map(f => path + "/" + f): _*))
+      .withColumn("_dv_file", relPathCol)
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+  }
+
+  /** DV-applying scan of an explicit (files, deletion vectors) pair: the
+    * rows of `files` MINUS every DV position (anti-join on (file, row
+    * index) — the merge in "merge-on-read"). The DV side is
+    * kilobytes-to-megabytes and broadcast-joins against the scan, so the
+    * read tax is one map-side hash probe per row — the price paid for not
+    * rewriting terabytes at delete time. Shared by [[readMoR]] and the
+    * [[graft.plans.ApplyDeletionVectors]] rule (which routes EVERY
+    * graft-lake read of a DV-carrying snapshot through this shape, so
+    * plain scans / catalog SQL / time travel can never resurrect
+    * MoR-deleted rows).
+    */
+  private[graft] def dvAppliedScan(s: SparkSession, path: String,
+      entries: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry],
+      dvPaths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      outCols: Seq[String]): DataFrame = {
+    if (entries.isEmpty) {
+      val st = schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      val base = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      return hourPartitioned(
+        if (st.fieldNames.contains("ts")) base
+        else base.withColumn("ts", lit(null).cast("timestamp")))
+        .select(outCols.map(col): _*)
+    }
+    val base = positionedScan(s, path, entries.map(_.relPath), schema)
+    val survived =
+      if (dvPaths.isEmpty) base
+      else {
+        val dv = s.read.parquet(dvPaths.map(d => path + "/" + d): _*)
+        base.join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
+      }
+    survived.select(outCols.map(col): _*)
+  }
+
   /** DV-aware read: the live file set MINUS every live deletion vector's
-    * positions (anti-join on (file, row index) — the merge in
-    * "merge-on-read"). With no DVs this is the plain manifest-planned
-    * scan. The DV side is kilobytes-to-megabytes and broadcast-joins
-    * against the scan, so the read tax is one map-side hash probe per
-    * row — the price paid for not rewriting terabytes at delete time.
+    * positions. With no DVs this is the plain manifest-planned scan.
     */
   def readMoR(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.graft.ManifestFileIndex
@@ -715,17 +788,10 @@ object LakeIO {
     if (dvs.isEmpty) s.read.format("graft-lake").load(path)
     else {
       val (_, entries) = ManifestFileIndex.read(path).get
-      val dv = s.read.parquet(dvs.map(d => path + "/" + d): _*)
-      // V1 multi-path scan: _metadata row indexes are a parquet-scan
-      // surface; hourPartitioned re-derives the hidden partition column
-      val cols = tableSchema(path).map(_.fieldNames.toSeq)
-      val base = hourPartitioned(
-        s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
-        .withColumn("_dv_file", relPathCol)
-        .withColumn("_dv_pos", col("_metadata.row_index"))
-      val survived = base.join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
-        .drop("_dv_file", "_dv_pos")
-      cols.fold(survived)(cs => survived.select(cs.map(col): _*))
+      val schema = tableSchema(path)
+      val cols = schema.map(_.fieldNames.toSeq)
+        .getOrElse(s.read.format("graft-lake").load(path).columns.toSeq)
+      dvAppliedScan(s, path, entries, dvs, schema, cols)
     }
   }
 
@@ -918,10 +984,20 @@ object LakeIO {
     val to = ManifestFileIndex.read(path, Some(toV))
       .getOrElse(sys.error(s"readIncrement: no snapshot $toV under $path"))._2
     val added = to.filterNot(e => from.contains(e.relPath))
+    val dvToP = ManifestFileIndex.readDvs(path, Some(toV))
     if (added.isEmpty)
       hourPartitioned(readEvolved(s, path)).limit(0)
-    else
+    else if (dvToP.isEmpty)
       hourPartitioned(s.read.parquet(added.map(e => path + "/" + e.relPath): _*))
+    else {
+      // positions of the ADDED files already DV'd at `toV` were never
+      // part of the logical increment (inserted and deleted inside the
+      // window) — exclude them, same anti-join as every DV-aware read
+      val base = positionedScan(s, path, added.map(_.relPath), tableSchema(path))
+      base.join(broadcast(s.read.parquet(dvToP.map(d => path + "/" + d): _*)),
+          Seq("_dv_file", "_dv_pos"), "left_anti")
+        .drop("_dv_file", "_dv_pos")
+    }
   }
 
   /** Row-level CHANGEFEED between two snapshots (Delta CDF-shaped): the
@@ -935,29 +1011,122 @@ object LakeIO {
     * touched partitions' rows — never the table.
     */
   def readChanges(s: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
-    // both sides plan from the MANIFEST DIFF inside the V2 source
-    // (changesFrom/changesTo options): two metadata reads replace the
-    // V1 multi-path read that stat'd every touched file on the driver
-    // (measured 2-7 s on a 1440-file changefeed vs ~0.2 s planned)
-    def rowsOf(side: String): DataFrame = s.read.format("graft-lake")
-      .option("changesFrom", fromV.toString)
-      .option("changesTo", toV.toString)
-      .option("changeSide", side)
-      .load(path)
-    val added = rowsOf("added")
-    val removed = rowsOf("removed")
-    // Both EXCEPT ALL directions in ONE shuffle: tag rows ±1 by side,
-    // net the multiplicities per distinct row, then re-expand — sign is
-    // the change kind, |net| the bag count. Two exceptAll calls would
-    // each pay their own aggregate+join over the same touched rows.
-    val cols = added.columns.map(col)
-    added.withColumn("__w", lit(1L))
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val dvFromP = if (fromV == 0) Seq.empty[String]
+                  else ManifestFileIndex.readDvs(path, Some(fromV))
+    val dvToP = ManifestFileIndex.readDvs(path, Some(toV))
+    if (dvFromP.isEmpty && dvToP.isEmpty) {
+      // both sides plan from the MANIFEST DIFF inside the V2 source
+      // (changesFrom/changesTo options): two metadata reads replace the
+      // V1 multi-path read that stat'd every touched file on the driver
+      // (measured 2-7 s on a 1440-file changefeed vs ~0.2 s planned)
+      def rowsOf(side: String): DataFrame = s.read.format("graft-lake")
+        .option("changesFrom", fromV.toString)
+        .option("changesTo", toV.toString)
+        .option("changeSide", side)
+        .load(path)
+      val added = rowsOf("added")
+      val removed = rowsOf("removed")
+      // Both EXCEPT ALL directions in ONE shuffle: tag rows ±1 by side,
+      // net the multiplicities per distinct row, then re-expand — sign is
+      // the change kind, |net| the bag count. Two exceptAll calls would
+      // each pay their own aggregate+join over the same touched rows.
+      val cols = added.columns.map(col)
+      added.withColumn("__w", lit(1L))
+        .unionByName(removed.withColumn("__w", lit(-1L)))
+        .groupBy(cols: _*).agg(sum($"__w").as("__net"))
+        .where($"__net" =!= 0L)
+        .withColumn("change", when($"__net" > 0L, "insert").otherwise("delete"))
+        .withColumn("__i", explode(sequence(lit(1L), abs($"__net"))))
+        .drop("__net", "__i")
+    } else readChangesMoR(s, path, fromV, toV, dvFromP, dvToP)
+  }
+
+  /** The DELETION-VECTOR-aware changefeed: the logical state at a version
+    * is (live files) MINUS (live DV positions), so the row-level diff has
+    * three sources —
+    *   - ADDED files' rows, minus positions already DV'd at `toV` (a row
+    *     inserted and deleted inside the window is no change at all);
+    *   - REMOVED files' rows, minus positions DV'd at `fromV` (those were
+    *     reported deleted when their DV committed — a later rewrite of
+    *     the file must not re-report them);
+    *   - rows of files live on BOTH sides whose positions are in a DV
+    *     added inside the window → exact row-level DELETEs (the case a
+    *     pure file-diff sees as "empty commit" — the GDPR-delete feed).
+    * DV sidecars are immutable, so new-vs-gone DV sets diff by PATH (no
+    * position shuffle); only files a new DV actually touches are read
+    * (driver-side file list, bounded by the live file count).
+    */
+  private def readChangesMoR(s: SparkSession, path: String, fromV: Int,
+      toV: Int, dvFromP: Seq[String], dvToP: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    def entriesOf(v: Int): Seq[ManifestFileIndex.Entry] =
+      if (v == 0) Seq.empty
+      else ManifestFileIndex.read(path, Some(v))
+        .getOrElse(sys.error(s"no snapshot version $v under $path"))._2
+    val fromE = entriesOf(fromV)
+    val toE = entriesOf(toV)
+    val fromSet = fromE.map(_.relPath).toSet
+    val toSet = toE.map(_.relPath).toSet
+    val schema = ManifestFileIndex.snapshotSchema(path, toV).orElse(tableSchema(path))
+    val outCols: Seq[String] = schema.map { st =>
+      val fs = st.fieldNames.toSeq
+      if (fs.contains("ts_hour")) fs else fs :+ "ts_hour"
+    }.getOrElse(sys.error(s"readChanges: no schema metadata under $path"))
+
+    def sideRows(files: Seq[String], dvP: Seq[String]): DataFrame = {
+      if (files.isEmpty) {
+        val empty = dvAppliedScan(s, path, Seq.empty, Seq.empty, schema, outCols)
+        return empty
+      }
+      val base = positionedScan(s, path, files, schema)
+      val filtered =
+        if (dvP.isEmpty) base
+        else base.join(broadcast(s.read.parquet(dvP.map(d => path + "/" + d): _*)),
+          Seq("_dv_file", "_dv_pos"), "left_anti")
+      filtered.select(outCols.map(col): _*)
+    }
+    val added = sideRows(toE.map(_.relPath).filterNot(fromSet), dvToP)
+    val removed = sideRows(fromE.map(_.relPath).filterNot(toSet), dvFromP)
+    val cols = outCols.map(col)
+    val netted = added.withColumn("__w", lit(1L))
       .unionByName(removed.withColumn("__w", lit(-1L)))
       .groupBy(cols: _*).agg(sum($"__w").as("__net"))
       .where($"__net" =!= 0L)
       .withColumn("change", when($"__net" > 0L, "insert").otherwise("delete"))
       .withColumn("__i", explode(sequence(lit(1L), abs($"__net"))))
       .drop("__net", "__i")
+
+    // exact position-level changes on files that survived the window
+    val commonSet = fromSet.intersect(toSet)
+    def dvDeltaRows(deltaP: Seq[String], excludeP: Seq[String],
+        change: String): Option[DataFrame] = {
+      if (deltaP.isEmpty || commonSet.isEmpty) None
+      else {
+        val dv0 = s.read.parquet(deltaP.map(d => path + "/" + d): _*)
+        val dv = if (excludeP.isEmpty) dv0
+          else dv0.join(s.read.parquet(excludeP.map(d => path + "/" + d): _*),
+            Seq("_dv_file", "_dv_pos"), "left_anti")
+        // files the delta actually touches — driver-side, bounded by the
+        // live file count (same precedent as compactDeletes)
+        val touched = dv.select($"_dv_file").distinct()
+          .collect().map(_.getString(0)).filter(commonSet).toSeq
+        if (touched.isEmpty) None
+        else Some(positionedScan(s, path, touched, schema)
+          .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_semi")
+          .select(outCols.map(col): _*)
+          .withColumn("change", lit(change)))
+      }
+    }
+    val newDvP = dvToP.filterNot(dvFromP.toSet)
+    val goneDvP = dvFromP.filterNot(dvToP.toSet)
+    val deltas =
+      dvDeltaRows(newDvP, Nil, "delete").toSeq ++
+        // a DV retired while its file stays live would UN-delete rows
+        // (no current writer does this — kept for protocol symmetry);
+        // positions still deleted at toV are excluded
+        dvDeltaRows(goneDvP, dvToP, "insert").toSeq
+    deltas.foldLeft(netted)(_ unionByName _)
   }
 
   /** Snapshot history of a lake table — the `DESCRIBE HISTORY` surface
@@ -1028,11 +1197,19 @@ object LakeIO {
       require(!current.fieldNames.contains(f.name),
         s"evolveSchema: column ${f.name} already exists")
     }
+    // The widened schema must be on disk BEFORE the commit publishes (the
+    // publish freezes `_graft_schema.json` into the snapshot's schema-v
+    // file) — but a FAILED commit (sustained contention) must not leave
+    // the table's live schema mutated with no corresponding snapshot, so
+    // the prior schema is restored before the failure surfaces.
     writeSchemaFile(path, org.apache.spark.sql.types.StructType(
       current.fields ++ added.map(_.copy(nullable = true))))
     val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
-    ManifestFileIndex.commitDelta(path, partCol,
+    try ManifestFileIndex.commitDelta(path, partCol,
       ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+    catch {
+      case e: Throwable => writeSchemaFile(path, current); throw e
+    }
   }
 
   private def writeSchemaFile(path: String,

@@ -37,8 +37,10 @@ import graft.plans.HourPartitionPruning
   * partitioning lacks.
   */
 object GraftLakeSource {
-  /** `timestampAsOf` accepts epoch millis or a UTC timestamp string. */
-  private[graft] def parseCutoffMillis(raw: String): Long =
+  /** `timestampAsOf` accepts epoch millis or a UTC timestamp string.
+    * Public: the DV-application rule resolves reader options with it.
+    */
+  def parseCutoffMillis(raw: String): Long =
     scala.util.Try(raw.toLong).getOrElse {
       val norm = if (raw.contains("T")) raw else raw.replace(' ', 'T')
       java.time.LocalDateTime.parse(norm)

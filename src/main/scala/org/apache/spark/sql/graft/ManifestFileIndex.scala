@@ -761,6 +761,48 @@ object ManifestFileIndex {
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Version a mirror manifest claims to be (its `#mirrorv` line, written
+    * by [[publishClaimed]] after the `#partcol` header). None for mirrors
+    * written before the marker existed.
+    */
+  def mirrorVersion(rootDir: String): Option[Int] = {
+    val f = new java.io.File(rootDir, ManifestName)
+    if (!f.exists()) None
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.iterator.take(3)
+        .collectFirst { case l if l.startsWith("#mirrorv\t") =>
+          l.substring("#mirrorv\t".length).trim.toInt }
+    }
+  }
+
+  /** Raw bytes of claimed snapshot `v`'s manifest, if it exists. */
+  private def snapshotContent(rootDir: String, v: Int): Option[String] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
+  /** One mirror+HEAD write: UNIQUE temp file per attempt (two processes
+    * never share a temp path, so no torn interleaved writes), the mirror
+    * content carries an embedded `#mirrorv` version line, and HEAD is
+    * renamed LAST.
+    */
+  private def writeMirrorAndHead(rootDir: String, v: Int, content: String): Unit = {
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    val withVer =
+      if (content.startsWith("#partcol\t"))
+        content.replaceFirst("\n", "\n#mirrorv\t" + v + "\n")
+      else content
+    val tmp = java.io.File.createTempFile(".mirror-", ".tmp", new java.io.File(rootDir))
+    java.nio.file.Files.write(tmp.toPath, withVer.getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(rootDir, ManifestName))
+    val headTmp = java.io.File.createTempFile(".head-", ".tmp", snapDir)
+    java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
+    headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
+    ()
+  }
+
   /** Publish an already-claimed snapshot `v`: freeze the schema, refresh
     * the mirror manifest, and advance HEAD by atomic rename LAST.
     * MONOTONIC: if a later version was already published (a racing
@@ -768,6 +810,19 @@ object ManifestFileIndex {
     * HEAD are left at the newer state — this commit is durable in its
     * snapshot file and its changes are already folded into the newer
     * version by that writer's rebase.
+    *
+    * CROSS-PROCESS SAFETY: in-JVM racers serialize on `publishLocks`;
+    * racers in DIFFERENT processes can interleave their mirror/HEAD
+    * renames. Every publish therefore (a) uses process-unique temp files,
+    * (b) stamps the mirror with its version (`#mirrorv`), and (c) after
+    * writing, VERIFIES that HEAD and the mirror agree on the max
+    * published version, re-publishing the newer state from its snapshot
+    * file until they do — all racers converge to the max, and the last
+    * one to act leaves the pair coherent. The residual window (a process
+    * dying mid-publish after a concurrent regression) leaves only a
+    * stale HEAD CACHE — the claimed snapshot chain is untouched, and the
+    * next commit's publish heals it (the same successor-redo the crash
+    * semantics of [[commitDelta]] already rely on).
     */
   private def publishClaimed(rootDir: String, v: Int, content: String): Unit = {
     val key = new java.io.File(rootDir).getAbsolutePath
@@ -779,13 +834,23 @@ object ManifestFileIndex {
         java.nio.file.Files.copy(schemaFile.toPath,
           new java.io.File(snapDir, s"schema-$v.json").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      if (headVersion(rootDir).getOrElse(0) < v) {
-        val tmp = new java.io.File(rootDir, "." + ManifestName + ".tmp")
-        java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-        tmp.renameTo(new java.io.File(rootDir, ManifestName))
-        val headTmp = new java.io.File(snapDir, ".HEAD.tmp")
-        java.nio.file.Files.write(headTmp.toPath, v.toString.getBytes("UTF-8"))
-        headTmp.renameTo(new java.io.File(snapDir, "HEAD"))
+      if (headVersion(rootDir).getOrElse(0) < v)
+        writeMirrorAndHead(rootDir, v, content)
+      // converge: HEAD and mirror must agree on max(published, v)
+      var guard = 0
+      var stable = false
+      while (!stable && guard < 8) {
+        guard += 1
+        val target = math.max(headVersion(rootDir).getOrElse(0), v)
+        if (headVersion(rootDir).getOrElse(0) == target &&
+            mirrorVersion(rootDir).contains(target)) stable = true
+        else {
+          val c = if (target == v) Some(content) else snapshotContent(rootDir, target)
+          c match {
+            case Some(body) => writeMirrorAndHead(rootDir, target, body)
+            case None       => stable = true // claimed file missing: nothing to heal from
+          }
+        }
       }
     }
   }
@@ -882,7 +947,14 @@ object ManifestFileIndex {
             s"stale base: ${gone.size} file(s) this transaction rewrites are " +
             s"no longer live at v$head (e.g. ${gone.head})")
       }
-      val newEntries = headEntries.filterNot(e => removedPaths(e.relPath)) ++ added
+      // PURE-ADD IDEMPOTENCE: drop added entries whose relPath is already
+      // live at the rebased head. File names are writer-unique (stage
+      // tokens), so a path already live means THIS delta (or a crashed
+      // earlier attempt of it — publishStaged replay, a foreachBatch
+      // retry) was already folded in; re-adding would duplicate the
+      // manifest entry and scan the file twice (doubled rows).
+      val freshAdded = added.filterNot(e => headLive(e.relPath))
+      val newEntries = headEntries.filterNot(e => removedPaths(e.relPath)) ++ freshAdded
       val newLive = newEntries.map(_.relPath).toSet
       val parked = (readParkedAt(rootDir, head) ++ (headLive -- newLive))
         .filter(p => new java.io.File(rootDir, p).exists())
@@ -1014,11 +1086,63 @@ object ManifestFileIndex {
     ()
   }
 
-  /** The staged manifest's full (partCol, entries) — the audit view. */
-  def readStaged(rootDir: String, stageId: String): Option[(String, Seq[Entry])] = {
-    // the entry parser requires #partcol as the FIRST line — strip the
-    // #wap headers before handing the body over
-    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+  /** The staged manifest's full (partCol, entries) — the audit view.
+    * (The entry parser requires #partcol as the FIRST line — the #wap
+    * headers are stripped before handing the body over.)
+    */
+  def readStaged(rootDir: String, stageId: String): Option[(String, Seq[Entry])] =
+    parseStagedFile(
+      new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv"))
+
+  /** The staged DELTA: (base version, added relPaths). */
+  def readStagedDelta(rootDir: String, stageId: String): Option[(Int, Seq[String])] =
+    parseStagedDeltaFile(
+      new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv"))
+
+  def dropStaged(rootDir: String, stageId: String): Unit = {
+    new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv").delete()
+    ()
+  }
+
+  /** Atomically CONSUME a staged snapshot for publishing: rename the
+    * marker to a caller-unique `.publishing-*` file. Exactly ONE of N
+    * racing publishers wins the rename; the losers get None instead of
+    * replaying a delta that is already being committed (double-publish).
+    * The winner parses the consumed file, commits, then deletes it — or
+    * [[restoreStaged]]s it if the commit fails, so contention doesn't
+    * destroy the stage.
+    */
+  def consumeStaged(rootDir: String, stageId: String): Option[java.io.File] = {
+    val src = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+    val dst = new java.io.File(s"$rootDir/$SnapshotDir",
+      s".publishing-$stageId-" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12) + ".tsv")
+    try {
+      java.nio.file.Files.move(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(dst)
+    } catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException     => None
+    }
+  }
+
+  /** Undo a [[consumeStaged]] after a failed commit (best-effort: if the
+    * original name was re-created meanwhile, the consumed copy is kept
+    * under its `.publishing-` name for manual recovery).
+    */
+  def restoreStaged(rootDir: String, stageId: String,
+      consumed: java.io.File): Unit = {
+    val dst = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+    try {
+      java.nio.file.Files.move(consumed.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Parse a consumed (or staged) WAP file: full (partCol, entries). */
+  def parseStagedFile(f: java.io.File): Option[(String, Seq[Entry])] = {
     if (!f.exists()) None
     else {
       import scala.jdk.CollectionConverters._
@@ -1028,26 +1152,19 @@ object ManifestFileIndex {
     }
   }
 
-  /** The staged DELTA: (base version, added relPaths). */
-  def readStagedDelta(rootDir: String, stageId: String): Option[(Int, Seq[String])] = {
-    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv")
+  /** Parse a consumed (or staged) WAP file's delta headers. */
+  def parseStagedDeltaFile(f: java.io.File): Option[(Int, Seq[String])] = {
     if (!f.exists()) None
     else {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.readAllLines(f.toPath).asScala
-      val base = ls.collectFirst {
+      ls.collectFirst {
         case l if l.startsWith("#wapbase\t") => l.substring("#wapbase\t".length).toInt
-      }
-      base.map { b =>
+      }.map { b =>
         (b, ls.filter(_.startsWith("#wapadd\t"))
           .map(_.substring("#wapadd\t".length)).toSeq)
       }
     }
-  }
-
-  def dropStaged(rootDir: String, stageId: String): Unit = {
-    new java.io.File(s"$rootDir/$SnapshotDir", s"staged-$stageId.tsv").delete()
-    ()
   }
 
   /** Expire all but the last `keepLast` snapshots and VACUUM: delete any

@@ -96,6 +96,80 @@ class LakeMorSpec extends AnyFunSuite {
       expected.where(!($"value" > 300.0)).count())
   }
 
+  test("EVERY reader applies DVs: plain V2 load, SQL, time travel per-snapshot") {
+    val root = s"$base/allreaders"
+    fresh(root)
+    val v0 = ManifestFileIndex.headVersion(root).get
+    LakeIO.deleteWhereMoR(spark, root, $"event_type" === "click")
+    val v1 = ManifestFileIndex.headVersion(root).get
+    val expected = events.where($"event_type" =!= "click")
+
+    // plain graft-lake load (NOT readMoR): the ApplyDeletionVectors rule
+    // must route it through the DV-applied scan
+    val plain = spark.read.format("graft-lake").load(root)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    assert(plain.count() == expected.count(),
+      "plain V2 scan must not resurrect MoR-deleted rows")
+    assert(plain.except(expected).isEmpty && expected.except(plain).isEmpty)
+
+    // filters compose with the rewrite (pre-pushdown splice keeps exact
+    // predicate semantics)
+    assert(spark.read.format("graft-lake").load(root)
+      .where($"value" > 100.0).count() ==
+      expected.where($"value" > 100.0).count())
+
+    // SQL over the relation
+    spark.read.format("graft-lake").load(root).createOrReplaceTempView("mor_all")
+    assert(spark.sql("SELECT count(*) AS n FROM mor_all").head().getLong(0) ==
+      expected.count())
+
+    // time travel: the DV-carrying snapshot applies ITS DVs; the
+    // pre-delete snapshot applies none
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", v1.toString).load(root).count() == expected.count())
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", v0.toString).load(root).count() == events.count())
+
+    // an append on top: head read = survivors + appended rows
+    val extra = events.limit(25).withColumn("event_id", $"event_id" + 9000000L)
+    LakeIO.appendTxn(extra, root)
+    assert(spark.read.format("graft-lake").load(root).count() ==
+      expected.count() + 25)
+  }
+
+  test("changefeed sees a DV commit as exact row-level deletes") {
+    val root = s"$base/cdfdv"
+    fresh(root)
+    val v1 = ManifestFileIndex.headVersion(root).get
+    LakeIO.deleteWhereMoR(spark, root, $"event_type" === "click")
+    val v2 = ManifestFileIndex.headVersion(root).get
+    val deleted = events.where($"event_type" === "click")
+
+    val changes = LakeIO.readChanges(spark, root, v1, v2)
+    assert(changes.where($"change" === "insert").count() == 0)
+    val dels = changes.where($"change" === "delete")
+      .select($"event_id", $"ts", $"event_type", $"value")
+    assert(dels.count() == deleted.count())
+    assert(dels.except(deleted).isEmpty && deleted.except(dels).isEmpty)
+
+    // full-range changefeed (0 → head): inserts net of the deletes —
+    // a row inserted and deleted inside the window is NO change
+    val all = LakeIO.readChanges(spark, root, 0, v2)
+    assert(all.where($"change" === "insert").count() ==
+      events.where($"event_type" =!= "click").count())
+    assert(all.where($"change" === "delete").count() == 0)
+
+    // incremental read: rows appended AND MoR-deleted inside one window
+    // never appear in the increment (added files minus DV'd positions)
+    val extra = events.limit(40).withColumn("event_id", $"event_id" + 5000000L)
+    LakeIO.appendTxn(extra, root)
+    LakeIO.deleteWhereMoR(spark, root,
+      $"event_id" >= 5000000L && $"event_type" === "view")
+    val v4 = ManifestFileIndex.headVersion(root).get
+    assert(LakeIO.readIncrement(spark, root, v2, v4).count() ==
+      extra.where($"event_type" =!= "view").count())
+  }
+
   test("appends carry DVs forward; streaming source flags a DV commit as a change commit") {
     val root = s"$base/carry"
     fresh(root)
