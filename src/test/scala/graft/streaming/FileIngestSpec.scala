@@ -31,7 +31,10 @@ class FileIngestSpec extends AnyFunSuite {
       """{"city": "London", "temperature": "20.0", "ts": "2024-01-01 10:00:03"}""",
       """{"city": "Paris", "temperature": "bad-number", "ts": "2024-01-01 10:00:02"}""")
 
-    val source = spark.readStream.schema(schema).json(dir.toString)
+    // through the transport-factory seam (production swaps this line's
+    // CONFIG for kafka — see Sources)
+    val source = Sources.stream(spark, Sources.SourceConf.file(dir.toString))
+    assert(source.schema === schema, "factory must yield the wire schema")
     val store = new UpsertStore
     val q = WeatherPipeline.run(source, store)
     try {
