@@ -42,6 +42,39 @@ object WeatherPipeline {
         // P4 audit column (weather-aggregation.sql:45 CURRENT_TIMESTAMP)
         current_timestamp().as("last_updated"))
 
+  /** STREAMING SESSION WINDOWS (T7's streaming form): per-city sessions
+    * that close after `gap` of silence — Spark's native `session_window`
+    * state MERGES a session as later micro-batches extend it (start
+    * pinned, end/count growing), and emits each session exactly once,
+    * when the watermark passes its close (append mode — the only output
+    * mode streaming session aggregation supports). Rows later than the
+    * watermark drop exactly as in the tumbling pipeline. Batch twin:
+    * `session_window_stats` (EventOps, oracle-checked); the stateful
+    * merge across micro-batches is asserted in StreamingSpec.
+    */
+  def sessionAgg(parsed: DataFrame, gap: String = "10 seconds",
+      watermark: String = "5 seconds"): DataFrame =
+    parsed
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window($"event_time", gap), $"city")
+      .agg(avg($"temp_d").as("avg_temperature"), count(lit(1)).as("record_count"))
+      .select($"city", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"avg_temperature",
+        $"record_count")
+
+  /** Wire source → session agg → append-mode sink (sessions emit once,
+    * fully merged, on watermark close).
+    */
+  def runSessions(source: DataFrame, sink: DataFrame => Unit,
+      gap: String = "10 seconds",
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    sessionAgg(parse(source), gap)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => sink(batch) }
+      .start()
+
   /** Keyed upsert store — the test stand-in for the reference's Postgres
     * sink (PRIMARY KEY (city, window_start)). Writes happen PARTITION-SIDE
     * via `foreachPartition`: each task resolves its target by id and

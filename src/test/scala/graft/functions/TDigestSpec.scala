@@ -67,6 +67,31 @@ class TDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("every digest quantile is RANK-error-bounded against the exact data") {
+    // t-digest's contract is RANK accuracy (a value-space bound is
+    // meaningless in a sparse tail, where one rank step moves the value
+    // arbitrarily): for each emitted quantile q, the fraction of actual
+    // values ≤ the estimate must sit within ~1.5% of q (k1 scale at
+    // compression=100 bounds rank error well under that, tails tighter).
+    // The exact side is plain counting — ANSI, engine-independent — so
+    // this is the error-bounded exact-twin check for the no-oracle op.
+    val values: Map[String, Array[Double]] = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    val got = graft.operators.TemporalJoins.ops
+      .find(_.key == "quantile_tdigest").get.run(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = values(r.getString(0))
+      for ((q, est) <- Seq((0.5, r.getDouble(1)), (0.95, r.getDouble(2)),
+          (0.99, r.getDouble(3)))) {
+        val rank = xs.count(_ <= est).toDouble / xs.length
+        assert(math.abs(rank - q) <= 0.015,
+          s"${r.getString(0)} q=$q: est=$est has rank $rank (n=${xs.length})")
+      }
+    }
+  }
+
   test("serialization roundtrips through the aggregate's codec") {
     val agg = TDigestQuantileAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), q = 0.5)

@@ -347,6 +347,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T7 streaming: session windows merge refinements across micro-batches") {
+    val input = MemoryStream[WeatherRecord]
+    // capture every update-mode emission; latest per (city, start) wins
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    val q = WeatherPipeline.runSessions(input.toDF(), { batch =>
+      seen.synchronized {
+        seen ++= batch.collect().map(r => (r.getAs[String]("city"),
+          r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[java.sql.Timestamp]("session_end"),
+          r.getAs[Long]("record_count")))
+      }
+      ()
+    })
+    try {
+      input.addData(
+        WeatherRecord("A", "10.0", "2024-01-01 10:00:00"),
+        WeatherRecord("A", "20.0", "2024-01-01 10:00:04"))
+      q.processAllAvailable()
+      // next micro-batch EXTENDS the open session (within gap + watermark)
+      input.addData(WeatherRecord("A", "30.0", "2024-01-01 10:00:08"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.isEmpty),
+        "append mode must hold the open session until the watermark closes it")
+      // a silent gap > 10 s later starts a NEW session (and its event
+      // time advances the watermark past session 1's close → it emits)
+      input.addData(WeatherRecord("A", "40.0", "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+      // advance the watermark far past session 2 as well
+      input.addData(WeatherRecord("B", "0.0", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+
+      val a = seen.synchronized(seen.filter(_._1 == "A")).sortBy(_._2.getTime)
+      assert(a.map(e => (e._2, e._3, e._4)) === Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:18"), 3L),
+        (ts("2024-01-01 10:00:30"), ts("2024-01-01 10:00:40"), 1L)),
+        s"batch-2's event must MERGE into the open session (start pinned, " +
+          s"end/count grown) and the >gap silence must split; got $a")
+    } finally q.stop()
+  }
+
   test("T5/S6: streaming lake sink commits hour-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val input = MemoryStream[WeatherRecord]
