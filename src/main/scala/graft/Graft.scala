@@ -288,6 +288,18 @@ object Graft {
     def pqTopK(embeddings: DataFrame, codebook: DataFrame,
         numQueries: Int, k: Int, rerank: Int = 4): DataFrame =
       Similarity.pqTopK(embeddings, codebook, numQueries, k, rerank)
+    /** Map-only IVF cell assignment over trained centroids (index build). */
+    def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+      Similarity.ivfAssign(embeddings, centroids)
+    /** IVF-PQ composed serving index (FAISS IVFADC shape): nprobe cells ×
+      * PQ-ADC code ranking × exact shortlist re-rank, all from frozen
+      * build artifacts.
+      */
+    def ivfPqTopK(embeddings: DataFrame, centroids: DataFrame,
+        cells: DataFrame, codes: DataFrame, codebook: DataFrame,
+        numQueries: Int, k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame =
+      Similarity.ivfPqTopK(embeddings, centroids, cells, codes, codebook,
+        numQueries, k, nprobe, rerank)
   }
 
   object text {

@@ -556,6 +556,94 @@ object Similarity {
     ensureArtifact(s, annDir(d) + "/codes")(
       pqEncode(emb(s, d), annCodebook(s, d)))
 
+  /** Frozen IVF cell assignment (vec_id → cell) of `d`. */
+  def annCells(s: SparkSession, d: String): DataFrame =
+    ensureArtifact(s, annDir(d) + "/cells")(
+      ivfAssign(emb(s, d), annCentroids(s, d)))
+
+  /** Map-only IVF cell assignment over trained centroids (argmax cosine,
+    * ties → smallest centroid id — the same ordering every IVF op uses).
+    * Frozen once as [[annCells]]; at 100 TB this runs at INDEX-BUILD
+    * time, so serving joins codes to cells without touching the floats.
+    */
+  def ivfAssign(embDf: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
+    v.join(cents)
+      .select($"vec_id", $"c_id",
+        (dot($"e", $"ce") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")))
+      .where($"rk" === 1)
+      .select($"vec_id", $"c_id".as("cell"))
+  }
+
+  /** IVF-PQ — the composed 100 TB serving index: the coarse quantizer
+    * (trained IVF cells) prunes the candidate set to the query's `nprobe`
+    * nearest cells, and within them ranking runs on PQ CODES via the ADC
+    * table (never the float vectors), with an exact re-rank of the
+    * `rerank`×k shortlist. Cost per query: Σ probed-cell code rows ≪ n,
+    * each scored with m array lookups — the FAISS IVFADC shape
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011) out of frozen build artifacts
+    * ([[annCentroids]]/[[annCells]]/[[annCodes]]/[[annCodebook]]).
+    */
+  def ivfPqTopK(embDf: DataFrame, centroids: DataFrame, cells: DataFrame,
+      enc: DataFrame, codebook: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val qv = embDf.where($"vec_id" < numQueries)
+      .select($"vec_id".as("q_id"), asDouble($"embedding").as("qe"))
+    val qcells = broadcast(qv.withColumn("qn", norm($"qe")).join(cents)
+      .select($"q_id", $"c_id",
+        (dot($"qe", $"ce") / ($"qn" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"csim".desc, $"c_id")))
+      .where($"rk" <= nprobe)
+      .select($"q_id", $"c_id".as("cell")))
+    val qtab = broadcast(qv.crossJoin(broadcast(codebookRow(codebook)))
+      .withColumn("len", (size($"qe") / size($"cball")).cast("int"))
+      .select($"q_id", sqrt(dot($"qe", $"qe")).as("qn"),
+        flatten(transform(sequence(lit(0), size($"cball") - 1), i =>
+          transform(element_at($"cball", i + 1), c =>
+            dot(slice($"qe", i * $"len" + 1, $"len"), c("ce"))))).as("qtab")))
+    // candidates: ONLY the probed cells' codes (bucket join on cell)
+    val cand = enc.join(cells, Seq("vec_id"))
+      .join(qcells, Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+    val approx = cand.join(qtab, Seq("q_id"))
+      .select($"q_id", $"vec_id", $"qn", $"nrm",
+        aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0),
+          (acc, i) => acc + element_at($"qtab",
+            (i * (size($"qtab") / size($"codes")) +
+              element_at($"codes", i + 1) + 1).cast("int")))
+          .as("adot"))
+      .withColumn("acos", $"adot" / ($"qn" * $"nrm"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id")))
+      .where($"ark" <= rerank * k)
+    val vv = embDf.select($"vec_id", asDouble($"embedding").as("e"))
+    approx.select($"q_id", $"vec_id")
+      .join(vv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select($"q_id", $"vec_id",
+        round(dot($"qe", $"e") / (norm($"qe") * norm($"e")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   private val sqlDot =
     "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
 
@@ -594,11 +682,12 @@ object Similarity {
   /** Per-subspace PQ codebook training unrolled (m=4 × k=16, iters=2 —
     * [[annCodebook]]); same determinism contract as [[kmeansSqlCte]].
     * Ends at `cb(sub, code, ce)` = the frozen codebook artifact, plus
-    * `sv(vec_id, sub, sv)` = every vector's subvectors.
+    * `sv(vec_id, sub, sv)` = every vector's subvectors. The body is kept
+    * separate from its `WITH v` prefix so the IVF-PQ oracle can chain it
+    * onto [[kmeansSqlCte]] (which defines the same `v`).
     */
-  private val pqSqlCte: String =
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |sv AS (SELECT vec_id, CAST(s AS BIGINT) AS sub, e[CAST(s*16+1 AS INT):CAST(s*16+16 AS INT)] AS sv
+  private val pqSqlCteBody: String =
+    s"""sv AS (SELECT vec_id, CAST(s AS BIGINT) AS sub, e[CAST(s*16+1 AS INT):CAST(s*16+16 AS INT)] AS sv
        |       FROM v, range(0,4) r(s)),
        |p0 AS (SELECT sub, vec_id AS c_id, sv AS ce FROM sv WHERE vec_id < 16),
        |b1r AS (SELECT s.sub, s.vec_id, s.sv, c.c_id,
@@ -622,6 +711,10 @@ object Similarity {
        |p2 AS (SELECT p1.sub AS sub, p1.c_id AS c_id, coalesce(p2v.ce, p1.ce) AS ce
        |       FROM p1 LEFT JOIN p2v USING (sub, c_id)),
        |cb AS (SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY c_id) - 1 AS BIGINT) AS code, ce FROM p2)""".stripMargin
+
+  private val pqSqlCte: String =
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),\n" +
+      pqSqlCteBody
 
   def ops: Seq[Op] = Seq(
 
@@ -793,6 +886,53 @@ object Similarity {
          |rer AS (SELECT s.q_id, s.vec_id,
          |          round(${dd("q.qe", "n3.e")}/(sqrt(${dd("q.qe", "q.qe")})*sqrt(${dd("n3.e", "n3.e")})), 6) AS cos
          |        FROM short s JOIN nn n3 ON n3.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM rer)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+    // IVF-PQ composed serving index (FAISS IVFADC shape): coarse cells
+    // prune candidates, PQ-ADC ranks codes, exact re-rank of the
+    // shortlist — all four frozen artifacts in one query. The oracle
+    // chains BOTH unrolled training CTEs (Lloyd's + per-subspace PQ)
+    // and replays assignment, probing, ADC and re-rank: the entire
+    // train→index→search pipeline is hash-exact.
+    Op("similarity_ivfpq",
+      (s, d) => ivfPqTopK(emb(s, d), annCentroids(s, d), annCells(s, d),
+        annCodes(s, d), annCodebook(s, d), numQueries = 5, k = 10,
+        nprobe = 2, rerank = 4),
+      s"""$kmeansSqlCte,
+         |$pqSqlCteBody,
+         |scored AS (SELECT n.vec_id, c.c_id,
+         |             row_number() OVER (PARTITION BY n.vec_id
+         |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
+         |           FROM n, cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM scored WHERE rk = 1),
+         |qcells AS (SELECT vec_id AS q_id, c_id AS cell
+         |           FROM scored WHERE vec_id < 5 AND rk <= 2),
+         |encr AS (SELECT s.vec_id, s.sub, c.code,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |             ORDER BY ${dd("c.ce", "c.ce")} - 2*${dd("s.sv", "c.ce")} ASC, c.code) AS rk
+         |         FROM sv s JOIN cb c ON s.sub = c.sub),
+         |enc AS (SELECT vec_id, sub, code FROM encr WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+         |qsv AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv WHERE vec_id < 5),
+         |cand AS (SELECT qc.q_id, a.vec_id FROM qcells qc
+         |         JOIN asg a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
+         |part AS (SELECT cd.q_id, cd.vec_id, en.sub, ${dd("qs.qsv", "c.ce")} AS val
+         |         FROM cand cd
+         |         JOIN qsv qs ON qs.q_id = cd.q_id
+         |         JOIN enc en ON en.vec_id = cd.vec_id AND en.sub = qs.sub
+         |         JOIN cb c ON c.sub = en.sub AND c.code = en.code),
+         |adc AS (SELECT q_id, vec_id, list_sum(list(val ORDER BY sub)) AS adot
+         |        FROM part GROUP BY q_id, vec_id),
+         |appr AS (SELECT a.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY a.q_id
+         |             ORDER BY a.adot/(q.qn*n2.nrm) DESC, a.vec_id) AS ark
+         |         FROM adc a JOIN q ON q.q_id = a.q_id JOIN n n2 ON n2.vec_id = a.vec_id),
+         |short AS (SELECT q_id, vec_id FROM appr WHERE ark <= 40),
+         |rer AS (SELECT s.q_id, s.vec_id,
+         |          round(${dd("q.qe", "n3.e")}/(sqrt(${dd("q.qe", "q.qe")})*sqrt(${dd("n3.e", "n3.e")})), 6) AS cos
+         |        FROM short s JOIN n n3 ON n3.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
          |SELECT q_id, vec_id, cos, rn FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM rer)
