@@ -1131,22 +1131,29 @@ object LakeIO {
 
   /** Snapshot history of a lake table — the `DESCRIBE HISTORY` surface
     * (Iceberg `$snapshots` metadata table): one row per committed version
-    * with its commit time and LIVE file accounting read from that
-    * version's manifest. Metadata-only: O(versions) small-file reads, the
-    * table's data files are never touched — at 100 TB this answers "what
-    * changed when" without a single data-file open.
+    * with its commit time and LIVE file accounting. Planned from the
+    * CHECKPOINTED HISTORY LEDGER (one line appended per publish): a
+    * 10k-commit table answers from ONE small file read. Versions the
+    * ledger misses (pre-ledger tables, a crash between claim and
+    * publish) gap-fill from their own snapshot manifests — correctness
+    * never depends on the checkpoint, only speed does.
     */
   def history(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val head = ManifestFileIndex.headVersion(path).getOrElse(0)
+    val ledger = ManifestFileIndex.readHistoryLedger(path)
     val rows = (1 to head).flatMap { v =>
-      ManifestFileIndex.read(path, Some(v)).map { case (_, entries) =>
-        val snap = new java.io.File(s"$path/${ManifestFileIndex.SnapshotDir}",
-          s"manifest-$v.tsv")
-        (v.toLong, new java.sql.Timestamp(snap.lastModified()),
-          entries.size.toLong,
-          entries.iterator.map(_.partValue).toSet.size.toLong,
-          entries.iterator.map(_.size).sum)
+      ledger.get(v).map { case (t, nf, np, bytes) =>
+        (v.toLong, new java.sql.Timestamp(t), nf, np, bytes)
+      }.orElse {
+        ManifestFileIndex.read(path, Some(v)).map { case (_, entries) =>
+          val snap = new java.io.File(s"$path/${ManifestFileIndex.SnapshotDir}",
+            s"manifest-$v.tsv")
+          (v.toLong, new java.sql.Timestamp(snap.lastModified()),
+            entries.size.toLong,
+            entries.iterator.map(_.partValue).toSet.size.toLong,
+            entries.iterator.map(_.size).sum)
+        }
       }
     }
     s.createDataFrame(rows)

@@ -803,6 +803,78 @@ object ManifestFileIndex {
     ()
   }
 
+  val HistoryName = "history.tsv"
+
+  /** Append one CHECKPOINTED HISTORY line for snapshot `v` (version,
+    * publish time, live-file count, partitions, bytes) — the per-commit
+    * accounting DESCRIBE HISTORY would otherwise recompute by reading and
+    * parsing EVERY snapshot manifest. With the ledger, a 10k-commit
+    * table's history is ONE small file read; versions missing from it
+    * (crash between claim and publish, pre-ledger tables) gap-fill from
+    * their snapshot files on read. Stats come from the already-rendered
+    * manifest content — no extra I/O at commit time.
+    */
+  private def appendHistory(rootDir: String, v: Int, content: String): Unit = {
+    var n = 0L; var bytes = 0L
+    val parts = scala.collection.mutable.HashSet.empty[String]
+    content.linesIterator.foreach { l =>
+      if (l.nonEmpty && l.charAt(0) != '#') {
+        val tab1 = l.indexOf('\t')
+        val tab2 = if (tab1 < 0) -1 else l.indexOf('\t', tab1 + 1)
+        val tab3 = if (tab2 < 0) -1 else l.indexOf('\t', tab2 + 1)
+        if (tab3 > 0) {
+          n += 1
+          parts += l.substring(0, tab1)
+          bytes += l.substring(tab2 + 1, tab3).toLong
+        }
+      }
+    }
+    val line =
+      s"$v\t${System.currentTimeMillis()}\t$n\t${parts.size}\t$bytes\n"
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", HistoryName)
+    java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** The history ledger: version → (publish ms, n_files, n_partitions,
+    * bytes). Duplicate lines (publish retries) resolve last-wins;
+    * malformed lines (torn cross-process appends) are skipped — the
+    * reader gap-fills those versions from their snapshot files.
+    */
+  def readHistoryLedger(rootDir: String): Map[Int, (Long, Long, Long, Long)] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", HistoryName)
+    if (!f.exists()) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.flatMap { l =>
+        l.split('\t') match {
+          case Array(v, t, n, p, b) => scala.util.Try(
+            v.toInt -> (t.toLong, n.toLong, p.toLong, b.toLong)).toOption
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Drop expired versions from the ledger (expireSnapshots' companion —
+    * history must not list snapshots that no longer exist).
+    */
+  private[graft] def pruneHistory(rootDir: String, keep: Int => Boolean): Unit = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", HistoryName)
+    if (f.exists()) {
+      val kept = readHistoryLedger(rootDir).filter { case (v, _) => keep(v) }
+      val content = kept.toSeq.sortBy(_._1).map { case (v, (t, n, p, b)) =>
+        s"$v\t$t\t$n\t$p\t$b" }.mkString("", "\n", "\n")
+      val tmp = java.io.File.createTempFile(".hist-", ".tmp",
+        new java.io.File(rootDir, SnapshotDir))
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      tmp.renameTo(f)
+      ()
+    }
+  }
+
   /** Publish an already-claimed snapshot `v`: freeze the schema, refresh
     * the mirror manifest, and advance HEAD by atomic rename LAST.
     * MONOTONIC: if a later version was already published (a racing
@@ -834,6 +906,7 @@ object ManifestFileIndex {
         java.nio.file.Files.copy(schemaFile.toPath,
           new java.io.File(snapDir, s"schema-$v.json").toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      appendHistory(rootDir, v, content)
       if (headVersion(rootDir).getOrElse(0) < v)
         writeMirrorAndHead(rootDir, v, content)
       // converge: HEAD and mirror must agree on max(published, v)
@@ -1197,6 +1270,8 @@ object ManifestFileIndex {
       new java.io.File(snapDir, s"manifest-$v.tsv").delete()
       new java.io.File(snapDir, s"schema-$v.json").delete()
     }
+    // history must not list snapshots that no longer exist
+    pruneHistory(rootDir, v => v >= cutoff || tagged(v))
     removed
   }
 

@@ -198,4 +198,51 @@ class LakeOccSpec extends AnyFunSuite {
       new java.io.File(s"$root/${ManifestFileIndex.SnapshotDir}", s"manifest-$v.tsv"))
     assert(snaps.forall(_.exists()))
   }
+
+  test("history ledger: a 500-commit table's DESCRIBE HISTORY plans from ONE file") {
+    val root = s"$base/ledger"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.limit(200), root)
+    // 500 cheap synthetic commits (metadata-only deltas — the shape of a
+    // micro-batch-committing stream's snapshot chain)
+    (1 to 500).foreach { _ =>
+      ManifestFileIndex.commitDelta(root, "ts_hour",
+        ManifestFileIndex.claimedVersion(root), Seq.empty, Set.empty)
+    }
+    val head = ManifestFileIndex.headVersion(root).get
+    assert(head >= 501)
+    val hist = LakeIO.history(spark, root).collect()
+    assert(hist.length == head)
+    // every commit's accounting is in the ledger (no gap-fill needed)
+    assert(ManifestFileIndex.readHistoryLedger(root).size == head)
+
+    // PROOF the plan is ledger-only: move every snapshot manifest away —
+    // history must still answer in full, because it never opens them
+    val snapDir = new java.io.File(root, ManifestFileIndex.SnapshotDir)
+    val hidden = new java.io.File(root, "_hidden_snaps")
+    hidden.mkdirs()
+    val moved = Option(snapDir.listFiles()).get
+      .filter(_.getName.startsWith("manifest-"))
+    moved.foreach(f => java.nio.file.Files.move(f.toPath,
+      new java.io.File(hidden, f.getName).toPath))
+    try {
+      val viaLedger = LakeIO.history(spark, root).collect()
+      assert(viaLedger.length == head,
+        "history must plan entirely from the checkpointed ledger")
+      assert(viaLedger.map(_.getLong(0)).toSeq == (1 to head).map(_.toLong))
+      // accounting content survives the checkpoint round trip
+      assert(viaLedger.forall(r => r.getLong(2) > 0 && r.getLong(4) > 0L),
+        "file counts and bytes must come through the ledger")
+    } finally {
+      moved.foreach(f => java.nio.file.Files.move(
+        new java.io.File(hidden, f.getName).toPath, f.toPath))
+      hidden.delete()
+    }
+
+    // expiration prunes the ledger with the snapshots
+    ManifestFileIndex.expireSnapshots(root, keepLast = 10)
+    val after = LakeIO.history(spark, root).collect().map(_.getLong(0))
+    assert(after.length == 10 && after.head == (head - 9).toLong,
+      s"expired versions must leave DESCRIBE HISTORY, got ${after.toSeq}")
+  }
 }
