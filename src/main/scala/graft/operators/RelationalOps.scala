@@ -179,6 +179,39 @@ object RelationalOps {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // TPC-H Q12 shape (ref: trino/duckdb benchmark suite; the synthetic
+    // schema has no l_shipmode/commitdate, so l_linestatus plays the
+    // ship-mode group and >60-day ship lag plays the late-commit filter):
+    // fact-dim equi join + DUAL CONDITIONAL COUNTS in one aggregate pass
+    // — the CASE-inside-sum pattern whose map-side partials fold both
+    // branches in the same shuffle. BIGINT on both sides (CLAUDE.md).
+    Op("q12_priority_shipping",
+      (s, d) => Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .join(Tables.lineitem(s, d)
+          .where($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            $"l_shipdate" < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select($"l_orderkey", $"l_shipdate", $"l_linestatus"),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"l_linestatus")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_linestatus"),
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
     // TPC-H Q6 shape: the pure scan-pushdown microbenchmark — every
     // predicate reaches the parquet reader (PushedFilters), the projection
     // prunes to 4 columns, and the single global agg has a map-side

@@ -178,4 +178,31 @@ class GraftLakeCdfSpec extends AnyFunSuite {
       .orderBy($"event_id", $"change", $"value").collect().toSeq
     assert(streamed === batchFeed)
   }
+
+  test("a merge-on-read delete streams as exact row-level deletes (DV commit)") {
+    rm(root); rm(ckpt); rm(out)
+    LakeIO.writeLake(batch(0, 80), root)                         // v1 append
+    val n = LakeIO.deleteWhereMoR(spark, root, $"event_id" % 7 === 0L) // v2: DV only
+    assert(n > 0, "fixture must delete something")
+    LakeIO.appendTxn(batch(1000, 10), root)                      // v3 append (carries DV)
+    val q = startQuery()
+    try { q.processAllAvailable() } finally q.stop()
+    // the DV commit is NOT an empty batch: its logically-deleted rows
+    // stream as deletes with exact commit attribution
+    val dvBatch = sunk.where($"_commit_version" === 2L)
+    assert(dvBatch.where($"change" === "insert").count() === 0L)
+    assert(dvBatch.where($"change" === "delete").count() === n)
+    assert(dvBatch.where($"change" === "delete" && $"event_id" % 7 === 0L)
+      .count() === n, "deleted rows must be exactly the predicate's")
+    // the later append streams its own rows only — DV'd positions of v2
+    // never resurface
+    val v3 = sunk.where($"_commit_version" === 3L)
+    assert(v3.where($"change" === "insert").count() === 10L)
+    assert(v3.where($"change" === "delete").count() === 0L)
+    // replaying a keyed consumer over the whole feed reconstructs readMoR
+    val replayed = sunk.groupBy($"event_id").agg(
+      sum(when($"change" === "insert", 1L).otherwise(-1L)).as("net"))
+      .where($"net" > 0L).count()
+    assert(replayed === LakeIO.readMoR(spark, root).count())
+  }
 }
