@@ -104,6 +104,7 @@ object HourPartitionPruning extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApplyDeletionVectors)
+    e.injectOptimizerRule(_ => MetadataOnlyCount)
     e.injectOptimizerRule(_ => HourPartitionPruning)
     e.injectOptimizerRule(_ => MaterializedViewRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

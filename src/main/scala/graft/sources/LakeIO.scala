@@ -443,10 +443,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, prefix + f.getName)
             java.nio.file.Files.move(f.toPath, dest.toPath)
-            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
+            val (ls, ss, ds, rc) = ManifestFileIndex.footerStats(dest)
             out += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ls, ss, ds)
+              ls, ss, ds, rc)
           }
       }
     rmDir(stage)
@@ -726,6 +726,118 @@ object LakeIO {
     n
   }
 
+  /** MERGE-ON-READ upsert: the DV-based MERGE. Where [[mergeInto]] (CoW)
+    * rewrites every partition an update touches, this records the
+    * MATCHED rows' positions in a deletion-vector sidecar and appends the
+    * update rows as new files — ONE commit carries both, so readers see
+    * the upsert atomically (pre-commit snapshots keep the old rows; the
+    * committed snapshot applies the DV and the appends together).
+    *
+    * 100 TB shape (Iceberg v2 MoR MERGE / Delta low-shuffle merge): a 1k-
+    * row CDC batch against a 100 TB table costs a stats-pruned scan of the
+    * files whose key bounds intersect the batch (one tiny min/max agg on
+    * the batch prunes via the manifest), a broadcast semi-join to find
+    * matched positions, a kilobyte DV write, and an append of the batch —
+    * no data file is ever rewritten. The read-side tax is the usual DV
+    * anti-join; [[compactDeletes]] folds it away under maintenance.
+    *
+    * `updates` must be key-unique (same contract as [[mergeInto]]).
+    * Returns the number of matched (superseded) positions.
+    */
+  def mergeIntoMoR(s: SparkSession, path: String, updates: DataFrame,
+      key: String): Long = mergeIntoMoR(s, path, updates, Seq(key))
+
+  def mergeIntoMoR(s: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    if (updates.isEmpty) return 0L
+    val base = ManifestFileIndex.claimedVersion(path)
+    val cur = ManifestFileIndex.read(path)
+    require(cur.isDefined, s"mergeIntoMoR: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    val prior = ManifestFileIndex.readDvs(path)
+
+    // Stats-prune candidate files by the batch's key RANGE: one tiny agg
+    // (2 values per key column) against each file's recorded min/max.
+    // Conservative — a key column absent from the stats never prunes.
+    val keyTypes = updates.schema.fields.filter(f => keys.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val boundsRow = updates.agg(
+      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))).head,
+      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))).tail: _*)
+      .collect().head
+    def intersects(e: ManifestFileIndex.Entry): Boolean = keys.forall { k =>
+      import org.apache.spark.sql.types._
+      keyTypes.get(k) match {
+        case Some(LongType) | Some(IntegerType) =>
+          e.stats.get(k).forall { case (mn, mx) =>
+            val lo = boundsRow.getAs[Number](s"_lo_$k").longValue()
+            val hi = boundsRow.getAs[Number](s"_hi_$k").longValue()
+            mx >= lo && mn <= hi
+          }
+        case Some(StringType) =>
+          e.strStats.get(k).forall { case (mn, mx) =>
+            val lo = ManifestFileIndex.hexEncode(
+              boundsRow.getAs[String](s"_lo_$k").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hi = ManifestFileIndex.hexEncode(
+              boundsRow.getAs[String](s"_hi_$k").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ManifestFileIndex.hexCompare(mx, lo) >= 0 && ManifestFileIndex.hexCompare(mn, hi) <= 0
+          }
+        case Some(DoubleType) =>
+          e.dblStats.get(k).forall { case (mn, mx) =>
+            val lo = boundsRow.getAs[Double](s"_lo_$k")
+            val hi = boundsRow.getAs[Double](s"_hi_$k")
+            mx >= lo && mn <= hi
+          }
+        case _ => true
+      }
+    }
+    val cands = entries.filter(intersects)
+
+    // matched positions = candidate rows whose key appears in the batch,
+    // minus positions a live DV already deleted (those rows are dead; the
+    // batch row for that key is a plain insert)
+    val matched =
+      if (cands.isEmpty) None
+      else {
+        val scan = hourPartitioned(
+          s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+          .withColumn("_dv_file", relPathCol)
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+        val hit = scan
+          .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_semi")
+          .select($"_dv_file", $"_dv_pos")
+        val fresh =
+          if (prior.isEmpty) hit
+          else hit.join(s.read.parquet(prior.map(d => path + "/" + d): _*),
+            Seq("_dv_file", "_dv_pos"), "left_anti")
+        val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        val dvRel = s"_graft_dv/dv-$token"
+        fresh.write.mode("errorifexists").parquet(s"$path/$dvRel")
+        val n = s.read.parquet(s"$path/$dvRel").count()
+        if (n == 0L) { rmDir(s"$path/$dvRel"); None } else Some((dvRel, n))
+      }
+
+    // stage the batch as new data files (same layout discipline as every
+    // append: one writer task per touched hour)
+    val withHour = hourPartitioned(updates)
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val stage = path + s"_stage_m$token"
+    withHour
+      .repartition(col("ts_hour"))
+      .write.mode("overwrite")
+      .partitionBy("ts_hour")
+      .option("compression", "zstd")
+      .parquet(stage)
+    val appended = moveStaged(path, partCol, stage, s"m$token-")
+
+    // ONE atomic commit: the DV and the appended rows become visible
+    // together, or (on sustained conflict) not at all
+    ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
+      addDvs = matched.map(_._1).toSeq)
+    matched.map(_._2).getOrElse(0L)
+  }
+
   /** V1 multi-path scan of an explicit file set, each row tagged with its
     * `(_dv_file, _dv_pos)` position identity (`_metadata` row indexes are
     * a parquet-scan surface; `hourPartitioned` re-derives the hidden
@@ -953,10 +1065,10 @@ object LakeIO {
           .foreach { f =>
             val dest = new java.io.File(destDir, prefix + f.getName)
             java.nio.file.Files.move(f.toPath, dest.toPath)
-            val (ls, ss, ds) = ManifestFileIndex.footerStats(dest)
+            val (ls, ss, ds, rc) = ManifestFileIndex.footerStats(dest)
             newEntries += ManifestFileIndex.Entry(
               pv, d.getName + "/" + dest.getName, dest.length(), dest.lastModified(),
-              ls, ss, ds)
+              ls, ss, ds, rc)
           }
       }
     rmDir(stage)
@@ -1236,12 +1348,13 @@ object LakeIO {
     rm(new java.io.File(path))
   }
 
-  /** v4 = v3 (ts_hour layout + commit metadata + INT64 column stats) +
-    * per-file UTF8 string bounds in the manifest; bump on layout change
-    * to invalidate.
+  /** v5 = v4 (ts_hour layout + commit metadata + INT64/UTF8/DOUBLE column
+    * stats) + per-file row counts (`rows:` manifest field, feeds
+    * [[graft.plans.MetadataOnlyCount]]); bump on layout change to
+    * invalidate.
     */
   def lakePath(sfDir: String): String =
-    "/tmp/graft_lake/v5_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    "/tmp/graft_lake/v6_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
 
   /** Write once, scan many: skip the write when the committed marker is
     * already present (a lake table is immutable-once-committed; rebuilding
@@ -1387,6 +1500,31 @@ object LakeIO {
     path
   }
 
+  /** MoR twin of [[mergedLake]]: the SAME upsert batch applied through
+    * [[mergeIntoMoR]] — deletion vector + append, zero data-file
+    * rewrites. Keyed op `lake_merge_upsert_mor` reads it back and must
+    * hash-match the identical oracle as the CoW merge, proving the two
+    * merge strategies are observationally equivalent.
+    */
+  def mergedLakeMoR(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v5_mormerge_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_mormerge_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      val upd = base.where($"event_id" % 7 === 0)
+        .withColumn("value", $"value" * 2)
+        .unionByName(base.where($"event_id" % 13 === 0)
+          .withColumn("event_id", $"event_id" + 1000000L))
+      mergeIntoMoR(s, path, upd, "event_id")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   /** Lake mutated through SQL TEXT (`UPDATE … WHERE`) via the graft
     * catalog — the keyed proof that the DML surface (GraftDmlRewrite →
     * updateWhere) is reachable from `spark.sql`, not just the
@@ -1437,6 +1575,24 @@ object LakeIO {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-06 00:00:00'
         |ORDER BY event_id""".stripMargin),
+
+    // Metadata-only per-partition counts: the MetadataOnlyCount rule
+    // rewrites `GROUP BY ts_hour, COUNT(*)` over the graft-lake relation
+    // into a LocalRelation summed from the manifest's per-file row counts
+    // — ZERO data files opened (MetadataCountSpec asserts the plan has no
+    // scan node). The ingest-accounting query every pipeline runs, at
+    // manifest cost.
+    Op("lake_count_meta",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .groupBy($"ts_hour")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"ts_hour")
+      },
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
     // Same scan but with ONLY raw-ts predicates — hidden-partition pruning
     // at the SOURCE: the graft-lake DataSourceV2 scan builder rewrites the
@@ -1559,6 +1715,32 @@ object LakeIO {
       (s, d) => {
         val path = mergedLake(s, d)
         s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH base AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |upd AS (
+        |  SELECT event_id, ts, event_type, value * 2 AS value
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000, ts, event_type, value
+        |  FROM base WHERE event_id % 13 = 0)
+        |SELECT event_id, ts, event_type, value FROM upd
+        |UNION ALL
+        |SELECT b.event_id, b.ts, b.event_type, b.value FROM base b
+        |WHERE b.event_id NOT IN (SELECT event_id FROM upd)
+        |ORDER BY event_id""".stripMargin),
+
+    // MERGE-ON-READ upsert: the identical merge batch as lake_merge_upsert
+    // applied as deletion-vector + append (mergeIntoMoR) — no data file
+    // rewritten — read back through the DV-applying V2 source. Same oracle
+    // as the CoW merge: the two strategies must be indistinguishable to a
+    // reader.
+    Op("lake_merge_upsert_mor",
+      (s, d) => {
+        val path = mergedLakeMoR(s, d)
+        readMoR(s, path)
           .select($"event_id", $"ts", $"event_type", $"value")
           .orderBy($"event_id")
       },

@@ -191,7 +191,12 @@ object ManifestFileIndex {
   final case class Entry(partValue: String, relPath: String, size: Long, mtime: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
       strStats: Map[String, (String, String)] = Map.empty,
-      dblStats: Map[String, (Double, Double)] = Map.empty)
+      dblStats: Map[String, (Double, Double)] = Map.empty,
+      /** Rows in the file from its parquet footer; -1 = unknown (manifest
+        * written before row-count tracking). Carried so COUNT-shaped
+        * queries answer from the manifest with zero data I/O.
+        */
+      rowCount: Long = -1L)
 
   val ManifestName = "_graft_manifest.tsv"
   val SnapshotDir = "_graft_snapshots"
@@ -424,7 +429,7 @@ object ManifestFileIndex {
     */
   def footerStats(file: java.io.File)
     : (Map[String, (Long, Long)], Map[String, (String, String)],
-       Map[String, (Double, Double)]) = {
+       Map[String, (Double, Double)], Long) = {
     import scala.jdk.CollectionConverters._
     try {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -485,9 +490,10 @@ object ManifestFileIndex {
           }
         }
         // a single NaN row group poisons the whole file's bounds
-        (acc.toMap, sacc.toMap, dacc.toMap.filter(e => !e._2._1.isNaN))
+        val rows = rd.getFooter.getBlocks.asScala.iterator.map(_.getRowCount).sum
+        (acc.toMap, sacc.toMap, dacc.toMap.filter(e => !e._2._1.isNaN), rows)
       } finally rd.close()
-    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty) }
+    } catch { case _: Throwable => (Map.empty, Map.empty, Map.empty, -1L) }
   }
 
   /** Read the manifest if present: (partition column, entries).
@@ -534,6 +540,9 @@ object ManifestFileIndex {
                   scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
                 case _ => None
               }.toMap
+              val rowCount = fields.collectFirst {
+                case Array("rows", n) if scala.util.Try(n.toLong).isSuccess => n.toLong
+              }.getOrElse(-1L)
               val strStats = fields.collect {
                 case Array(col, "s", mn, mx) => (col, (mn, mx))
               }.toMap
@@ -546,7 +555,7 @@ object ManifestFileIndex {
                 case _ => None
               }.toMap
               buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
-                stats, strStats, dblStats)
+                stats, strStats, dblStats, rowCount)
             }
           }
           Some((partCol, buf.result()))
@@ -572,9 +581,9 @@ object ManifestFileIndex {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
         .foreach { f =>
-          val (ls, ss, ds) = footerStats(f)
+          val (ls, ss, ds, rc) = footerStats(f)
           buf += Entry(pv, d.getName + "/" + f.getName, f.length(), f.lastModified(),
-            ls, ss, ds)
+            ls, ss, ds, rc)
         }
     }
     commitEntries(rootDir, partCol, buf.result())
@@ -645,9 +654,9 @@ object ManifestFileIndex {
                 !known.contains(d.getName + "/" + f.getName))
               .sortBy(_.getName)
               .foreach { f =>
-                val (ls, ss, ds) = footerStats(f)
+                val (ls, ss, ds, rc) = footerStats(f)
                 buf += Entry(pv, d.getName + "/" + f.getName,
-                  f.length(), f.lastModified(), ls, ss, ds)
+                  f.length(), f.lastModified(), ls, ss, ds, rc)
               }
           }
         commitEntries(rootDir, pc, current ++ buf.result(), carryDvs = true)
@@ -715,6 +724,10 @@ object ManifestFileIndex {
           .append(':')
           .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mx)))
       }
+      // 2-segment field: pre-row-count parsers match neither stat shape
+      // and skip it, so old readers stay compatible (they just can't
+      // answer counts from metadata)
+      if (e.rowCount >= 0L) sb.append("\trows:").append(e.rowCount)
       sb.append('\n')
     }
     sb.toString

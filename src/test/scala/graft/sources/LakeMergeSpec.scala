@@ -279,6 +279,9 @@ class LakeMergeSpec extends AnyFunSuite {
     freshLake()
     val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // this test proves the FOOTER pushdown path; the manifest-count rule
+    // (MetadataOnlyCount) would otherwise answer first without any scan
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
     try {
       val df = spark.read.format("graft-lake").load(root)
         .agg(count(lit(1)).as("n"))
@@ -286,9 +289,12 @@ class LakeMergeSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation: [COUNT(*)]"),
         "count must be answered from parquet metadata:\n" + plan.take(800))
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.parquet.aggregatePushdown", p)
-      case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    } finally {
+      spark.conf.set("spark.graft.metadataCount.enabled", "true")
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.parquet.aggregatePushdown", p)
+        case None    => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
     }
   }
 
