@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.sources.{Bucketed, Generator, LakeIO}
+import graft.sources.{BloomIndex, Bucketed, Generator, LakeIO}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.sources.{Bucketed, Generator, LakeIO}
 object SparkEntry {
 
   def allOps: Seq[Op] =
-    EventOps.ops ++ Generator.ops ++ LakeIO.ops ++ Bucketed.ops ++ RelationalOps.ops ++
+    EventOps.ops ++ Generator.ops ++ LakeIO.ops ++ BloomIndex.ops ++ Bucketed.ops ++ RelationalOps.ops ++
       TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ Multimodal.ops ++ RetrievalOps.ops ++
       TemporalJoins.ops ++ CorpusOps.ops ++ CurationOps.ops ++ graft.plans.Mv.ops
 

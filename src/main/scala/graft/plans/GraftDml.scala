@@ -117,13 +117,26 @@ case class GraftUpdateCommand(root: String, condSql: Option[String],
   }
 }
 
-/** Upsert-shaped `MERGE INTO` → [[graft.sources.LakeIO.mergeInto]]. */
+/** Upsert-shaped `MERGE INTO` → [[graft.sources.LakeIO.mergeInto]] (the
+  * copy-on-write default) or [[graft.sources.LakeIO.mergeIntoMoR]]
+  * (deletion-vector + append, no file rewrites) when the session sets
+  * `spark.graft.merge.strategy=mor` — strategy is deployment config, not
+  * query text, exactly like Delta's merge tuning knobs. The two are
+  * observationally equivalent (LakeMorMergeSpec / identical oracles).
+  */
 case class GraftMergeCommand(root: String, source: LogicalPlan, key: String)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftBridge.ofRows(session, source)
-    graft.sources.LakeIO.mergeInto(session, root, src.drop("ts_hour"), key)
+    session.conf.get("spark.graft.merge.strategy", "cow") match {
+      case "mor" =>
+        graft.sources.LakeIO.mergeIntoMoR(session, root, src.drop("ts_hour"), Seq(key))
+      case "cow" =>
+        graft.sources.LakeIO.mergeInto(session, root, src.drop("ts_hour"), key)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.merge.strategy must be cow|mor, got '$other'")
+    }
     Seq.empty
   }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ManifestFileIndex
 
 import graft.SharedSpark.spark
 
@@ -222,6 +223,29 @@ class GraftCatalogSpec extends AnyFunSuite {
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(spark.sql("SELECT v FROM gcat.default.items WHERE id = 3")
       .head.getString(0) === "C3")
+  }
+
+  test("SQL MERGE INTO with spark.graft.merge.strategy=mor commits DV + append") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val filesBefore = ManifestFileIndex.read(path).get._2.map(_.relPath).toSet
+    Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+      .createOrReplaceTempView("upserts_mor")
+    spark.conf.set("spark.graft.merge.strategy", "mor")
+    try {
+      spark.sql("""MERGE INTO gcat.default.items t USING upserts_mor s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v, ts = s.ts
+                  |WHEN NOT MATCHED THEN INSERT (id, v, ts) VALUES (s.id, s.v, s.ts)"""
+        .stripMargin)
+    } finally spark.conf.unset("spark.graft.merge.strategy")
+    // same observable result as the CoW merge...
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // ...but via deletion vector + append: every pre-merge file still live
+    assert(ManifestFileIndex.readDvs(path).nonEmpty)
+    assert(filesBefore.subsetOf(ManifestFileIndex.read(path).get._2.map(_.relPath).toSet))
   }
 
   test("INSERT after a CoW merge must not resurrect parked old generations") {
