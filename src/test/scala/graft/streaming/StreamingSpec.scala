@@ -326,6 +326,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert sink with strategy=mor: refinements land as DV + append, no rewrite") {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_mor").toString
+    val dir = base + "/table"
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherPipeline.lakeUpsertSink(input.toDF(), dir, base + "/ckpt",
+      strategy = "mor")
+    try {
+      input.addData(WeatherRecord("A", "10.0", "2024-01-01 10:00:01"))
+      q.processAllAvailable()
+      val filesAfterB0 = ManifestFileIndex.read(dir).get._2.map(_.relPath).toSet
+      input.addData(WeatherRecord("A", "30.0", "2024-01-01 10:00:02"),
+        WeatherRecord("B", "50.0", "2024-01-01 10:00:03"))
+      q.processAllAvailable()
+      // the refinement superseded A's old row via a deletion vector and
+      // appended the new aggregate rows — batch-0 files all still live
+      assert(ManifestFileIndex.readDvs(dir).nonEmpty,
+        "MoR strategy must record a deletion vector for the refined key")
+      assert(filesAfterB0.subsetOf(ManifestFileIndex.read(dir).get._2.map(_.relPath).toSet),
+        "MoR strategy must never drop a pre-existing file from the manifest")
+      val out = spark.read.format("graft-lake").load(dir)
+        .select($"city", $"avg_temperature", $"record_count")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(out === Seq(("A", 20.0, 2L), ("B", 50.0, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming CDC: each micro-batch commit is a snapshot; readIncrement yields that batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
     val input = MemoryStream[WeatherRecord]
