@@ -2,44 +2,52 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graft.{GraftLakeSource, GraftLakeTable, ManifestFileIndex}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Answers COUNT-shaped queries over a graft-lake table from the MANIFEST
-  * — zero data files opened. Every committed file carries its parquet
-  * footer row count in the manifest (`rows:` field), so
+/** Answers COUNT / MIN / MAX / partition-DISTINCT queries over a
+  * graft-lake table from the MANIFEST — zero data files opened. Every
+  * committed file carries its parquet footer row count (`rows:` field)
+  * and per-column INT64/DOUBLE bounds, so
   *
   *   `SELECT COUNT(*) FROM t`                        → one summed literal
   *   `SELECT ts_hour, COUNT(*) FROM t GROUP BY 1`    → one row per live
   *                                                     partition value
+  *   `SELECT MIN(event_id), MAX(value) FROM t`       → folded file bounds
+  *   `SELECT DISTINCT ts_hour FROM t`                → the partition list
   *
-  * rewrite to a [[LocalRelation]]. At 100 TB this turns the most common
-  * sanity query a pipeline runs (row-count the table / per-partition
-  * ingest accounting) from a 400k-task scan into a metadata read — the
-  * same trick Iceberg/Delta pull from their manifests, and the lake-side
-  * sibling of Spark's own `OptimizeMetadataOnlyQuery` (which needs a
-  * catalog table and only covers partition-key DISTINCT).
+  * rewrite to a [[LocalRelation]]. At 100 TB this turns the sanity
+  * queries every pipeline runs (row counts, ingest watermarks, partition
+  * inventory) from 400k-task scans into metadata reads — the manifest
+  * trick Iceberg/Delta pull, and a lake-side generalization of Spark's
+  * own `OptimizeMetadataOnlyQuery` (catalog tables, partition keys only).
   *
   * Strictly guarded — the rewrite declines (leaving the scan untouched)
   * unless:
   *  - every live entry of the resolved snapshot records a row count
-  *    (manifests written before row-count tracking fall back to scanning);
-  *  - the snapshot carries NO live deletion vectors (DV'd rows are
-  *    subtracted at read time; the manifest alone over-counts);
-  *  - the aggregate is exactly global `COUNT(1)`s, or `COUNT(1)`s grouped
-  *    on the partition column alone (any filter, any other aggregate, any
-  *    DISTINCT/FILTER clause → no match);
+  *    (COUNT) / bounds for the referenced column (MIN/MAX) — manifests or
+  *    columns without stats fall back to scanning. String MIN/MAX is
+  *    answered only for the partition column (partition VALUES are exact;
+  *    data-file string stats may be writer-truncated); doubles whose NaN
+  *    rows poisoned the file bounds carry no dblStats entry and decline.
+  *  - the snapshot carries NO live deletion vectors (a DV could hide the
+  *    counted/extreme row);
+  *  - the aggregate is built ONLY of `COUNT(1)` (no DISTINCT/FILTER),
+  *    `MIN`/`MAX` of an answerable column, and the grouping attribute,
+  *    grouped globally or on the partition column alone (any filter, any
+  *    other aggregate → no match);
   *  - the scan has no WAP/changefeed options (`stagedAsOf`/`changesFrom`).
   *
   * Time travel IS covered: `versionAsOf`/`timestampAsOf`/catalog-pinned
-  * versions resolve to that snapshot's manifest, so a historical count is
-  * also metadata-only. Disable with
-  * `spark.graft.metadataCount.enabled=false`.
+  * versions resolve to that snapshot's manifest — a travel spec that
+  * fails to resolve declines so the scan raises its canonical error.
+  * Disable with `spark.graft.metadataCount.enabled=false`.
   */
 object MetadataOnlyCount extends Rule[LogicalPlan] {
 
@@ -56,7 +64,7 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
               case t: GraftLakeTable if t.lakeRoot.isDefined &&
                   !r.options.containsKey("stagedAsOf") &&
                   !r.options.containsKey("changesFrom") =>
-                tryRewrite(agg, grouping, aggExprs, r, t).getOrElse(agg)
+                tryRewrite(grouping, aggExprs, r, t).getOrElse(agg)
               case _ => agg
             }
           case None => agg
@@ -74,20 +82,54 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-      case Count(Seq(Literal(1, _))) => !ae.isDistinct && ae.filter.isEmpty
-      case _ => false
-    }
-    case _ => false
+  /** What one output expression asks for, when answerable from metadata. */
+  private sealed trait Ask
+  private case object CountStar extends Ask
+  private case object GroupRef extends Ask
+  private case class Bound(colName: String, isMin: Boolean,
+      dt: org.apache.spark.sql.types.DataType) extends Ask
+
+  private def classify(e: NamedExpression, group: Option[Attribute]): Option[Ask] = e match {
+    case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _)))    => Some(CountStar)
+        case Min(a: AttributeReference)   => Some(Bound(a.name, isMin = true, a.dataType))
+        case Max(a: AttributeReference)   => Some(Bound(a.name, isMin = false, a.dataType))
+        case _ => None
+      }
+    case a: AttributeReference if group.exists(_.exprId == a.exprId) => Some(GroupRef)
+    case Alias(a: AttributeReference, _) if group.exists(_.exprId == a.exprId) =>
+      Some(GroupRef)
+    case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate, grouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+  /** Fold a column bound over an entry set; None = some file lacks the
+    * stat (decline — conservativeness is the whole contract).
+    */
+  private def fold(entries: Seq[ManifestFileIndex.Entry], b: Bound,
+      partCol: String): Option[Any] = b.dt match {
+    case LongType =>
+      val vs = entries.map(e => e.stats.get(b.colName))
+      if (vs.exists(_.isEmpty)) None
+      else Some(if (b.isMin) vs.map(_.get._1).min else vs.map(_.get._2).max)
+    case DoubleType =>
+      val vs = entries.map(e => e.dblStats.get(b.colName))
+      if (vs.exists(_.isEmpty)) None
+      else Some(if (b.isMin) vs.map(_.get._1).min else vs.map(_.get._2).max)
+    case StringType if b.colName == partCol =>
+      // partition VALUES are exact (they are the directory layout);
+      // ASCII ts_hour strings order identically in JVM and SQL
+      Some(UTF8String.fromString(
+        if (b.isMin) entries.map(_.partValue).min else entries.map(_.partValue).max))
+    case _ => None
+  }
+
+  private def tryRewrite(grouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       aggExprs: Seq[NamedExpression], r: DataSourceV2Relation, t: GraftLakeTable)
     : Option[LogicalPlan] = {
     val root = t.lakeRoot.get
     // a travel spec that does not RESOLVE must decline (not silently
-    // count head) so the scan path raises its canonical loud error
+    // answer head) so the scan path raises its canonical loud error
     val version: Option[Int] =
       (Option(r.options.get("versionAsOf")), Option(r.options.get("timestampAsOf"))) match {
         case (Some(raw), _) =>
@@ -101,32 +143,36 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
       }
     if (ManifestFileIndex.readDvs(root, version).nonEmpty) return None
     val (partCol, entries) = ManifestFileIndex.read(root, version).getOrElse(return None)
-    if (!entries.forall(_.rowCount >= 0L)) return None
 
-    grouping match {
-      case Seq() if aggExprs.nonEmpty && aggExprs.forall(isCountStar) =>
-        val total = entries.iterator.map(_.rowCount).sum
-        Some(LocalRelation(
-          aggExprs.map(_.toAttribute),
-          Seq(InternalRow.fromSeq(aggExprs.map(_ => total)))))
-      case Seq(g: AttributeReference) if g.name == partCol &&
-          aggExprs.nonEmpty && aggExprs.forall(e => isCountStar(e) || refersTo(e, g)) =>
-        val byPart = entries.groupBy(_.partValue).toSeq.sortBy(_._1)
-          .map { case (pv, es) => (pv, es.iterator.map(_.rowCount).sum) }
-        val rows = byPart.map { case (pv, n) =>
-          InternalRow.fromSeq(aggExprs.map { e =>
-            if (isCountStar(e)) n else UTF8String.fromString(pv)
-          })
+    val group: Option[Attribute] = grouping match {
+      case Seq()                                         => None
+      case Seq(g: AttributeReference) if g.name == partCol => Some(g)
+      case _                                             => return None
+    }
+    if (aggExprs.isEmpty) return None
+    val asks = aggExprs.map(e => classify(e, group).getOrElse(return None))
+    if (asks.contains(CountStar) && !entries.forall(_.rowCount >= 0L)) return None
+
+    def row(es: Seq[ManifestFileIndex.Entry], pv: Option[String]): Option[InternalRow] = {
+      val vals = asks.map {
+        case CountStar => es.iterator.map(_.rowCount).sum
+        case GroupRef  => UTF8String.fromString(pv.get)
+        case b: Bound  =>
+          if (es.isEmpty) null // SQL MIN/MAX of empty input
+          else fold(es, b, partCol).getOrElse(return None)
+      }
+      Some(InternalRow.fromSeq(vals))
+    }
+
+    group match {
+      case None =>
+        row(entries, None).map(r0 =>
+          LocalRelation(aggExprs.map(_.toAttribute), Seq(r0)))
+      case Some(_) =>
+        val rows = entries.groupBy(_.partValue).toSeq.sortBy(_._1).map {
+          case (pv, es) => row(es, Some(pv)).getOrElse(return None)
         }
         Some(LocalRelation(aggExprs.map(_.toAttribute), rows))
-      case _ => None
     }
-  }
-
-  /** The grouping attribute itself, or a rename of it. */
-  private def refersTo(e: NamedExpression, g: Attribute): Boolean = e match {
-    case a: AttributeReference        => a.exprId == g.exprId
-    case Alias(a: AttributeReference, _) => a.exprId == g.exprId
-    case _                            => false
   }
 }

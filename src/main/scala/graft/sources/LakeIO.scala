@@ -1600,6 +1600,26 @@ object LakeIO {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
+    // Metadata-only table profile: COUNT + MIN/MAX folded from the
+    // manifest's per-file row counts and column bounds (partition-column
+    // extremes come from the partition VALUES). The ingest-watermark
+    // query ("how far has the table loaded?") with zero files opened.
+    Op("lake_bounds_meta",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .agg(count(lit(1)).as("n"),
+            min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+            min($"value").as("min_value"), max($"value").as("max_value"),
+            min($"ts_hour").as("first_hour"), max($"ts_hour").as("last_hour"))
+      },
+      """SELECT count(*) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       min(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')) AS first_hour,
+        |       max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')) AS last_hour
+        |FROM events""".stripMargin),
+
     // Same scan but with ONLY raw-ts predicates — hidden-partition pruning
     // at the SOURCE: the graft-lake DataSourceV2 scan builder rewrites the
     // ts bounds into ts_hour partition filters before file listing

@@ -110,6 +110,53 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == events.count())
   }
 
+  test("MIN/MAX of stats-covered columns answer from the manifest") {
+    val df = spark.read.format("graft-lake").load(lake)
+      .agg(min($"event_id").as("lo"), max($"event_id").as("hi"),
+        min($"value").as("vlo"), max($"value").as("vhi"),
+        count(lit(1)).as("n"))
+    assert(isMetadataOnly(df))
+    val got = df.collect().head
+    val exp = events.agg(min($"event_id"), max($"event_id"),
+      min($"value"), max($"value"), count(lit(1))).collect().head
+    assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
+    assert(got.getDouble(2) == exp.getDouble(2) && got.getDouble(3) == exp.getDouble(3))
+    assert(got.getLong(4) == exp.getLong(4))
+  }
+
+  test("per-partition MIN/MAX and the partition inventory are metadata-only") {
+    val grouped = spark.read.format("graft-lake").load(lake)
+      .groupBy($"ts_hour")
+      .agg(min($"event_id").as("lo"), count(lit(1)).as("n"))
+      .orderBy($"ts_hour")
+    assert(isMetadataOnly(grouped))
+    val expected = LakeIO.hourPartitioned(events)
+      .groupBy($"ts_hour").agg(min($"event_id").as("lo"), count(lit(1)).as("n"))
+      .orderBy($"ts_hour").collect()
+    assert(grouped.collect().toSeq == expected.toSeq)
+
+    val inv = spark.read.format("graft-lake").load(lake).select($"ts_hour").distinct()
+    assert(isMetadataOnly(inv))
+    assert(inv.count() ==
+      LakeIO.hourPartitioned(events).select($"ts_hour").distinct().count())
+
+    // min/max of the partition column itself = exact partition VALUES
+    val bounds = spark.read.format("graft-lake").load(lake)
+      .agg(min($"ts_hour").as("first"), max($"ts_hour").as("last"))
+    assert(isMetadataOnly(bounds))
+    val eb = LakeIO.hourPartitioned(events)
+      .agg(min($"ts_hour"), max($"ts_hour")).collect().head
+    assert(bounds.collect().head.toSeq == eb.toSeq)
+  }
+
+  test("MIN/MAX of a non-partition string column declines (truncation risk)") {
+    val df = spark.read.format("graft-lake").load(lake)
+      .agg(min($"event_type").as("lo"))
+    assert(!isMetadataOnly(df))
+    assert(df.collect().head.getString(0) ==
+      events.agg(min($"event_type")).collect().head.getString(0))
+  }
+
   test("kill switch disables the rewrite") {
     spark.conf.set("spark.graft.metadataCount.enabled", "false")
     try {

@@ -15,6 +15,12 @@ import graft.syntax._
   */
 class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  // This suite asserts WHICH FILES a count-shaped aggregate scans (MV vs
+  // base); the manifest-count rule would answer those probes scan-free
+  // and make both assertions vacuously false — keep it off here.
+  override def beforeAll(): Unit =
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
+
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft_mvspec").toString
   private lazy val path = {
@@ -25,7 +31,10 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     p
   }
 
-  override def afterAll(): Unit = Mv.clear()
+  override def afterAll(): Unit = {
+    Mv.clear()
+    spark.conf.set("spark.graft.metadataCount.enabled", "true")
+  }
 
   private def lake: DataFrame = spark.read.format("graft-lake").load(path)
 

@@ -68,7 +68,10 @@ class SpjSpec extends AnyFunSuite {
   test("with v2 bucketing disabled the scan degrades to the shuffled plan") {
     // (the conf defaults to TRUE on Spark 4 — SPJ needs no session setup;
     // this proves the fallback path still plans correctly when disabled)
-    withConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+    // metadataCount off: this probe asserts the SHUFFLE plan of a count,
+    // which the manifest-count rule would otherwise answer scan-free
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "false",
+        "spark.graft.metadataCount.enabled" -> "false") {
       val t = lake().groupBy($"ts_hour").agg(count(lit(1)).as("n"))
       val plan = t.queryExecution.executedPlan.toString
       assert(plan.contains("Exchange"), "disabled ⇒ the aggregate shuffles as usual")
