@@ -39,4 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseG1GC",
   "-XX:MaxGCPauseMillis=200",
+  // 150+ codegen'd queries in one bench JVM overflow the default 240 MB
+  // JIT code cache; once it fills, late queries run partially interpreted
+  // and show consistent 2-3x "regressions" that no standalone run can
+  // reproduce (observed r5 on dedup_incremental_bloom: 2.3 s in-suite,
+  // 0.8 s alone under the identical fork).
+  "-XX:ReservedCodeCacheSize=1g",
 )

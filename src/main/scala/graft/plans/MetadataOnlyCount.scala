@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Expression, Literal, NamedExpression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graft.{GraftLakeSource, GraftLakeTable, ManifestFileIndex}
@@ -40,8 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    counted/extreme row);
   *  - the aggregate is built ONLY of `COUNT(1)` (no DISTINCT/FILTER),
   *    `MIN`/`MAX` of an answerable column, and the grouping attribute,
-  *    grouped globally or on the partition column alone (any filter, any
-  *    other aggregate → no match);
+  *    grouped globally or on the partition column alone (any other
+  *    aggregate → no match);
+  *  - WHERE clauses, if present, reference ONLY the partition column —
+  *    they evaluate against the partition VALUES (whole files in or
+  *    out), so `COUNT(*) WHERE ts_hour BETWEEN …` is also metadata-only;
+  *    any predicate touching a data column falls back to the scan;
   *  - the scan has no WAP/changefeed options (`stagedAsOf`/`changesFrom`).
   *
   * Time travel IS covered: `versionAsOf`/`timestampAsOf`/catalog-pinned
@@ -59,12 +63,12 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
         unwrap(child) match {
-          case Some(r) =>
+          case Some((r, filters)) =>
             r.table match {
               case t: GraftLakeTable if t.lakeRoot.isDefined &&
                   !r.options.containsKey("stagedAsOf") &&
                   !r.options.containsKey("changesFrom") =>
-                tryRewrite(grouping, aggExprs, r, t).getOrElse(agg)
+                tryRewrite(grouping, aggExprs, filters, r, t).getOrElse(agg)
               case _ => agg
             }
           case None => agg
@@ -73,14 +77,18 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
   }
 
   /** Accept the relation bare or under attribute-only Projects (column
-    * pruning); anything computed in between defeats the match.
+    * pruning) and Filters (collected for partition-only evaluation);
+    * anything computed in between defeats the match.
     */
-  private def unwrap(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
-    case r: DataSourceV2Relation => Some(r)
-    case Project(projectList, child)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
-    case _ => None
-  }
+  private def unwrap(p: LogicalPlan): Option[(DataSourceV2Relation, Seq[Expression])] =
+    p match {
+      case r: DataSourceV2Relation => Some((r, Nil))
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+      case Filter(cond, child) =>
+        unwrap(child).map { case (r, fs) => (r, cond +: fs) }
+      case _ => None
+    }
 
   /** What one output expression asks for, when answerable from metadata. */
   private sealed trait Ask
@@ -124,8 +132,9 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(grouping: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      aggExprs: Seq[NamedExpression], r: DataSourceV2Relation, t: GraftLakeTable)
+  private def tryRewrite(grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression], filters: Seq[Expression],
+      r: DataSourceV2Relation, t: GraftLakeTable)
     : Option[LogicalPlan] = {
     val root = t.lakeRoot.get
     // a travel spec that does not RESOLVE must decline (not silently
@@ -142,7 +151,25 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
         case (None, None) => t.pinnedTableVersion
       }
     if (ManifestFileIndex.readDvs(root, version).nonEmpty) return None
-    val (partCol, entries) = ManifestFileIndex.read(root, version).getOrElse(return None)
+    val (partCol, allEntries) = ManifestFileIndex.read(root, version).getOrElse(return None)
+
+    // partition-only filters evaluate against the partition VALUE — a
+    // predicate that touches any data column (or is nondeterministic)
+    // declines; partition membership is exact, so whole files are in or
+    // out and every downstream sum/bound stays correct
+    val entries: Seq[ManifestFileIndex.Entry] =
+      if (filters.isEmpty) allEntries
+      else {
+        val partAttr = r.output.find(a => a.name == partCol && a.dataType == StringType)
+          .getOrElse(return None)
+        if (!filters.forall(f =>
+          f.deterministic && f.references.subsetOf(AttributeSet(partAttr)))) return None
+        val preds = filters.map(f => Predicate.create(f, Seq(partAttr)))
+        allEntries.filter { e =>
+          val row = InternalRow(UTF8String.fromString(e.partValue))
+          preds.forall(_.eval(row))
+        }
+      }
 
     val group: Option[Attribute] = grouping match {
       case Seq()                                         => None

@@ -1600,6 +1600,26 @@ object LakeIO {
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin),
 
+    // Metadata-only PRUNED count: the WHERE references only the hidden
+    // partition column, so it evaluates against partition VALUES and the
+    // counts still come straight from the manifest — partition pruning
+    // and aggregation both settled at planning, zero files opened.
+    Op("lake_count_meta_pruned",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .where($"ts_hour" >= "2024-01-05-00" && $"ts_hour" <= "2024-01-06-23")
+          .groupBy($"ts_hour")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"ts_hour")
+      },
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |       count(*) AS n
+        |FROM events
+        |WHERE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') >= '2024-01-05-00'
+        |  AND strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') <= '2024-01-06-23'
+        |GROUP BY 1 ORDER BY ts_hour""".stripMargin),
+
     // Metadata-only table profile: COUNT + MIN/MAX folded from the
     // manifest's per-file row counts and column bounds (partition-column
     // extremes come from the partition VALUES). The ingest-watermark

@@ -1327,6 +1327,27 @@ object ManifestFileIndex {
             f.lastModified() < cutoff)
           .foreach { f => if (f.delete()) removed += 1 }
       }
+    // deletion-vector sidecars orphaned by a FAILED MoR commit (the
+    // sidecar writes before the commit; sustained contention leaves it
+    // referenced by no snapshot's #dv section) — same liveness rule as
+    // data files: referenced by ANY snapshot or the current manifest ⇒
+    // kept; the grace period protects an in-flight MoR write
+    val dvReferenced: Set[String] =
+      ((1 to head).flatMap(v => readDvs(rootDir, Some(v))) ++
+        readDvs(rootDir, None)).toSet
+    Option(new java.io.File(rootDir, "_graft_dv").listFiles())
+      .getOrElse(Array.empty)
+      .filter { d =>
+        d.isDirectory && !dvReferenced.contains("_graft_dv/" + d.getName) &&
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .forall(_.lastModified() < cutoff) && d.lastModified() < cutoff
+      }
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.delete()) removed += 1
+        }
+        d.delete()
+      }
     removed
   }
 

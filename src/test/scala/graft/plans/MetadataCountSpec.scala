@@ -149,6 +149,37 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(bounds.collect().head.toSeq == eb.toSeq)
   }
 
+  test("partition-only WHERE clauses stay metadata-only; data predicates fall back") {
+    val windowed = spark.read.format("graft-lake").load(lake)
+      .where($"ts_hour" >= "2024-01-05-00" && $"ts_hour" <= "2024-01-05-23")
+      .groupBy($"ts_hour").agg(count(lit(1)).as("n"))
+      .orderBy($"ts_hour")
+    assert(isMetadataOnly(windowed))
+    val expected = LakeIO.hourPartitioned(events)
+      .where($"ts_hour" >= "2024-01-05-00" && $"ts_hour" <= "2024-01-05-23")
+      .groupBy($"ts_hour").agg(count(lit(1)).as("n"))
+      .orderBy($"ts_hour").collect()
+    assert(windowed.collect().toSeq == expected.toSeq)
+
+    val point = spark.read.format("graft-lake").load(lake)
+      .where($"ts_hour" === "2024-01-05-03").groupBy().count()
+    assert(isMetadataOnly(point))
+    assert(point.collect().head.getLong(0) ==
+      LakeIO.hourPartitioned(events).where($"ts_hour" === "2024-01-05-03").count())
+
+    // empty partition window: count 0, still metadata-only
+    val none = spark.read.format("graft-lake").load(lake)
+      .where($"ts_hour" === "1999-01-01-00").groupBy().count()
+    assert(isMetadataOnly(none))
+    assert(none.collect().head.getLong(0) == 0L)
+
+    // mixed predicate (partition AND data column) must fall back
+    val mixed = spark.read.format("graft-lake").load(lake)
+      .where($"ts_hour" === "2024-01-05-03" && $"event_type" === "click")
+      .groupBy().count()
+    assert(!isMetadataOnly(mixed))
+  }
+
   test("MIN/MAX of a non-partition string column declines (truncation risk)") {
     val df = spark.read.format("graft-lake").load(lake)
       .agg(min($"event_type").as("lo"))

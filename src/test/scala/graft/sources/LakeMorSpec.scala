@@ -197,4 +197,23 @@ class LakeMorSpec extends AnyFunSuite {
     assert(rootCause(err).getMessage.contains("deletion vectors") ||
       err.getMessage.contains("deletion vectors"))
   }
+
+  test("removeOrphanFiles collects DV sidecars no snapshot references, keeps live ones") {
+    val root = s"$base/orphandv"
+    fresh(root)
+    LakeIO.deleteWhereMoR(spark, root, $"event_type" === "click") // live DV
+    // debris of a FAILED MoR attempt: sidecar written, commit never landed
+    val orphan = new java.io.File(root, "_graft_dv/dv-deadbeefcafe")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-00000.parquet").toPath, Array[Byte](1, 2, 3))
+    val removed = ManifestFileIndex.removeOrphanFiles(root, olderThanMs = -1000)
+    assert(removed >= 1)
+    assert(!orphan.exists(), "unreferenced sidecar must be collected")
+    val live = ManifestFileIndex.readDvs(root)
+    assert(live.size == 1 && new java.io.File(root, live.head).exists(),
+      "the committed sidecar must survive")
+    // and the DV still applies
+    assert(LakeIO.readMoR(spark, root).where($"event_type" === "click").count() == 0L)
+  }
 }
