@@ -55,6 +55,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+CREATE\s+TAG\s+['"]?([\w.-]+)['"]?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+TAG\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
+  private val ShowPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+(?:IN|FOR)\s+([\w.`'/-]+?)\s*;?\s*""".r
 
@@ -91,6 +93,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         drop = false)
     case DropTag(ident, name) =>
       GraftTagCommand(lakeRoot(ident), name, None, drop = true)
+    // SHOW PARTITIONS is real Spark SQL — intercept ONLY when the target
+    // resolves to a committed graft-lake table; every other table keeps
+    // Spark's own command
+    case ShowPartitions(ident) if scala.util.Try(lakeRoot(ident)).toOption
+        .exists(r => ManifestFileIndex.read(r, None).isDefined) =>
+      GraftShowPartitionsCommand(lakeRoot(ident))
     case ShowTags(ident) =>
       GraftShowTagsCommand(lakeRoot(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -191,6 +199,30 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       ManifestFileIndex.readDvs(root).size.toLong,
       ManifestFileIndex.listRefs(root).size.toLong,
       staged.toLong))
+  }
+}
+
+/** `SHOW PARTITIONS`: the live partition inventory with per-partition
+  * file/row/byte accounting, straight from the head manifest — zero data
+  * files opened (rows come from the manifest's per-file footer counts;
+  * -1 when a pre-rowcount manifest doesn't know). The SQL twin of the
+  * MetadataOnlyCount partition-inventory rewrite.
+  */
+case class GraftShowPartitionsCommand(root: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (partCol, entries) = ManifestFileIndex.read(root, None)
+      .getOrElse(sys.error(s"SHOW PARTITIONS: no committed manifest under $root"))
+    entries.groupBy(_.partValue).toSeq.sortBy(_._1).map { case (pv, es) =>
+      val rows = if (es.forall(_.rowCount >= 0L)) es.iterator.map(_.rowCount).sum
+                 else -1L
+      Row(s"$partCol=$pv", es.size.toLong, rows, es.iterator.map(_.size).sum)
+    }
   }
 }
 

@@ -123,7 +123,13 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
     case DoubleType =>
       val vs = entries.map(e => e.dblStats.get(b.colName))
       if (vs.exists(_.isEmpty)) None
-      else Some(if (b.isMin) vs.map(_.get._1).min else vs.map(_.get._2).max)
+      else {
+        val v = if (b.isMin) vs.map(_.get._1).min else vs.map(_.get._2).max
+        // parquet footers order -0.0 < 0.0; Spark's execution path
+        // normalizes -0.0 to 0.0 (UnsafeRow), so a scan-computed MIN
+        // would report 0.0 — match it
+        Some(if (v == 0.0d) 0.0d else v)
+      }
     case StringType if b.colName == partCol =>
       // partition VALUES are exact (they are the directory layout);
       // ASCII ts_hour strings order identically in JVM and SQL

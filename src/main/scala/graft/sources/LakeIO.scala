@@ -191,6 +191,10 @@ object LakeIO {
         // across appends — the writer derives the column for layout only
         val added = withHour.schema.fields.filterNot(f =>
           curByName.contains(f.name) || f.name == "ts_hour")
+        val dead = droppedColumns(path)
+        added.foreach(f => require(!dead.contains(f.name),
+          s"evolveAppend: column ${f.name} was previously dropped; " +
+            "re-adding it would resurrect dropped data — use a new name"))
         writeSchemaFile(path,
           org.apache.spark.sql.types.StructType(current.fields ++ added.map(_.copy(nullable = true))))
       case None =>
@@ -1318,9 +1322,16 @@ object LakeIO {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val current = tableSchema(path).getOrElse(
       sys.error(s"evolveSchema: no committed schema metadata under $path"))
+    val dead = droppedColumns(path)
     added.foreach { f =>
       require(!current.fieldNames.contains(f.name),
         s"evolveSchema: column ${f.name} already exists")
+      // without column IDs, re-adding a dropped name would resurrect the
+      // old files' data under the new column — Iceberg prevents this with
+      // field IDs; we prevent it with a tombstone
+      require(!dead.contains(f.name),
+        s"evolveSchema: column ${f.name} was previously dropped; " +
+          "re-adding it would resurrect dropped data — use a new name")
     }
     // The widened schema must be on disk BEFORE the commit publishes (the
     // publish freezes `_graft_schema.json` into the snapshot's schema-v
@@ -1334,6 +1345,60 @@ object LakeIO {
       ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
     catch {
       case e: Throwable => writeSchemaFile(path, current); throw e
+    }
+  }
+
+  /** Names ever dropped from this table's schema — the no-resurrection
+    * tombstone list (`_graft_dropped.json`, a JSON string array).
+    */
+  def droppedColumns(path: String): Set[String] = {
+    val f = new java.io.File(path, "_graft_dropped.json")
+    if (!f.exists()) Set.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // minimal parse: ["a","b"] — names are plain identifiers
+      txt.split('"').zipWithIndex.collect { case (s, i) if i % 2 == 1 => s }.toSet
+    }
+  }
+
+  private def writeDroppedFile(path: String, names: Set[String]): Unit = {
+    val tmp = new java.io.File(path, "._graft_dropped.json.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(path, "_graft_dropped.json"))
+  }
+
+  /** LOGICAL `DROP COLUMN` — no rewrite: the schema loses the field and a
+    * schema-only snapshot commits; every read of the new snapshot simply
+    * never projects the column (parquet ignores file columns absent from
+    * the read schema), while TIME TRAVEL to pre-drop snapshots keeps the
+    * frozen wider schema and still reads the data. The dropped name goes
+    * on a tombstone so a later ADD COLUMN of the same name — which would
+    * resurrect the old files' values (we map columns by NAME; Iceberg
+    * avoids this with field IDs) — refuses loudly. At 100 TB this is the
+    * only sane drop: the alternative rewrites every file to remove bytes
+    * the reader can already skip for free (columnar projection).
+    */
+  def dropColumnSchema(path: String, name: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val current = tableSchema(path).getOrElse(
+      sys.error(s"dropColumnSchema: no committed schema metadata under $path"))
+    require(current.fieldNames.contains(name),
+      s"dropColumnSchema: no column $name in ${current.fieldNames.mkString(",")}")
+    require(name != "ts" && name != "ts_hour",
+      s"dropColumnSchema: $name drives the hour partitioning and cannot drop")
+    val priorDropped = droppedColumns(path)
+    writeSchemaFile(path, org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(_.name == name)))
+    writeDroppedFile(path, priorDropped + name)
+    val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
+    try ManifestFileIndex.commitDelta(path, partCol,
+      ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+    catch {
+      case e: Throwable =>
+        writeSchemaFile(path, current)
+        writeDroppedFile(path, priorDropped)
+        throw e
     }
   }
 

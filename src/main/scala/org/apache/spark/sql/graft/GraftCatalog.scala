@@ -129,14 +129,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** `ALTER TABLE … ADD COLUMN(S)`: widen the table schema with nullable
-    * top-level columns and commit a SCHEMA-ONLY snapshot (same file set,
-    * new frozen schema) through the OCC delta commit — old files read the
-    * new column as null (schema-on-read), earlier snapshots keep their
-    * own narrower schema, and the evolution itself is time-travelable.
-    * Everything else (drop/rename/retype) stays unsupported: those are
-    * rewrites in disguise, and the write path's union-schema evolution
-    * (`LakeIO.evolveAppend`) already covers additive drift.
+  /** `ALTER TABLE … ADD COLUMN(S)` widens the schema with nullable
+    * top-level columns; `ALTER TABLE … DROP COLUMN` logically removes one
+    * (no rewrite — readers stop projecting it; the name is tombstoned so
+    * it can never be re-added and resurrect old data). Both commit a
+    * SCHEMA-ONLY snapshot (same file set, new frozen schema) through the
+    * OCC delta commit — earlier snapshots keep their own schema, so the
+    * evolution itself is time-travelable. Rename/retype stay unsupported:
+    * by-name column mapping cannot express them safely (field IDs could;
+    * documented delta).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
@@ -145,20 +146,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val current = graft.sources.LakeIO.tableSchema(path).getOrElse(
       throw new UnsupportedOperationException(
         s"ALTER TABLE: ${ident.name} has no committed schema metadata"))
-    val added = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "ALTER TABLE ADD COLUMN: only top-level columns")
-        require(!current.fieldNames.contains(a.fieldNames.head),
-          s"column ${a.fieldNames.head} already exists")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"graft supports only additive evolution (ADD COLUMN); got $other — " +
-            "drop/rename/retype would be a table rewrite in disguise")
+    val (adds, others) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (drops, unsupported) = others.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    unsupported.headOption.foreach { other =>
+      throw new UnsupportedOperationException(
+        s"graft supports ADD COLUMN and DROP COLUMN; got $other — " +
+          "rename/retype would need field-ID column mapping")
     }
-    graft.sources.LakeIO.evolveSchema(path, added)
+    val added = adds.map { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        "ALTER TABLE ADD COLUMN: only top-level columns")
+      require(!current.fieldNames.contains(a.fieldNames.head),
+        s"column ${a.fieldNames.head} already exists")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)
+    }
+    if (added.nonEmpty) graft.sources.LakeIO.evolveSchema(path, added)
+    drops.foreach { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames.length == 1,
+        "ALTER TABLE DROP COLUMN: only top-level columns")
+      graft.sources.LakeIO.dropColumnSchema(path, d.fieldNames.head)
+    }
     loadTable(ident)
   }
 

@@ -133,6 +133,30 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(row2.getLong(7) === 1L && row2.getLong(8) === 1L)
   }
 
+  test("SHOW PARTITIONS lists the manifest inventory with row/byte accounting") {
+    attach()
+    val path = s"$wh/default/parts"
+    val rows = (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-01 0"), (col("id") % 3).cast("string"), lit(":00:01"))))
+    LakeIO.writeLake(rows, path)
+    val got = spark.sql("SHOW PARTITIONS mcat.default.parts").collect()
+    assert(got.length === 3, "one row per live hour partition")
+    assert(got.map(_.getString(0)).toSeq ===
+      Seq("ts_hour=2024-01-01-00", "ts_hour=2024-01-01-01", "ts_hour=2024-01-01-02"))
+    assert(got.forall(r => r.getLong(1) >= 1L && r.getLong(3) > 0L))
+    // row counts come from the manifest's footer counts — 2 per hour here
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 2L, 2L))
+    // a non-graft table still reaches Spark's own SHOW PARTITIONS
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("plain_view")
+    val err = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS plain_view").collect()
+    }
+    // Spark's command raises its own analysis error for a temp view —
+    // proof the statement was NOT swallowed by the graft intercept
+    assert(!err.getMessage.contains("graft"))
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

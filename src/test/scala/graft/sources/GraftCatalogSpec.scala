@@ -134,15 +134,45 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SELECT * FROM galt.default.evolving VERSION AS OF $v0")
     assert(!old.columns.contains("extra"))
 
-    // destructive evolution stays rejected
+    // rename/retype evolution stays rejected (needs field-ID mapping;
+    // DROP COLUMN is supported separately as a logical drop)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE galt.default.evolving DROP COLUMN v")
+      spark.sql("ALTER TABLE galt.default.evolving RENAME COLUMN v TO w")
     }
-    assert(e.getMessage.contains("additive"))
+    assert(e.getMessage.contains("field-ID"))
     // RENAME TABLE stays unsupported
     intercept[Exception] {
       spark.sql("ALTER TABLE galt.default.evolving RENAME TO renamed")
     }
+  }
+
+  test("ALTER TABLE DROP COLUMN: logical drop, snapshot-isolated, tombstoned") {
+    attach()
+    val path = s"$wh/default/dropt"
+    LakeIO.writeLake(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01"))), path)
+    val v0 = ManifestFileIndex.headVersion(path).get
+    spark.sql("ALTER TABLE gcat.default.dropt DROP COLUMN x")
+    // head no longer exposes x; the other columns read intact
+    val head = spark.sql("SELECT * FROM gcat.default.dropt")
+    assert(!head.columns.contains("x"))
+    assert(head.count() === 2L)
+    assert(spark.sql("SELECT v FROM gcat.default.dropt WHERE id = 1")
+      .head.getString(0) === "a")
+    // time travel to the pre-drop snapshot still reads x WITH its data
+    val old = spark.sql(
+      s"SELECT x FROM gcat.default.dropt VERSION AS OF $v0 WHERE id = 2")
+    assert(old.head.getDouble(0) === 20.0)
+    // re-adding the dropped name refuses — by-name mapping would
+    // resurrect the old files' values
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.default.dropt ADD COLUMN x DOUBLE")
+    }
+    assert(err.getMessage.contains("dropped"))
+    // a fresh name is fine and reads null over the old files
+    spark.sql("ALTER TABLE gcat.default.dropt ADD COLUMN y DOUBLE")
+    val withY = spark.sql("SELECT y FROM gcat.default.dropt WHERE id = 1")
+    assert(withY.head.isNullAt(0))
   }
 
   test("SQL INSERT INTO appends through the lake writer: visible at head, snapshot-isolated") {
