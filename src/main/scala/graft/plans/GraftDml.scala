@@ -111,8 +111,18 @@ case class GraftUpdateCommand(root: String, condSql: Option[String],
   override def run(session: SparkSession): Seq[Row] = {
     val cond: Column = condSql.map(expr).getOrElse(
       org.apache.spark.sql.functions.lit(true))
-    graft.sources.LakeIO.updateWhere(session, root, cond,
-      sets.map { case (n, v) => n -> expr(v) })
+    // strategy is deployment config, like MERGE: cow rewrites touched
+    // partitions; mor records a DV + appends the updated images
+    session.conf.get("spark.graft.update.strategy", "cow") match {
+      case "mor" =>
+        graft.sources.LakeIO.updateWhereMoR(session, root, cond,
+          sets.map { case (n, v) => n -> expr(v) })
+      case "cow" =>
+        graft.sources.LakeIO.updateWhere(session, root, cond,
+          sets.map { case (n, v) => n -> expr(v) })
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.update.strategy must be cow|mor, got '$other'")
+    }
     Seq.empty
   }
 }

@@ -848,6 +848,65 @@ object LakeIO {
     matched.map(_._2).getOrElse(0L)
   }
 
+  /** MERGE-ON-READ `UPDATE … WHERE` — completes the DV DML family
+    * (delete: [[deleteWhereMoR]], upsert: [[mergeIntoMoR]]): the matched
+    * rows' positions go on a deletion vector and their REWRITTEN images
+    * (every RHS evaluated against the OLD row, matching
+    * [[updateWhere]]'s snapshot semantics) append as new files, in one
+    * atomic commit. Same 100 TB economics as the MoR merge: a sparse
+    * UPDATE touches a stats-pruned candidate scan + kilobytes of
+    * metadata, never a partition rewrite. Returns updated-row count.
+    */
+  def updateWhereMoR(s: SparkSession, path: String, cond: Column,
+      assignments: Seq[(String, Column)]): Long = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val base = ManifestFileIndex.claimedVersion(path)
+    val (partCol, cands, _) = deleteCandidates(s, path, cond)
+    if (cands.isEmpty) return 0L
+    val prior = ManifestFileIndex.readDvs(path)
+    val scan = hourPartitioned(
+      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+      .withColumn("_dv_file", relPathCol)
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val hit = scan.where(coalesce(cond, lit(false)))
+    // rows a live DV already deleted are invisible: neither re-deleted
+    // nor re-appended with updates
+    val matched =
+      if (prior.isEmpty) hit
+      else hit.join(s.read.parquet(prior.map(d => path + "/" + d): _*),
+        Seq("_dv_file", "_dv_pos"), "left_anti")
+    matched.persist()
+    try {
+      val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val dvRel = s"_graft_dv/dv-$token"
+      matched.select($"_dv_file", $"_dv_pos")
+        .write.mode("errorifexists").parquet(s"$path/$dvRel")
+      val n = s.read.parquet(s"$path/$dvRel").count()
+      if (n == 0L) { rmDir(s"$path/$dvRel"); return 0L }
+      // old-row snapshot semantics: all RHS computed before any column
+      // is replaced (same discipline as the CoW update)
+      val withNew = assignments.zipWithIndex.foldLeft(matched.toDF()) {
+        case (df, ((_, value), i)) => df.withColumn(s"__new_$i", value)
+      }
+      val updated = assignments.zipWithIndex.foldLeft(withNew) {
+        case (df, ((name, _), i)) => df.withColumn(name, col(s"__new_$i"))
+      }.drop(assignments.indices.map(i => s"__new_$i"): _*)
+        .drop("_dv_file", "_dv_pos", "ts_hour")
+      val withHour = hourPartitioned(updated)
+      val stage = path + s"_stage_u$token"
+      withHour
+        .repartition(col("ts_hour"))
+        .write.mode("overwrite")
+        .partitionBy("ts_hour")
+        .option("compression", "zstd")
+        .parquet(stage)
+      val appended = moveStaged(path, partCol, stage, s"u$token-")
+      ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
+        addDvs = Seq(dvRel))
+      n
+    } finally { matched.unpersist(); () }
+  }
+
   /** V1 multi-path scan of an explicit file set, each row tagged with its
     * `(_dv_file, _dv_pos)` position identity (`_metadata` row indexes are
     * a parquet-scan surface; `hourPartitioned` re-derives the hidden
@@ -1619,7 +1678,47 @@ object LakeIO {
     path
   }
 
+  /** MoR twin of [[updatedLake]]: the SAME SQL UPDATE applied under
+    * `spark.graft.update.strategy=mor` — deletion vector + appended
+    * updated images, zero rewrites. Its keyed op shares the CoW update's
+    * oracle, proving the strategies observationally equivalent.
+    */
+  def updatedLakeMoR(s: SparkSession, d: String): String = {
+    val wh = "/tmp/graft_lake/v5_updmor_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = wh + "/default/events"
+    val marker = new java.io.File(path, "_graft_update_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      writeLake(Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value"), path)
+      s.conf.set("spark.sql.catalog.graft_updm",
+        "org.apache.spark.sql.graft.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_updm.warehouse", wh)
+      s.conf.set("spark.graft.update.strategy", "mor")
+      try s.sql("UPDATE graft_updm.default.events SET value = value + 1000.0 " +
+        "WHERE event_id % 10 = 0")
+      finally s.conf.unset("spark.graft.update.strategy")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // The same SQL UPDATE as lake_update_where but merge-on-read: the
+    // matched rows DV out and their updated images append — identical
+    // oracle, so the strategies are provably indistinguishable to a
+    // reader.
+    Op("lake_update_where_mor",
+      (s, d) => {
+        val path = updatedLakeMoR(s, d)
+        readMoR(s, path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // SQL-text UPDATE end-to-end, oracle-checked: the CoW update applied
     // by `spark.sql("UPDATE …")` must equal the oracle's CASE projection
     // of the base table (+1000.0 is IEEE-exact on both engines).

@@ -110,6 +110,45 @@ class LakeMorMergeSpec extends AnyFunSuite {
     assert(LakeIO.readMoR(spark, root).count() == events.count() + inserts.count())
   }
 
+  test("MoR UPDATE: DV + updated images, old-row RHS semantics, no rewrite") {
+    val root = s"$base/update"
+    fresh(root)
+    val filesBefore = ManifestFileIndex.read(root).get._2.map(_.relPath).toSet
+    val n = LakeIO.updateWhereMoR(spark, root, $"event_id" % 10 === 0,
+      Seq("value" -> ($"value" + 1000.0)))
+    assert(n == events.where($"event_id" % 10 === 0).count())
+    assert(filesBefore.subsetOf(ManifestFileIndex.read(root).get._2.map(_.relPath).toSet))
+    assert(ManifestFileIndex.readDvs(root).size == 1)
+    val got = LakeIO.readMoR(spark, root)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val expected = events.withColumn("value",
+      when($"event_id" % 10 === 0, $"value" + 1000.0).otherwise($"value"))
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+
+    // swap semantics: both RHS evaluate against the OLD row
+    val root2 = s"$base/swap"
+    rm(new java.io.File(root2))
+    locally {
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      LakeIO.writeLake(Seq((1L, "x", 2.0)).toDF("id", "a", "b")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01"))), root2)
+    }
+    LakeIO.updateWhereMoR(spark, root2, lit(true),
+      Seq("a" -> $"b".cast("string"), "b" -> length($"a").cast("double")))
+    val r = LakeIO.readMoR(spark, root2).select($"a", $"b").collect().head
+    assert(r.getString(0) == "2.0" && r.getDouble(1) == 1.0)
+
+    // updating rows a DV already deleted is a no-op for them
+    val root3 = s"$base/deadrows"
+    fresh(root3)
+    LakeIO.deleteWhereMoR(spark, root3, $"event_type" === "click")
+    val n3 = LakeIO.updateWhereMoR(spark, root3, $"event_type" === "click",
+      Seq("value" -> lit(0.0)))
+    assert(n3 == 0L)
+    assert(LakeIO.readMoR(spark, root3).where($"event_type" === "click").count() == 0L)
+  }
+
   test("compactDeletes folds the merge DV into a rewrite") {
     val root = s"$base/fold"
     fresh(root)
