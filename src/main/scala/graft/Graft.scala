@@ -138,6 +138,34 @@ object Graft {
     def evolveSchema(path: String,
         added: Seq[org.apache.spark.sql.types.StructField]): Int =
       LakeIO.evolveSchema(path, added)
+    /** Logical DROP COLUMN: schema-only snapshot, no rewrite; the name is
+      * tombstoned so a later re-ADD can't resurrect old data.
+      */
+    def dropColumn(path: String, name: String): Int =
+      LakeIO.dropColumnSchema(path, name)
+    /** MERGE-ON-READ upsert: matched positions DV out, the batch appends,
+      * ONE atomic commit — no file rewritten (the CDC-apply shape).
+      */
+    def mergeMoR(spark: SparkSession, path: String, updates: DataFrame,
+        key: String): Long =
+      LakeIO.mergeIntoMoR(spark, path, updates, key)
+    /** MERGE-ON-READ UPDATE: matched rows DV out and their updated images
+      * (RHS against the OLD row) append — one atomic commit.
+      */
+    def updateMoR(spark: SparkSession, path: String, cond: Column,
+        sets: Seq[(String, Column)]): Long =
+      LakeIO.updateWhereMoR(spark, path, cond, sets)
+    /** Build a per-file Bloom membership index on a high-cardinality
+      * column (where min/max bounds never skip).
+      */
+    def bloomIndex(spark: SparkSession, path: String, column: String): Long =
+      graft.sources.BloomIndex.attach(spark, path, column)
+    /** Point lookup through the Bloom index: scans only sketch-admitted
+      * files; unindexed files always scan (staleness-safe).
+      */
+    def pointLookup(spark: SparkSession, path: String, column: String,
+        value: Long): DataFrame =
+      graft.sources.BloomIndex.pointScan(spark, path, column, value)
     /** Incremental (CDC) read: rows added between two snapshots, planned
       * from the manifest diff alone.
       */
