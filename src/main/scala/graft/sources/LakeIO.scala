@@ -732,7 +732,8 @@ object LakeIO {
     val n = s.read.parquet(s"$path/$dvRel").count()
     if (n == 0L) { rmDir(s"$path/$dvRel"); return 0L }
     ManifestFileIndex.commitDelta(path, partCol, base, Seq.empty, Set.empty,
-      addDvs = Seq(dvRel))
+      addDvs = Seq(dvRel),
+      requireLive = cands.map(_.relPath).toSet)
     n
   }
 
@@ -842,9 +843,12 @@ object LakeIO {
     val appended = moveStaged(path, partCol, stage, s"m$token-")
 
     // ONE atomic commit: the DV and the appended rows become visible
-    // together, or (on sustained conflict) not at all
+    // together, or (on sustained conflict) not at all. The candidate
+    // files we READ are validated live at commit — a concurrent CoW
+    // rewrite of them would strand our DV on dead positions
     ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
-      addDvs = matched.map(_._1).toSeq)
+      addDvs = matched.map(_._1).toSeq,
+      requireLive = cands.map(_.relPath).toSet)
     matched.map(_._2).getOrElse(0L)
   }
 
@@ -902,7 +906,8 @@ object LakeIO {
         .parquet(stage)
       val appended = moveStaged(path, partCol, stage, s"u$token-")
       ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
-        addDvs = Seq(dvRel))
+        addDvs = Seq(dvRel),
+        requireLive = cands.map(_.relPath).toSet)
       n
     } finally { matched.unpersist(); () }
   }

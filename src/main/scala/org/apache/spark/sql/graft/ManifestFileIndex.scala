@@ -1007,7 +1007,16 @@ object ManifestFileIndex {
     */
   def commitDelta(rootDir: String, partCol: String, baseVersion: Int,
       added: Seq[Entry], removedPaths: Set[String], maxAttempts: Int = 20,
-      addDvs: Seq[String] = Nil, clearDvs: Boolean = false): Int = {
+      addDvs: Seq[String] = Nil, clearDvs: Boolean = false,
+      /** READ-validation set (Iceberg's `validateDataFilesExist`): files
+        * this transaction READ to compute its delta — a merge-on-read
+        * write derives deletion-vector positions and updated images from
+        * them, so if a concurrent CoW rewrite removed any, committing
+        * would target dead positions while the winner's rewrite still
+        * carries the old rows (duplicate keys / resurrected values).
+        * Such a commit CONFLICTS instead; pure appends pass Set.empty.
+        */
+      requireLive: Set[String] = Set.empty): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = claimedVersion(rootDir)
@@ -1032,6 +1041,13 @@ object ManifestFileIndex {
           throw new CommitConflictException(
             s"stale base: ${gone.size} file(s) this transaction rewrites are " +
             s"no longer live at v$head (e.g. ${gone.head})")
+        val readGone = requireLive.intersect(removedSince)
+        if (readGone.nonEmpty)
+          throw new CommitConflictException(
+            s"read-write conflict: ${readGone.size} file(s) this transaction " +
+            s"READ were rewritten between v$baseVersion and v$head " +
+            s"(e.g. ${readGone.head}) — its deletion vector would target " +
+            "dead positions; re-read and retry the operation")
       }
       // PURE-ADD IDEMPOTENCE: drop added entries whose relPath is already
       // live at the rebased head. File names are writer-unique (stage

@@ -100,6 +100,41 @@ class LakeOccSpec extends AnyFunSuite {
     assert(ManifestFileIndex.headVersion(root).get == baseV + 1)
   }
 
+  test("read-write conflict: a MoR-shaped commit aborts when files it READ were rewritten") {
+    val root = s"$base/rwconflict"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.where($"event_id" < 200), root)
+    val baseV = ManifestFileIndex.headVersion(root).get
+    val victim = ManifestFileIndex.read(root).get._2.head
+
+    // writer A (CoW) rewrites the victim file and wins the race
+    val dir = new java.io.File(root, s"ts_hour=${victim.partValue}")
+    val f = java.io.File.createTempFile("rw-", ".parquet", dir)
+    java.nio.file.Files.copy(
+      new java.io.File(root, victim.relPath).toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ManifestFileIndex.commitDelta(root, "ts_hour", baseV,
+      Seq(victim.copy(relPath = s"ts_hour=${victim.partValue}/${f.getName}")),
+      Set(victim.relPath))
+
+    // writer B (merge-on-read) computed a DV against base, victim
+    // included in its read set: its positions are now dead — must abort
+    val err = intercept[CommitConflictException] {
+      ManifestFileIndex.commitDelta(root, "ts_hour", baseV,
+        Seq.empty, Set.empty, addDvs = Seq("_graft_dv/dv-testdead"),
+        requireLive = Set(victim.relPath))
+    }
+    assert(err.getMessage.contains("read-write conflict"))
+
+    // validation against files the rewrite did NOT touch commits fine
+    val untouched = ManifestFileIndex.read(root).get._2
+      .map(_.relPath).filterNot(_ == victim.relPath).take(3).toSet
+    val v = ManifestFileIndex.commitDelta(root, "ts_hour",
+      ManifestFileIndex.claimedVersion(root),
+      Seq.empty, Set.empty, requireLive = untouched)
+    assert(v == baseV + 2)
+  }
+
   test("append delta vs concurrent rewrite: append rebases cleanly, both survive") {
     val root = s"$base/append_vs_rewrite"
     rm(new java.io.File(root))
