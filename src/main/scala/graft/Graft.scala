@@ -160,11 +160,12 @@ object Graft {
       */
     def bloomIndex(spark: SparkSession, path: String, column: String): Long =
       graft.sources.BloomIndex.attach(spark, path, column)
-    /** Point lookup through the Bloom index: scans only sketch-admitted
-      * files; unindexed files always scan (staleness-safe).
+    /** Point lookup through the Bloom index (Long or String value):
+      * scans only sketch-admitted files; unindexed files always scan
+      * (staleness-safe).
       */
     def pointLookup(spark: SparkSession, path: String, column: String,
-        value: Long): DataFrame =
+        value: Any): DataFrame =
       graft.sources.BloomIndex.pointScan(spark, path, column, value)
     /** Incremental (CDC) read: rows added between two snapshots, planned
       * from the manifest diff alone.

@@ -60,35 +60,43 @@ object BloomIndex {
 
   /** The live entries a lookup of `value` must scan: files whose sketch
     * admits the value, plus files the index has never seen (post-build
-    * commits — conservative by construction). Exposed for tests.
+    * commits — conservative by construction). `value` is a Long or a
+    * String (matching [[graft.functions.BloomAgg]]'s input domains).
+    * Exposed for tests.
     */
   private[graft] def candidates(s: SparkSession, path: String, column: String,
-      value: Long): (Seq[ManifestFileIndex.Entry], Seq[ManifestFileIndex.Entry]) = {
+      value: Any): (Seq[ManifestFileIndex.Entry], Seq[ManifestFileIndex.Entry]) = {
     val (_, entries) = ManifestFileIndex.read(path).get
     if (!new java.io.File(idxDir(path, column)).exists()) return (entries, Nil)
     import s.implicits.{newProductEncoder, newStringEncoder}
+    val probe: Array[Byte] => Boolean = value match {
+      case l: Long   => BloomSketch.mightContainLong(_, l)
+      case i: Int    => BloomSketch.mightContainLong(_, i.toLong)
+      case t: String => BloomSketch.mightContainString(_, t)
+      case other => sys.error(s"bloom probe: unsupported value type $other")
+    }
     // the PROBE runs distributed over the sidecar; only (name, verdict)
     // pairs come back — bounded by the file count, like the manifest
     val verdicts: Map[String, Boolean] =
       s.read.parquet(idxDir(path, column))
         .select(col("_dv_file"), col("bloom")).as[(String, Array[Byte])]
-        .map { case (f, b) => (f, BloomSketch.mightContainLong(b, value)) }
+        .map { case (f, b) => (f, probe(b)) }
         .collect().toMap
     entries.partition(e => verdicts.getOrElse(e.relPath, true))
   }
 
   /** Point lookup through the index: `WHERE column = value` scanning only
-    * candidate files, deletion vectors applied.
+    * candidate files, deletion vectors applied. Long and String values.
     */
   def pointScan(s: SparkSession, path: String, column: String,
-      value: Long): DataFrame = {
+      value: Any): DataFrame = {
     val (cands, _) = candidates(s, path, column, value)
     val dvs = ManifestFileIndex.readDvs(path)
     val schema = LakeIO.tableSchema(path)
     val cols = schema.map(_.fieldNames.toSeq)
       .getOrElse(s.read.format("graft-lake").load(path).columns.toSeq)
     LakeIO.dvAppliedScan(s, path, cands, dvs, schema, cols)
-      .where(col(column) === value)
+      .where(col(column) === lit(value))
   }
 
   /** Demo lake + index shared by the keyed op (marker-guarded build-once,

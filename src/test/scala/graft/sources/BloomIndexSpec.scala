@@ -74,6 +74,19 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(got.where($"event_type" === "click").count() == 0L)
   }
 
+  test("string-valued lookup probes the putBinary sketches, same skipping") {
+    val p = s"$root/str"
+    rm(new java.io.File(p))
+    LakeIO.writeLake(events.withColumn("uk", concat(lit("u"), $"user_id")), p)
+    BloomIndex.attach(spark, p, "uk")
+    val total = ManifestFileIndex.read(p).get._2.size
+    val (cands, skipped) = BloomIndex.candidates(spark, p, "uk", "u7")
+    assert(cands.size + skipped.size == total && skipped.nonEmpty)
+    val got = BloomIndex.pointScan(spark, p, "uk", "u7")
+    assert(got.count() == events.where($"user_id" === 7L).count())
+    assert(got.where($"uk" =!= "u7").count() == 0L)
+  }
+
   test("lookup without an index degrades to a full candidate set, same rows") {
     val p = s"$root/noidx"
     fresh(p)
