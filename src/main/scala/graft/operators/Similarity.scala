@@ -532,8 +532,11 @@ object Similarity {
   // ------------------------------------------------------------------
 
   private def annDir(d: String): String =
-    "/tmp/graft_lake/v5_ann_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    "/tmp/graft_lake/v6_ann_" + d.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Small (k-sized) artifacts only — centroids and codebooks are k×dim
+    * rows, so one file is the right layout for a broadcast-read table.
+    */
   private def ensureArtifact(s: SparkSession, path: String)
       (build: => DataFrame): DataFrame = {
     if (!new java.io.File(path + "/_SUCCESS").exists())
@@ -541,24 +544,56 @@ object Similarity {
     s.read.parquet(path)
   }
 
-  /** Frozen spherical-k-means centroids (k=8, iters=2) of dataset `d`. */
+  /** CORPUS-sized artifacts (one row per vector — the PQ-encoded corpus,
+    * the IVF cell assignment) write PARTITIONED BY CELL, never through
+    * coalesce(1): at 100 TB a single-task funnel is the index build's
+    * wall clock and an OOM, and the cell directory layout is exactly
+    * what serving wants — an nprobe-cell probe reads nprobe directories
+    * (partition pruning, zero data I/O on unprobed cells). The cell
+    * partition value rides back as the `cell` column (cast to its
+    * original LONG — partition-dir inference would narrow it to int and
+    * flip downstream schemas).
+    */
+  private def ensureCorpusArtifact(s: SparkSession, path: String)
+      (build: => DataFrame): DataFrame = {
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      build.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+    s.read.parquet(path).withColumn("cell", $"cell".cast("long"))
+  }
+
+  /** Clustering arity for the frozen index: the SemDeDup paper's regime
+    * is k ≈ n/1000 (cells stay ~1000 vectors, so the within-cell
+    * pairwise work is Σ|cell|² ≈ n×1000, linear in the corpus) with a
+    * small-corpus floor of 8 — at every driver test scale (n ≤ 2000)
+    * this IS 8, which keeps the unrolled-Lloyd's oracles (seeded
+    * `vec_id < 8`) hash-exact while scaling the real build.
+    */
+  def dedupK(n: Long): Int =
+    math.max(8L, math.min(65536L, n / 1000L)).toInt
+
+  /** Frozen spherical-k-means centroids (k=[[dedupK]](n), iters=2). */
   def annCentroids(s: SparkSession, d: String): DataFrame =
     ensureArtifact(s, annDir(d) + "/centroids")(
-      kmeansFit(emb(s, d), k = 8, iters = 2))
+      kmeansFit(emb(s, d), k = dedupK(emb(s, d).count()), iters = 2))
 
   /** Frozen PQ codebook (m=4 subspaces × k=16 codes, iters=2) of `d`. */
   def annCodebook(s: SparkSession, d: String): DataFrame =
     ensureArtifact(s, annDir(d) + "/codebook")(
       pqTrain(emb(s, d), m = 4, k = 16, iters = 2))
 
-  /** Frozen PQ-encoded corpus (codes + true norms) of `d`. */
+  /** Frozen PQ-encoded corpus (codes + true norms + IVF cell) of `d`,
+    * partitioned by cell so the IVF-PQ probe scans only probed cells'
+    * files.
+    */
   def annCodes(s: SparkSession, d: String): DataFrame =
-    ensureArtifact(s, annDir(d) + "/codes")(
-      pqEncode(emb(s, d), annCodebook(s, d)))
+    ensureCorpusArtifact(s, annDir(d) + "/codes")(
+      pqEncode(emb(s, d), annCodebook(s, d))
+        .join(annCells(s, d), Seq("vec_id")))
 
   /** Frozen IVF cell assignment (vec_id → cell) of `d`. */
   def annCells(s: SparkSession, d: String): DataFrame =
-    ensureArtifact(s, annDir(d) + "/cells")(
+    ensureCorpusArtifact(s, annDir(d) + "/cells")(
       ivfAssign(emb(s, d), annCentroids(s, d)))
 
   /** Map-only IVF cell assignment over trained centroids (argmax cosine,
@@ -647,8 +682,13 @@ object Similarity {
         flatten(transform(sequence(lit(0), size($"cball") - 1), i =>
           transform(element_at($"cball", i + 1), c =>
             dot(slice($"qe", i * $"len" + 1, $"len"), c("ce"))))).as("qtab")))
-    // candidates: ONLY the probed cells' codes (bucket join on cell)
-    val cand = enc.join(cells, Seq("vec_id"))
+    // candidates: ONLY the probed cells' codes (bucket join on cell).
+    // A cell-partitioned codes artifact (annCodes) already carries its
+    // cell — probing is then a partition-prunable filter on the codes
+    // scan itself, no assignment join at all.
+    val encWithCell =
+      if (enc.columns.contains("cell")) enc else enc.join(cells, Seq("vec_id"))
+    val cand = encWithCell
       .join(qcells, Seq("cell"))
       .where($"vec_id" =!= $"q_id")
     val approx = cand.join(qtab, Seq("q_id"))

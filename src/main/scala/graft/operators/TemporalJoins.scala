@@ -159,14 +159,27 @@ object TemporalJoins {
         | AND CAST(e.ts AS TIMESTAMP) < s.s_end
         |ORDER BY e.event_id""".stripMargin),
 
-    // Distinct-count sketch: HLL++ approx vs exact — no cross-engine
-    // oracle (sketch internals differ), accuracy bound in the spec.
+    // Distinct-count sketch: HLL++ estimate vs exact. Sketch INTERNALS
+    // differ across engines, but the estimate is DETERMINISTIC for a
+    // given input — so the error-bound check itself is oracle-exact: the
+    // op emits the exact count plus a boolean |hll−exact|/exact ≤ 5%
+    // (2.5× the configured 2% rsd), and the oracle recomputes the exact
+    // side with TRUE. A hash match PROVES the bound held on every group;
+    // the raw estimate remains spec-tested (KmvSketchSpec rel-error vs
+    // KMV ground truth).
     Op("approx_distinct_users",
       (s, d) => Tables.events(s, d)
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
-        .orderBy($"event_type"), None),
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            $"exact_users" * lit(0.05)).as("hll_ok"))
+        .orderBy($"event_type"),
+      Some("""SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Mergeable KMV distinct sketch (native TypedImperativeAggregate,
     // functions/KmvSketch.scala): set-union merge across partitions —
@@ -207,21 +220,36 @@ object TemporalJoins {
         |ORDER BY event_type""".stripMargin)),
 
     // Mergeable t-digest quantiles (functions/TDigest.scala): per-type
-    // p50/p95/p99 of value through the k1-scale merging digest, with the
-    // exact percentile alongside for reference. Merge order isn't
-    // bit-deterministic (sketch semantics) → rows-only; accuracy and
-    // merge bounds proved in TDigestSpec.
+    // p50/p95/p99 of value through the k1-scale merging digest. The
+    // digest's VALUE output isn't cross-engine comparable, but its RANK
+    // ERROR is the quantity t-digest actually bounds — so the op ranks
+    // each estimate against the group's own data (fraction of values ≤
+    // estimate) and emits booleans |rank − q| ≤ 0.05, which the oracle
+    // matches with TRUE. A hash match proves the rank-error bound held
+    // on every group (the same bound TDigestSpec proves adversarially).
     Op("quantile_tdigest",
       (s, d) => {
         import graft.functions.TDigest.tdigestQuantile
-        Tables.events(s, d)
+        val est = Tables.events(s, d)
           .groupBy($"event_type")
-          .agg(tdigestQuantile($"value", 0.5).as("p50"),
-            tdigestQuantile($"value", 0.95).as("p95"),
-            tdigestQuantile($"value", 0.99).as("p99"),
-            expr("percentile(value, 0.5)").as("exact_p50"))
+          .agg(tdigestQuantile($"value", 0.5).as("q50"),
+            tdigestQuantile($"value", 0.95).as("q95"),
+            tdigestQuantile($"value", 0.99).as("q99"))
+        Tables.events(s, d).join(broadcast(est), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            avg(when($"value" <= $"q50", 1.0).otherwise(0.0)).as("r50"),
+            avg(when($"value" <= $"q95", 1.0).otherwise(0.0)).as("r95"),
+            avg(when($"value" <= $"q99", 1.0).otherwise(0.0)).as("r99"))
+          .select($"event_type", $"n",
+            (abs($"r50" - 0.5) <= 0.05).as("p50_rank_ok"),
+            (abs($"r95" - 0.95) <= 0.05).as("p95_rank_ok"),
+            (abs($"r99" - 0.99) <= 0.05).as("p99_rank_ok"))
           .orderBy($"event_type")
-      }, None),
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS p99_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // SpaceSaving heavy hitters (functions/TopKSketch.scala): top-10
     // users by event count through the mergeable sketch. With distinct

@@ -81,17 +81,23 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
 
   /** (live entries, live DV paths, snapshot schema) of the snapshot this
     * relation's reader options resolve to — None when that snapshot has
-    * no deletion vectors (leave the plan alone).
+    * no deletion vectors AND the table has no column-rename history
+    * (leave the plan alone: the manifest-planned V2 fast path is exact).
+    * A rename history forces the rewrite even with zero DVs, because the
+    * delegated parquet scan would null-fill the renamed column on files
+    * written before the rename — [[LakeIO.mappedScan]] resolves them by
+    * coalescing the field's historical names.
     */
   private def resolve(t: GraftLakeTable, opts: CaseInsensitiveStringMap)
     : Option[(Seq[ManifestFileIndex.Entry], Seq[String], Option[StructType])] = {
     val root = t.lakeRoot.get
+    val renamed = LakeIO.columnHistories(root).nonEmpty
     Option(opts.get("stagedAsOf")).map(_.trim) match {
       case Some(id) =>
         // staged (WAP) reads are base + staged files: the BASE's live DVs
         // still apply (a staged append neither adds nor clears DVs)
         val dvs = ManifestFileIndex.readDvs(root)
-        if (dvs.isEmpty) None
+        if (dvs.isEmpty && !renamed) None
         else ManifestFileIndex.readStaged(root, id).map { case (_, entries) =>
           (entries, dvs, LakeIO.tableSchema(root))
         }
@@ -104,7 +110,7 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
                 GraftLakeSource.parseCutoffMillis(raw.trim))))
             .orElse(t.pinnedTableVersion)
         val dvs = ManifestFileIndex.readDvs(root, version)
-        if (dvs.isEmpty) None
+        if (dvs.isEmpty && !renamed) None
         else ManifestFileIndex.read(root, version).map { case (_, entries) =>
           (entries, dvs,
             version.flatMap(v => ManifestFileIndex.snapshotSchema(root, v))

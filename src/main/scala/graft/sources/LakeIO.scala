@@ -195,6 +195,11 @@ object LakeIO {
         added.foreach(f => require(!dead.contains(f.name),
           s"evolveAppend: column ${f.name} was previously dropped; " +
             "re-adding it would resurrect dropped data — use a new name"))
+        // historical names of renamed fields are equally reserved
+        val hists = columnHistories(path)
+        added.foreach(f => require(!hists.exists(_.contains(f.name)),
+          s"evolveAppend: column ${f.name} is a historical name of a " +
+            "renamed column; adding it would alias that column's old data"))
         writeSchemaFile(path,
           org.apache.spark.sql.types.StructType(current.fields ++ added.map(_.copy(nullable = true))))
       case None =>
@@ -563,8 +568,7 @@ object LakeIO {
     val rewritten = {
       if (touched.isEmpty) withHour
       else {
-        val existing = hourPartitioned(
-          s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+        val existing = cowScan(s, path, touched.map(_.relPath))
         val survivors = existing
           .join(withHour.select(keys.map(col): _*).distinct(), keys, "left_anti")
         survivors.select(withHour.columns.map(col).toIndexedSeq: _*).unionByName(withHour)
@@ -584,6 +588,8 @@ object LakeIO {
     */
   def mergeExactlyOnce(s: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], batchId: Long, strategy: String = "cow"): Unit = {
+    require(strategy == "cow" || strategy == "mor",
+      s"mergeExactlyOnce: unknown strategy '$strategy' (expected cow|mor)")
     if (batch.isEmpty) return // update-mode triggers can emit empty batches
     val txn = new java.io.File(path, "_graft_txn_merge")
     val applied =
@@ -616,19 +622,25 @@ object LakeIO {
     * comparisons ever drop a file). Visible for tests: LakeMergeSpec
     * asserts a value-predicate DELETE plans only the stats-matching files.
     */
-  def deleteCandidates(s: SparkSession, path: String, cond: Column)
+  def deleteCandidates(s: SparkSession, path: String, cond: Column,
+      version: Option[Int] = None)
     : (String, Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry],
        Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry]) = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-    val cur = ManifestFileIndex.read(path)
+    // MoR writers pass the CLAIMED version: the mirror manifest lags one
+    // commit during a concurrent writer's claim->publish window, so
+    // reading it could include a file removed AT the claimed base —
+    // commitDelta's removedSince(base..head) check would never see the
+    // removal (head == base) and a DV could land on dead positions.
+    val cur = version.filter(_ > 0).flatMap(v => ManifestFileIndex.read(path, Some(v)))
+      .orElse(ManifestFileIndex.read(path))
     require(cur.isDefined, s"deleteWhere: $path has no committed manifest")
     val (partCol, entries) = cur.get
     // resolve cond against the real schema so the bound extractors see
     // typed AttributeReferences, not unresolved names (ts_hour resolves
     // to the string attribute hourPartitioned derives)
-    val full = hourPartitioned(
-      s.read.parquet(entries.map(e => path + "/" + e.relPath): _*))
+    val full = cowScan(s, path, entries.map(_.relPath))
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
@@ -675,13 +687,11 @@ object LakeIO {
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
-    val affected: Set[String] = hourPartitioned(
-      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+    val affected: Set[String] = cowScan(s, path, cands.map(_.relPath))
       .where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
     val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
     if (touched.isEmpty) return
-    val survivors = hourPartitioned(
-      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+    val survivors = cowScan(s, path, touched.map(_.relPath))
       .where(coalesce(!cond, lit(true)))
     writeCow(s, path, partCol, survivors, untouched)
   }
@@ -711,16 +721,14 @@ object LakeIO {
   def deleteWhereMoR(s: SparkSession, path: String, cond: Column): Long = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val base = ManifestFileIndex.claimedVersion(path)
-    val (partCol, cands, _) = deleteCandidates(s, path, cond)
+    val (partCol, cands, _) = deleteCandidates(s, path, cond, Some(base))
     if (cands.isEmpty) return 0L
     // positions already deleted by LIVE DVs must not be re-recorded (a
     // re-delete of the same predicate would double-count, and stacked
-    // sidecars stay minimal)
-    val prior = ManifestFileIndex.readDvs(path)
-    val scan = hourPartitioned(
-      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
-      .withColumn("_dv_file", relPathCol)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
+    // sidecars stay minimal). Read at the claimed base — the same
+    // snapshot the candidates came from.
+    val prior = ManifestFileIndex.readDvs(path, Some(base).filter(_ > 0))
+    val scan = positionedScan(s, path, cands.map(_.relPath), None)
     val fresh = scan.where(cond).select($"_dv_file", $"_dv_pos")
     val positions =
       if (prior.isEmpty) fresh
@@ -733,7 +741,8 @@ object LakeIO {
     if (n == 0L) { rmDir(s"$path/$dvRel"); return 0L }
     ManifestFileIndex.commitDelta(path, partCol, base, Seq.empty, Set.empty,
       addDvs = Seq(dvRel),
-      requireLive = cands.map(_.relPath).toSet)
+      requireLive = cands.map(_.relPath).toSet,
+      requireNoNewDvs = true)
     n
   }
 
@@ -763,20 +772,35 @@ object LakeIO {
     import org.apache.spark.sql.graft.ManifestFileIndex
     if (updates.isEmpty) return 0L
     val base = ManifestFileIndex.claimedVersion(path)
-    val cur = ManifestFileIndex.read(path)
+    // read entries at the CLAIMED snapshot, never the mirror — the mirror
+    // lags one commit inside a concurrent writer's claim->publish window
+    // (same discipline as deleteCandidates; CLAUDE.md invariant)
+    val cur =
+      (if (base > 0) ManifestFileIndex.read(path, Some(base)) else None)
+        .orElse(ManifestFileIndex.read(path))
     require(cur.isDefined, s"mergeIntoMoR: $path has no committed manifest")
     val (partCol, entries) = cur.get
-    val prior = ManifestFileIndex.readDvs(path)
+    val prior = ManifestFileIndex.readDvs(path, Some(base).filter(_ > 0))
 
     // Stats-prune candidate files by the batch's key RANGE: one tiny agg
     // (2 values per key column) against each file's recorded min/max.
     // Conservative — a key column absent from the stats never prunes.
+    // The same agg counts rows vs non-null keys: a null merge key breaks
+    // the key-unique contract (and would NPE the bound unboxing below),
+    // so it fails loudly here instead.
     val keyTypes = updates.schema.fields.filter(f => keys.contains(f.name))
       .map(f => f.name -> f.dataType).toMap
-    val boundsRow = updates.agg(
-      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))).head,
-      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"))).tail: _*)
-      .collect().head
+    val aggCols = count(lit(1)).as("_n") +:
+      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k"),
+        count(col(k)).as(s"_nn_$k")))
+    val boundsRow = updates.agg(aggCols.head, aggCols.tail: _*).collect().head
+    val totalRows = boundsRow.getAs[Long]("_n")
+    keys.foreach { k =>
+      require(boundsRow.getAs[Long](s"_nn_$k") == totalRows,
+        s"mergeIntoMoR: merge keys must be non-null, but column '$k' has " +
+        s"${totalRows - boundsRow.getAs[Long](s"_nn_$k")} null value(s) " +
+        "in the batch (keys identify rows; a null key cannot match)")
+    }
     def intersects(e: ManifestFileIndex.Entry): Boolean = keys.forall { k =>
       import org.apache.spark.sql.types._
       keyTypes.get(k) match {
@@ -811,10 +835,7 @@ object LakeIO {
     val matched =
       if (cands.isEmpty) None
       else {
-        val scan = hourPartitioned(
-          s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
-          .withColumn("_dv_file", relPathCol)
-          .withColumn("_dv_pos", col("_metadata.row_index"))
+        val scan = positionedScan(s, path, cands.map(_.relPath), None)
         val hit = scan
           .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_semi")
           .select($"_dv_file", $"_dv_pos")
@@ -846,9 +867,15 @@ object LakeIO {
     // together, or (on sustained conflict) not at all. The candidate
     // files we READ are validated live at commit — a concurrent CoW
     // rewrite of them would strand our DV on dead positions
+    // conflict hooks close the merge-merge races requireLive alone cannot
+    // see: a concurrent MoR writer adds DVs (stale matched-set) or
+    // appends key-intersecting images (duplicate rows per key) without
+    // removing any file this txn read
     ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
       addDvs = matched.map(_._1).toSeq,
-      requireLive = cands.map(_.relPath).toSet)
+      requireLive = cands.map(_.relPath).toSet,
+      requireNoNewDvs = true,
+      appendConflict = intersects)
     matched.map(_._2).getOrElse(0L)
   }
 
@@ -865,13 +892,10 @@ object LakeIO {
       assignments: Seq[(String, Column)]): Long = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val base = ManifestFileIndex.claimedVersion(path)
-    val (partCol, cands, _) = deleteCandidates(s, path, cond)
+    val (partCol, cands, _) = deleteCandidates(s, path, cond, Some(base))
     if (cands.isEmpty) return 0L
-    val prior = ManifestFileIndex.readDvs(path)
-    val scan = hourPartitioned(
-      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
-      .withColumn("_dv_file", relPathCol)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val prior = ManifestFileIndex.readDvs(path, Some(base).filter(_ > 0))
+    val scan = positionedScan(s, path, cands.map(_.relPath), None)
     val hit = scan.where(coalesce(cond, lit(false)))
     // rows a live DV already deleted are invisible: neither re-deleted
     // nor re-appended with updates
@@ -907,7 +931,8 @@ object LakeIO {
       val appended = moveStaged(path, partCol, stage, s"u$token-")
       ManifestFileIndex.commitDelta(path, partCol, base, appended, Set.empty,
         addDvs = Seq(dvRel),
-        requireLive = cands.map(_.relPath).toSet)
+        requireLive = cands.map(_.relPath).toSet,
+        requireNoNewDvs = true)
       n
     } finally { matched.unpersist(); () }
   }
@@ -921,14 +946,13 @@ object LakeIO {
     */
   private[graft] def positionedScan(s: SparkSession, path: String,
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val dataSchema = schema.map(st => org.apache.spark.sql.types.StructType(
-      st.fields.filterNot(_.name == "ts_hour")))
-    val reader = dataSchema.fold(s.read)(s.read.schema)
-    hourPartitioned(reader.parquet(files.map(f => path + "/" + f): _*))
-      .withColumn("_dv_file", relPathCol)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
-  }
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    mappedScan(s, path, files,
+      // a renamed table must resolve through the mapping even when the
+      // caller didn't thread the snapshot schema
+      schema.orElse(
+        if (columnHistories(path).nonEmpty) tableSchema(path) else None),
+      withPositions = true)
 
   /** DV-applying scan of an explicit (files, deletion vectors) pair: the
     * rows of `files` MINUS every DV position (anti-join on (file, row
@@ -971,7 +995,8 @@ object LakeIO {
   def readMoR(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val dvs = ManifestFileIndex.readDvs(path)
-    if (dvs.isEmpty) s.read.format("graft-lake").load(path)
+    if (dvs.isEmpty && columnHistories(path).isEmpty)
+      s.read.format("graft-lake").load(path)
     else {
       val (_, entries) = ManifestFileIndex.read(path).get
       val schema = tableSchema(path)
@@ -1002,10 +1027,7 @@ object LakeIO {
     val touchedParts = entries.filter(e => touchedFiles(e.relPath))
       .map(_.partValue).toSet
     val (touched, untouched) = entries.partition(e => touchedParts(e.partValue))
-    val survivors = hourPartitioned(
-      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
-      .withColumn("_dv_file", relPathCol)
-      .withColumn("_dv_pos", col("_metadata.row_index"))
+    val survivors = positionedScan(s, path, touched.map(_.relPath), None)
       .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
       .drop("_dv_file", "_dv_pos")
     writeCow(s, path, partCol, survivors, untouched)
@@ -1038,13 +1060,11 @@ object LakeIO {
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
-    val affected: Set[String] = hourPartitioned(
-      s.read.parquet(cands.map(e => path + "/" + e.relPath): _*))
+    val affected: Set[String] = cowScan(s, path, cands.map(_.relPath))
       .where(cond).select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
     val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
     if (touched.isEmpty) return
-    val rows = hourPartitioned(
-      s.read.parquet(touched.map(e => path + "/" + e.relPath): _*))
+    val rows = cowScan(s, path, touched.map(_.relPath))
     // old-row snapshot semantics: flag + all new values computed BEFORE
     // any column is replaced
     val flagged = rows.withColumn("__upd", coalesce(cond, lit(false)))
@@ -1396,6 +1416,11 @@ object LakeIO {
       require(!dead.contains(f.name),
         s"evolveSchema: column ${f.name} was previously dropped; " +
           "re-adding it would resurrect dropped data — use a new name")
+      // historical names of RENAMED fields are equally radioactive: old
+      // files still carry data under them
+      require(!columnHistories(path).exists(_.contains(f.name)),
+        s"evolveSchema: column ${f.name} is a historical name of a " +
+          "renamed column; adding it would alias that column's old data")
     }
     // The widened schema must be on disk BEFORE the commit publishes (the
     // publish freezes `_graft_schema.json` into the snapshot's schema-v
@@ -1452,9 +1477,13 @@ object LakeIO {
     require(name != "ts" && name != "ts_hour",
       s"dropColumnSchema: $name drives the hour partitioning and cannot drop")
     val priorDropped = droppedColumns(path)
+    // dropping a RENAMED column tombstones its whole name history — old
+    // files carry the data under every historical name
+    val histNames = columnHistories(path).find(_.contains(name))
+      .map(_.toSet).getOrElse(Set(name))
     writeSchemaFile(path, org.apache.spark.sql.types.StructType(
       current.fields.filterNot(_.name == name)))
-    writeDroppedFile(path, priorDropped + name)
+    writeDroppedFile(path, priorDropped ++ histNames)
     val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
     try ManifestFileIndex.commitDelta(path, partCol,
       ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
@@ -1465,6 +1494,188 @@ object LakeIO {
         throw e
     }
   }
+
+  // -------------------------------------------------------------------
+  // Column RENAME via field-history mapping (Iceberg schema evolution:
+  // register-connector.sh:29 `evolve-schema-enabled=true` — rename by
+  // field ID). graft-lake keeps a NAME HISTORY per renamed field
+  // (`_graft_columns.tsv`, one line per field: oldest → current name);
+  // readers resolve a field by coalescing its historical names, so files
+  // written before the rename keep reading without a rewrite. Tables
+  // never renamed have no history file and zero read-path change.
+  // -------------------------------------------------------------------
+
+  /** Name histories of renamed fields: each inner Seq is one field's
+    * names, oldest first, current name LAST. Empty when never renamed.
+    */
+  def columnHistories(path: String): Seq[Seq[String]] = {
+    val f = new java.io.File(path, "_graft_columns.tsv")
+    if (!f.exists()) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .map(_.split('\t').toSeq).filter(_.length > 1).toSeq
+    }
+  }
+
+  private def writeColumnHistories(path: String, hists: Seq[Seq[String]]): Unit = {
+    val tmp = new java.io.File(path, "._graft_columns.tsv.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      hists.map(_.mkString("\t")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(path, "_graft_columns.tsv"))
+    ()
+  }
+
+  /** `ALTER TABLE RENAME COLUMN from TO to` — metadata-only, no rewrite:
+    * the schema field changes name, the old name goes on the field's
+    * history line, and a schema-only snapshot commits. Every reader
+    * (V2 via [[graft.plans.ApplyDeletionVectors]]'s mapping rewrite, V1
+    * via [[mappedScan]]) resolves the field as COALESCE over its
+    * historical names — old files carry the data under the old name, new
+    * files under the new, no file carries both. Time travel to pre-rename
+    * snapshots reads the frozen old schema (the history lookup truncates
+    * at the target name). Historical names stay RESERVED (same
+    * no-resurrection discipline as the drop tombstones): re-using one
+    * for a different field would alias old files' data into it.
+    */
+  def renameColumn(path: String, from: String, to: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val current = tableSchema(path).getOrElse(
+      sys.error(s"renameColumn: no committed schema metadata under $path"))
+    val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
+    require(current.fieldNames.contains(from),
+      s"renameColumn: no column $from in ${current.fieldNames.mkString(",")}")
+    require(from != "ts" && from != partCol,
+      s"renameColumn: $from drives the hour partitioning and cannot rename")
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n' || c == '='),
+      s"renameColumn: invalid target name '$to'")
+    require(!current.fieldNames.contains(to),
+      s"renameColumn: column $to already exists")
+    require(!droppedColumns(path).contains(to),
+      s"renameColumn: $to was previously dropped; re-using it would " +
+        "resurrect dropped data — use a new name")
+    val hists = columnHistories(path)
+    val lineIdx = hists.indexWhere(_.last == from)
+    val ownLine = if (lineIdx >= 0) hists(lineIdx) else Seq(from)
+    // `to` may re-appear in the SAME field's history (rename back), never
+    // in another field's
+    require(!hists.zipWithIndex.exists { case (h, i) =>
+        i != lineIdx && h.contains(to) },
+      s"renameColumn: $to is a historical name of another column; " +
+        "re-using it would alias that column's old data")
+    val newHists =
+      if (lineIdx >= 0) hists.updated(lineIdx, ownLine :+ to)
+      else hists :+ (ownLine :+ to)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      current.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    writeSchemaFile(path, newSchema)
+    writeColumnHistories(path, newHists)
+    try ManifestFileIndex.commitDelta(path, partCol,
+      ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+    catch {
+      case e: Throwable =>
+        writeSchemaFile(path, current)
+        writeColumnHistories(path, hists)
+        throw e
+    }
+  }
+
+  /** `ALTER TABLE ALTER COLUMN name TYPE newType` — WIDENING only
+    * (int→long, float→double, int/long→double): metadata-only; the
+    * parquet reader up-casts old files' narrower physical type to the
+    * requested one (Spark 4 type-widening reads), so no mapping machinery
+    * is needed — the schema file simply declares the wider type and a
+    * schema-only snapshot commits (pre-retype snapshots keep the frozen
+    * narrower schema).
+    */
+  def retypeColumn(path: String,
+      name: String, newType: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    import org.apache.spark.sql.types._
+    val current = tableSchema(path).getOrElse(
+      sys.error(s"retypeColumn: no committed schema metadata under $path"))
+    val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
+    val f = current.fields.find(_.name == name).getOrElse(
+      sys.error(s"retypeColumn: no column $name in ${current.fieldNames.mkString(",")}"))
+    require(name != "ts" && name != partCol,
+      s"retypeColumn: $name drives the hour partitioning and cannot retype")
+    val widens = (f.dataType, newType) match {
+      case (IntegerType, LongType) | (FloatType, DoubleType) |
+           (IntegerType, DoubleType) | (LongType, DoubleType) => true
+      case _ => false
+    }
+    require(widens,
+      s"retypeColumn: ${f.dataType.simpleString} -> ${newType.simpleString} " +
+        "is not a widening conversion (allowed: int->long, float->double, " +
+        "int/long->double)")
+    writeSchemaFile(path, org.apache.spark.sql.types.StructType(
+      current.fields.map(x => if (x.name == name) x.copy(dataType = newType) else x)))
+    try ManifestFileIndex.commitDelta(path, partCol,
+      ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+    catch {
+      case e: Throwable => writeSchemaFile(path, current); throw e
+    }
+  }
+
+  /** Manifest-listed multi-file scan with schema null-fill and COLUMN-
+    * MAPPING resolution: a field with a rename history reads as COALESCE
+    * over its historical names (oldest files carry the oldest name; no
+    * file carries two), cast to the field's current type. Tables without
+    * a history take the exact pre-rename path. `withPositions` tags each
+    * row with its (file, row-index) identity for the DV machinery.
+    */
+  private[graft] def mappedScan(s: SparkSession, path: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      withPositions: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val hists = columnHistories(path)
+    val dataSchema = schema.map(st => StructType(
+      st.fields.filterNot(_.name == "ts_hour")))
+    // historical names to read for a target field, oldest → target: the
+    // lookup truncates at the LAST occurrence of the target name, so a
+    // time-travel read of a pre-rename snapshot (whose frozen schema
+    // carries the old name) never sees later generations' names
+    def stepsFor(f: StructField): Seq[String] =
+      hists.find(_.contains(f.name)) match {
+        case Some(line) => line.take(line.lastIndexOf(f.name) + 1).distinct
+        case None       => Seq(f.name)
+      }
+    val needsMap = dataSchema.exists(_.fields.exists(f => stepsFor(f).length > 1))
+    val reader = dataSchema match {
+      case Some(st) if needsMap =>
+        s.read.schema(StructType(st.fields.flatMap(f =>
+          stepsFor(f).map(n => StructField(n, f.dataType, nullable = true)))))
+      case Some(st) => s.read.schema(st)
+      case None     => s.read
+    }
+    var df = hourPartitioned(reader.parquet(files.map(f => path + "/" + f): _*))
+    if (withPositions)
+      df = df.withColumn("_dv_file", relPathCol)
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+    dataSchema match {
+      case Some(st) if needsMap =>
+        val cols = st.fields.toSeq.map { f =>
+          val steps = stepsFor(f)
+          if (steps.length == 1) col(f.name)
+          else coalesce(steps.reverse.map(col): _*).as(f.name)
+        } ++ (col("ts_hour") +:
+          (if (withPositions) Seq(col("_dv_file"), col("_dv_pos")) else Nil))
+        df.select(cols: _*)
+      case _ => df
+    }
+  }
+
+  /** History-aware whole-row scan for the CoW mutation paths: renamed
+    * tables resolve old files' columns through the mapping (so a rewrite
+    * naturally upgrades them to current names); never-renamed tables keep
+    * the raw multi-path read.
+    */
+  private def cowScan(s: SparkSession, path: String,
+      files: Seq[String]): DataFrame =
+    if (columnHistories(path).isEmpty)
+      hourPartitioned(s.read.parquet(files.map(f => path + "/" + f): _*))
+    else mappedScan(s, path, files, tableSchema(path), withPositions = false)
 
   private def writeSchemaFile(path: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {

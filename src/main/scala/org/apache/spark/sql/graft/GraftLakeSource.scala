@@ -161,6 +161,23 @@ class GraftLakeTable(inner: ParquetTable,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // A RENAMED table must read through the column-mapping rewrite
+    // ([[graft.plans.ApplyDeletionVectors]]) — the delegated parquet scan
+    // resolves columns by NAME and would silently null-fill the renamed
+    // column on pre-rename files. If no rule installation is detectable
+    // in this session, refuse loudly rather than lose data.
+    if (rootDir.exists(r => graft.sources.LakeIO.columnHistories(r).nonEmpty)) {
+      val s = inner.sparkSession
+      val installed =
+        s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")) ||
+          s.experimental.extraOptimizations
+            .exists(_.ruleName.endsWith("ApplyDeletionVectors"))
+      require(installed,
+        s"table ${rootDir.get} has renamed columns; reads require the " +
+          "column-mapping rule — set spark.sql.extensions=" +
+          "graft.plans.GraftExtensions (or Graft.install(spark)), or read " +
+          "via LakeIO.readMoR")
+    }
     // time travel: `.option("versionAsOf", v)` reads snapshot v's frozen
     // manifest + schema (appends never delete files, so old snapshots
     // stay readable — Iceberg snapshot semantics)

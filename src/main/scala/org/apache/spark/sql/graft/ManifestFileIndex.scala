@@ -1016,7 +1016,25 @@ object ManifestFileIndex {
         * carries the old rows (duplicate keys / resurrected values).
         * Such a commit CONFLICTS instead; pure appends pass Set.empty.
         */
-      requireLive: Set[String] = Set.empty): Int = {
+      requireLive: Set[String] = Set.empty,
+      /** Iceberg's `validateNoNewDeleteFiles`: a MoR DML computed its
+        * positions against the DVs live at base — deletion vectors
+        * committed since then change which rows are visible (a concurrent
+        * MoR delete of a key this txn updates would be silently
+        * resurrected by the appended image; a concurrent delete's
+        * positions could be double-recorded). Conservative: ANY new DV
+        * since base conflicts (scoping to candidate files would require
+        * reading sidecar contents at commit time).
+        */
+      requireNoNewDvs: Boolean = false,
+      /** Iceberg's added-file conflict detection for serializable MERGE:
+        * a concurrent commit's APPENDED entries that satisfy this
+        * predicate (e.g. key-range intersects this merge's batch) mean
+        * the txn's matched-set is stale — a concurrent merge of an
+        * overlapping key appended its own image, and committing this one
+        * would leave two live rows per key. Default never conflicts.
+        */
+      appendConflict: Entry => Boolean = _ => false): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val head = claimedVersion(rootDir)
@@ -1048,6 +1066,26 @@ object ManifestFileIndex {
             s"READ were rewritten between v$baseVersion and v$head " +
             s"(e.g. ${readGone.head}) — its deletion vector would target " +
             "dead positions; re-read and retry the operation")
+        if (requireNoNewDvs) {
+          val baseDvs =
+            if (baseVersion == 0) Set.empty[String]
+            else readDvs(rootDir, Some(baseVersion)).toSet
+          val newDvs = readDvs(rootDir, Some(head)).toSet -- baseDvs
+          if (newDvs.nonEmpty)
+            throw new CommitConflictException(
+              s"delete-delete conflict: ${newDvs.size} deletion vector(s) " +
+              s"were committed between v$baseVersion and v$head " +
+              s"(e.g. ${newDvs.head}) — this transaction's matched " +
+              "positions are stale; re-read and retry the operation")
+        }
+        val addedSince = headEntries.filterNot(e => baseLive(e.relPath))
+        val addClash = addedSince.filter(appendConflict)
+        if (addClash.nonEmpty)
+          throw new CommitConflictException(
+            s"append conflict: ${addClash.size} file(s) appended between " +
+            s"v$baseVersion and v$head intersect this transaction's key " +
+            s"range (e.g. ${addClash.head.relPath}) — a concurrent merge " +
+            "may carry overlapping keys; re-read and retry the operation")
       }
       // PURE-ADD IDEMPOTENCE: drop added entries whose relPath is already
       // live at the rebased head. File names are writer-unique (stage
