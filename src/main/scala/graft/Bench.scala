@@ -22,6 +22,13 @@ object Bench {
       // local-FS listing on the driver (see Verify.scala — job-based
       // discovery costs ~2 s of scheduling per V1 partitioned scan here)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+      // the whole suite's generated classes must FIT the plan cache:
+      // the default 100 entries < 153 queries means interleaved passes
+      // evict every plan between samples, so each sample re-pays
+      // whole-stage codegen compilation (measured r6: document-op
+      // medians 2-4× inflated) — the same class of artifact the
+      // ReservedCodeCacheSize=1g pin (build.sbt) fixes one level down
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-listing paths so the first timed query

@@ -92,14 +92,19 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
     : Option[(Seq[ManifestFileIndex.Entry], Seq[String], Option[StructType])] = {
     val root = t.lakeRoot.get
     val renamed = LakeIO.columnHistories(root).nonEmpty
+    // a mixed-ERA manifest (partition evolution mid-convergence) also
+    // forces the V1 rewrite: the delegated V2 scan would parse day-era
+    // directory values as the current partition column
+    def mixedEra(partCol: String, es: Seq[ManifestFileIndex.Entry]): Boolean =
+      es.exists(!_.relPath.startsWith(partCol + "="))
     Option(opts.get("stagedAsOf")).map(_.trim) match {
       case Some(id) =>
         // staged (WAP) reads are base + staged files: the BASE's live DVs
         // still apply (a staged append neither adds nor clears DVs)
         val dvs = ManifestFileIndex.readDvs(root)
-        if (dvs.isEmpty && !renamed) None
-        else ManifestFileIndex.readStaged(root, id).map { case (_, entries) =>
-          (entries, dvs, LakeIO.tableSchema(root))
+        ManifestFileIndex.readStaged(root, id).flatMap { case (pc, entries) =>
+          if (dvs.isEmpty && !renamed && !mixedEra(pc, entries)) None
+          else Some((entries, dvs, LakeIO.tableSchema(root)))
         }
       case None =>
         val version: Option[Int] =
@@ -110,11 +115,11 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
                 GraftLakeSource.parseCutoffMillis(raw.trim))))
             .orElse(t.pinnedTableVersion)
         val dvs = ManifestFileIndex.readDvs(root, version)
-        if (dvs.isEmpty && !renamed) None
-        else ManifestFileIndex.read(root, version).map { case (_, entries) =>
-          (entries, dvs,
+        ManifestFileIndex.read(root, version).flatMap { case (pc, entries) =>
+          if (dvs.isEmpty && !renamed && !mixedEra(pc, entries)) None
+          else Some((entries, dvs,
             version.flatMap(v => ManifestFileIndex.snapshotSchema(root, v))
-              .orElse(LakeIO.tableSchema(root)))
+              .orElse(LakeIO.tableSchema(root))))
         }
     }
   }

@@ -158,6 +158,11 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
       }
     if (ManifestFileIndex.readDvs(root, version).nonEmpty) return None
     val (partCol, allEntries) = ManifestFileIndex.read(root, version).getOrElse(return None)
+    // a MIXED-ERA manifest (partition evolution mid-convergence) must
+    // decline: a day-era file's partValue is NOT a value of the current
+    // partition column — grouping or filtering on it would emit wrong
+    // group keys / wrong membership
+    if (allEntries.exists(!_.relPath.startsWith(partCol + "="))) return None
 
     // partition-only filters evaluate against the partition VALUE — a
     // predicate that touches any data column (or is nondeterministic)

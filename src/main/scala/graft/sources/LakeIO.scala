@@ -23,6 +23,9 @@ object LakeIO {
   def hourPartitioned(df: DataFrame): DataFrame =
     df.withColumn("ts_hour", date_format($"ts", "yyyy-MM-dd-HH"))
 
+  def dayPartitioned(df: DataFrame): DataFrame =
+    df.withColumn("ts_day", date_format($"ts", "yyyy-MM-dd"))
+
   /** Write `df` (with a `ts` timestamp column) hour-partitioned.
     *
     * `repartition(ts_hour)` clusters each hour into one task before the
@@ -39,6 +42,22 @@ object LakeIO {
       .option("compression", "zstd")
       .parquet(path)
     commitMetadata(path, withHour.schema)
+  }
+
+  /** Write `df` DAY-partitioned (hidden day(ts)) — the coarse layout a
+    * low-volume table starts on before [[evolvePartitioning]] moves it to
+    * hour(ts) when volume grows (Iceberg partition-spec evolution).
+    */
+  def writeLakeDay(df: DataFrame, path: String): Unit = {
+    val withDay = dayPartitioned(df)
+    withDay
+      .repartition(col("ts_day"))
+      .write.mode("overwrite")
+      .partitionBy("ts_day")
+      .option("compression", "zstd")
+      .parquet(path)
+    writeSchemaFile(path, withDay.schema)
+    org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_day")
   }
 
   /** Write with data-quality EXPECTATIONS — the ingestion gate a training
@@ -176,6 +195,14 @@ object LakeIO {
     * Parquet scans null-fill columns absent from old files natively.
     */
   def evolveAppend(df: DataFrame, path: String): Unit = {
+    // appends stage hour-partitioned files: a day-era table must evolve
+    // its spec first (evolvePartitioning) — an implicit flip of the
+    // manifest partCol here would be a surprising layout change
+    org.apache.spark.sql.graft.ManifestFileIndex.read(path).foreach {
+      case (pc, _) => require(pc == "ts_hour",
+        s"evolveAppend: table is $pc-partitioned; run " +
+          "evolvePartitioning(path, \"ts_hour\") before hour-era appends")
+    }
     val withHour = hourPartitioned(df)
     tableSchema(path) match {
       case Some(current) =>
@@ -558,6 +585,7 @@ object LakeIO {
   def mergeInto(s: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
     requireNoDvs(path, "mergeInto")
+    requireSingleEra(path, "mergeInto")
     val withHour = hourPartitioned(updates)
     val affected: Set[String] =
       withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
@@ -652,7 +680,12 @@ object LakeIO {
     val sb = ManifestFileIndex.requiredStrBounds(resolved)
     val db = ManifestFileIndex.requiredDblBounds(resolved)
     def mayMatch(e: ManifestFileIndex.Entry): Boolean = {
-      val partOk = sb.get(partCol).forall { case (lo, hi) =>
+      // partition-value pruning only applies to files of the CURRENT era:
+      // a day-era file's partValue ("2024-01-15") compared against
+      // ts_hour bounds would wrongly prune rows the file contains —
+      // foreign-era files conservatively scan
+      val partOk = !e.relPath.startsWith(partCol + "=") ||
+        sb.get(partCol).forall { case (lo, hi) =>
         val pv = ManifestFileIndex.hexEncode(
           e.partValue.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         lo.forall(l => ManifestFileIndex.hexCompare(pv, l) >= 0) &&
@@ -684,6 +717,7 @@ object LakeIO {
     */
   def deleteWhere(s: SparkSession, path: String, cond: Column): Unit = {
     requireNoDvs(path, "deleteWhere")
+    requireSingleEra(path, "deleteWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -1057,6 +1091,7 @@ object LakeIO {
   def updateWhere(s: SparkSession, path: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
     requireNoDvs(path, "updateWhere")
+    requireSingleEra(path, "updateWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -1630,8 +1665,14 @@ object LakeIO {
       withPositions: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val hists = columnHistories(path)
+    // partition columns are DERIVED from ts (hidden partitioning), never
+    // read from data files — strip every known era's column from the read
+    // schema and re-derive below (this is what makes PARTITION EVOLUTION
+    // read-transparent: a day-era file and an hour-era file carry the
+    // same data columns)
+    val wantsDay = schema.exists(_.fieldNames.contains("ts_day"))
     val dataSchema = schema.map(st => StructType(
-      st.fields.filterNot(_.name == "ts_hour")))
+      st.fields.filterNot(f => f.name == "ts_hour" || f.name == "ts_day")))
     // historical names to read for a target field, oldest → target: the
     // lookup truncates at the LAST occurrence of the target name, so a
     // time-travel read of a pre-rename snapshot (whose frozen schema
@@ -1650,6 +1691,7 @@ object LakeIO {
       case None     => s.read
     }
     var df = hourPartitioned(reader.parquet(files.map(f => path + "/" + f): _*))
+    if (wantsDay) df = dayPartitioned(df)
     if (withPositions)
       df = df.withColumn("_dv_file", relPathCol)
         .withColumn("_dv_pos", col("_metadata.row_index"))
@@ -1660,10 +1702,139 @@ object LakeIO {
           if (steps.length == 1) col(f.name)
           else coalesce(steps.reverse.map(col): _*).as(f.name)
         } ++ (col("ts_hour") +:
-          (if (withPositions) Seq(col("_dv_file"), col("_dv_pos")) else Nil))
+          ((if (wantsDay) Seq(col("ts_day")) else Nil) ++
+            (if (withPositions) Seq(col("_dv_file"), col("_dv_pos")) else Nil)))
         df.select(cols: _*)
       case _ => df
     }
+  }
+
+  // -------------------------------------------------------------------
+  // PARTITION EVOLUTION (Iceberg partition-spec evolution): a table may
+  // change its hidden partition transform — day(ts) → hour(ts) as volume
+  // grows — without rewriting a byte. The manifest header records the
+  // partCol PER SNAPSHOT; each file's own era is carried by its relPath
+  // prefix (`ts_day=…/` vs `ts_hour=…/`), so a mixed-generation scan
+  // prunes every file by ITS era's semantics. Reads are era-transparent
+  // because partition columns are DERIVED from ts, never stored
+  // ([[mappedScan]] strips and re-derives them).
+  // -------------------------------------------------------------------
+
+  /** The partition era a manifest entry's file was written under — its
+    * directory prefix (`ts_day` | `ts_hour`).
+    */
+  def eraOf(e: org.apache.spark.sql.graft.ManifestFileIndex.Entry): String =
+    e.relPath.takeWhile(_ != '=')
+
+  /** CoW mutations split touched/untouched partitions by comparing
+    * DATA-derived ts_hour values against entry partValues — meaningless
+    * against a foreign-era entry, so they refuse on mixed-era manifests
+    * (MoR DML is file-position-based and stays era-safe; `rewriteEra`
+    * converges the layout, then CoW resumes).
+    */
+  private def requireSingleEra(path: String, op: String): Unit = {
+    org.apache.spark.sql.graft.ManifestFileIndex.read(path).foreach {
+      case (pc, es) =>
+        require(es.forall(_.relPath.startsWith(pc + "=")),
+          s"$op: table $path is mid partition-evolution (mixed-era files); " +
+            "use the MoR form or run rewriteEra(path) first")
+    }
+  }
+
+  /** Switch the table's partition layout for FUTURE writes — metadata-
+    * only: commits a snapshot whose manifest header carries the new
+    * partCol; existing files stay in their era (readers prune per-era),
+    * [[rewriteEra]] converges them under maintenance.
+    */
+  def evolvePartitioning(path: String, newPartCol: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    require(newPartCol == "ts_hour" || newPartCol == "ts_day",
+      s"evolvePartitioning: unknown partition spec $newPartCol " +
+        "(supported: ts_day, ts_hour)")
+    val cur = ManifestFileIndex.read(path)
+    require(cur.isDefined, s"evolvePartitioning: no committed manifest under $path")
+    require(cur.get._1 != newPartCol,
+      s"evolvePartitioning: table already partitioned by $newPartCol")
+    ManifestFileIndex.commitDelta(path, newPartCol,
+      ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
+  }
+
+  /** Era-aware hidden-partition pruning of a `[startTs, endTs)` range
+    * over a possibly mixed-generation manifest: hour-era files prune by
+    * their hour value, day-era files by their day value (a day admits
+    * the range if any of its hours do), unknown eras conservatively
+    * scan. Zero data I/O — this is the metadata plan.
+    */
+  def prunedEntriesForRange(path: String, startTs: String, endTs: String,
+      version: Option[Int] = None)
+    : Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val cur = ManifestFileIndex.read(path, version)
+    require(cur.isDefined, s"prunedEntriesForRange: no manifest under $path")
+    val startHour = startTs.take(13).replace(' ', '-')
+    val endHour = endTs.take(13).replace(' ', '-')
+    val startDay = startTs.take(10)
+    val endDay = endTs.take(10)
+    cur.get._2.filter { e =>
+      eraOf(e) match {
+        case "ts_hour" => e.partValue >= startHour && e.partValue <= endHour
+        case "ts_day"  => e.partValue >= startDay && e.partValue <= endDay
+        case _         => true
+      }
+    }
+  }
+
+  /** Range scan across partition-layout generations: era-aware manifest
+    * pruning + the exact residual `ts` filter. The hidden partition
+    * columns re-derive from ts, so both eras' rows come back identical.
+    */
+  def prunedScanEvolved(s: SparkSession, path: String,
+      startTs: String, endTs: String): DataFrame = {
+    val entries = prunedEntriesForRange(path, startTs, endTs)
+    val dataSchema = tableSchema(path).map(st =>
+      org.apache.spark.sql.types.StructType(st.fields.filterNot(f =>
+        f.name == "ts_hour" || f.name == "ts_day")))
+    if (entries.isEmpty) {
+      val st = dataSchema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      return hourPartitioned(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (st.fieldNames.contains("ts")) st
+        else st.add("ts", org.apache.spark.sql.types.TimestampType)))
+    }
+    mappedScan(s, path, entries.map(_.relPath), dataSchema,
+      withPositions = false)
+      .where($"ts" >= to_timestamp(lit(startTs)) &&
+        $"ts" < to_timestamp(lit(endTs)))
+  }
+
+  /** Maintenance convergence: rewrite every file NOT in the current era
+    * into the current layout (one commit: adds the rewritten files,
+    * removes the old-era ones). After this the table is single-era again
+    * and the plain partition-pruned fast paths apply everywhere. Returns
+    * the committed version (current version if nothing to do).
+    */
+  def rewriteEra(s: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    requireNoDvs(path, "rewriteEra")
+    val (partCol, entries) = ManifestFileIndex.read(path).get
+    require(partCol == "ts_hour",
+      s"rewriteEra: convergence target must be ts_hour (table is $partCol)")
+    val old = entries.filterNot(_.relPath.startsWith(partCol + "="))
+    if (old.isEmpty) return ManifestFileIndex.claimedVersion(path)
+    val base = ManifestFileIndex.claimedVersion(path)
+    val dataSchema = tableSchema(path).map(st =>
+      org.apache.spark.sql.types.StructType(st.fields.filterNot(f =>
+        f.name == "ts_hour" || f.name == "ts_day")))
+    val df = mappedScan(s, path, old.map(_.relPath), dataSchema,
+      withPositions = false)
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val stage = path + s"_stage_e$token"
+    df.repartition(col("ts_hour"))
+      .write.mode("overwrite").partitionBy("ts_hour")
+      .option("compression", "zstd").parquet(stage)
+    val appended = moveStaged(path, partCol, stage, s"e$token-")
+    ManifestFileIndex.commitDelta(path, partCol, base, appended,
+      old.map(_.relPath).toSet)
   }
 
   /** History-aware whole-row scan for the CoW mutation paths: renamed
@@ -1919,7 +2090,98 @@ object LakeIO {
     path
   }
 
+  /** Lake with a COLUMN RENAME mid-history: base events written with
+    * `value`, renamed to `amount` via SQL (`ALTER TABLE … RENAME COLUMN`
+    * through the graft catalog), then an appended slice written under
+    * the new name — so the table holds both physical generations. Keyed
+    * op `lake_rename_read` must read them as ONE logical column.
+    */
+  def renamedLake(s: SparkSession, d: String): String = {
+    val wh = "/tmp/graft_lake/v6_ren_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = wh + "/default/events"
+    val marker = new java.io.File(path, "_graft_rename_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      s.conf.set("spark.sql.catalog.graft_ren",
+        "org.apache.spark.sql.graft.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ren.warehouse", wh)
+      s.sql("ALTER TABLE graft_ren.default.events RENAME COLUMN value TO amount")
+      evolveAppend(base.where($"event_id" % 11 === 0)
+        .withColumn("event_id", $"event_id" + 2000000L)
+        .withColumnRenamed("value", "amount"), path)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
+  /** Lake that EVOLVED its partition spec mid-history: base events
+    * written day(ts)-partitioned, spec evolved to hour(ts), then an
+    * hour-era slice appended — a mixed-era manifest. Keyed op
+    * `lake_partition_evolved` range-scans it with per-era pruning.
+    */
+  def evolvedLake(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v6_evo_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_evolve_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLakeDay(base, path)
+      evolvePartitioning(path, "ts_hour")
+      evolveAppend(base.where($"event_id" % 9 === 0)
+        .withColumn("event_id", $"event_id" + 3000000L), path)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // Column rename via field-history mapping, end-to-end through SQL:
+    // pre-rename files carry `value`, post-rename files `amount`, and
+    // the read resolves both generations into one column — hash-exact
+    // against an oracle that never heard of the rename.
+    Op("lake_rename_read",
+      (s, d) => {
+        val path = renamedLake(s, d)
+        readMoR(s, path)
+          .select($"event_id", $"ts", $"event_type", $"amount")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       value AS amount
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 2000000, CAST(ts AS TIMESTAMP), event_type, value
+        |FROM events WHERE event_id % 11 = 0
+        |ORDER BY event_id""".stripMargin),
+
+    // Partition evolution (day→hour): the range scan prunes DAY-era
+    // files by day value and HOUR-era files by hour value, and both
+    // eras' rows come back identical (hidden partition columns derive
+    // from ts — no file stores them).
+    Op("lake_partition_evolved",
+      (s, d) => {
+        val path = evolvedLake(s, d)
+        prunedScanEvolved(s, path,
+          "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH all_rows AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 3000000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 9 = 0)
+        |SELECT event_id, ts, event_type, value FROM all_rows
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
     // The same SQL UPDATE as lake_update_where but merge-on-read: the
     // matched rows DV out and their updated images append — identical
     // oracle, so the strategies are provably indistinguishable to a

@@ -146,12 +146,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val current = graft.sources.LakeIO.tableSchema(path).getOrElse(
       throw new UnsupportedOperationException(
         s"ALTER TABLE: ${ident.name} has no committed schema metadata"))
-    val (adds, others) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
-    val (drops, unsupported) = others.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (adds, r1) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val (drops, r2) = r1.partition(_.isInstanceOf[TableChange.DeleteColumn])
+    val (renames, r3) = r2.partition(_.isInstanceOf[TableChange.RenameColumn])
+    val (retypes, unsupported) =
+      r3.partition(_.isInstanceOf[TableChange.UpdateColumnType])
     unsupported.headOption.foreach { other =>
       throw new UnsupportedOperationException(
-        s"graft supports ADD COLUMN and DROP COLUMN; got $other — " +
-          "rename/retype would need field-ID column mapping")
+        "graft supports ADD/DROP/RENAME COLUMN and widening ALTER COLUMN " +
+          s"TYPE; got $other")
     }
     val added = adds.map { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
@@ -166,6 +169,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(d.fieldNames.length == 1,
         "ALTER TABLE DROP COLUMN: only top-level columns")
       graft.sources.LakeIO.dropColumnSchema(path, d.fieldNames.head)
+    }
+    // RENAME COLUMN / widening ALTER COLUMN TYPE — the field-history
+    // column mapping (LakeIO.renameColumn/retypeColumn): metadata-only,
+    // old files keep reading
+    renames.foreach { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        "ALTER TABLE RENAME COLUMN: only top-level columns")
+      graft.sources.LakeIO.renameColumn(path, r.fieldNames.head, r.newName)
+    }
+    retypes.foreach { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames.length == 1,
+        "ALTER TABLE ALTER COLUMN TYPE: only top-level columns")
+      graft.sources.LakeIO.retypeColumn(path, u.fieldNames.head, u.newDataType)
     }
     loadTable(ident)
   }

