@@ -123,6 +123,50 @@ object CurationOps {
         |  md5(regexp_replace(text, '\b(customer|vector)\b', '[TERM]', 'g')) AS redacted_fp
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // PII scrub — the email/phone/SSN regex pass every training corpus
+    // runs before release. The synthetic corpus carries no real PII, so
+    // the op SEEDS deterministic doc_id-derived PII into each text and
+    // then redacts it: both engines inject and scrub the identical
+    // strings, making the whole regex pipeline hash-exact (ordering
+    // matters — emails first, so later digit patterns can't fire inside
+    // a replacement). Map-only, one codegen stage; n_pii counts what the
+    // scrub caught and clean_fp fingerprints the redacted text.
+    Op("redact_pii",
+      (s, d) => {
+        val seeded = docs(s, d).withColumn("txt",
+          concat($"text", lit(" contact user"), $"doc_id",
+            lit("@example.com tel 555-01"),
+            lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+            lit(" id 123-45-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "555-01[0-9]{2}"
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        seeded.select(
+          $"doc_id",
+          (regexp_count($"txt", lit(email)) + regexp_count($"txt", lit(phone)) +
+            regexp_count($"txt", lit(ssn))).cast("long").as("n_pii"),
+          md5(regexp_replace(regexp_replace(regexp_replace($"txt",
+            email, "<EMAIL>"), ssn, "<ID>"), phone, "<PHONE>")
+            .cast("binary")).as("clean_fp"))
+          .orderBy($"doc_id")
+      },
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |      || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(txt, '555-01[0-9]{2}'))
+        |     + len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+        |    '555-01[0-9]{2}', '<PHONE>', 'g')) AS clean_fp
+        |FROM seeded ORDER BY doc_id""".stripMargin),
+
     // Stratified sample: first 50 docs per language by content-hash order
     // — deterministic (same sample every run/engine, unlike rand()) and
     // balanced across strata. One hash-partitioned window per lang.

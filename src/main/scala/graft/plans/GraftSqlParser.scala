@@ -183,7 +183,12 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
     AttributeReference("num_tags", LongType, nullable = false)(),
-    AttributeReference("num_staged", LongType, nullable = false)())
+    AttributeReference("num_staged", LongType, nullable = false)(),
+    // schema-evolution surfaces: renamed fields' name histories
+    // ("old -> new; …", null when never renamed) and the partition ERAS
+    // live files were written under (>1 entry = evolution mid-convergence)
+    AttributeReference("column_mapping", StringType, nullable = true)(),
+    AttributeReference("partition_eras", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (partCol, entries) = ManifestFileIndex.read(root, None)
       .getOrElse(sys.error(s"DESCRIBE DETAIL: no committed manifest under $root"))
@@ -191,6 +196,15 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       new java.io.File(root, ManifestFileIndex.SnapshotDir).listFiles())
       .getOrElse(Array.empty)
       .count(f => f.getName.startsWith("staged-") && f.getName.endsWith(".tsv"))
+    val mapping = graft.sources.LakeIO.columnHistories(root) match {
+      case Seq() => null
+      case hs    => hs.map(_.mkString(" -> ")).mkString("; ")
+    }
+    val eras = entries.iterator.map(_.relPath.takeWhile(_ != '='))
+      .toSeq.distinct.sorted match {
+      case Seq() => partCol
+      case es    => es.mkString(",")
+    }
     Seq(Row("graft-lake", root,
       ManifestFileIndex.headVersion(root).getOrElse(0).toLong,
       partCol, entries.size.toLong,
@@ -198,7 +212,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       entries.iterator.map(_.size).sum,
       ManifestFileIndex.readDvs(root).size.toLong,
       ManifestFileIndex.listRefs(root).size.toLong,
-      staged.toLong))
+      staged.toLong, mapping, eras))
   }
 }
 

@@ -131,6 +131,13 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     LakeIO.tagSnapshot(path, "det-tag")
     val row2 = spark.sql("DESCRIBE DETAIL mcat.default.det").collect().head
     assert(row2.getLong(7) === 1L && row2.getLong(8) === 1L)
+    // never renamed, single era
+    assert(row2.isNullAt(10) && row2.getString(11) === "ts_hour")
+    // a rename surfaces its name history in column_mapping
+    LakeIO.compactDeletes(spark, path)
+    LakeIO.renameColumn(path, "v", "val2")
+    val row3 = spark.sql("DESCRIBE DETAIL mcat.default.det").collect().head
+    assert(row3.getString(10) === "v -> val2")
   }
 
   test("SHOW PARTITIONS lists the manifest inventory with row/byte accounting") {
