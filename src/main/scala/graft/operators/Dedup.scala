@@ -658,6 +658,67 @@ object Dedup {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin),
 
+    // Cross-document REPEATED-SUBSTRING detection (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better", ACL
+    // 2022 — arXiv:2107.06499): unlike [[dedup_segments]]' fixed bins,
+    // every OVERLAPPING 8-token window is keyed, windows occurring in
+    // more than one document are the repeated spans, and each doc
+    // reports its repeated-window fraction (the paper's removal
+    // criterion; here surfaced as a keep flag). 100 TB shape: one
+    // shuffle on the window key (the suffix-array build is replaced by
+    // hash-grouping fixed-length windows — linear, distributable, and
+    // the known approximation of the paper's exact-substring variant);
+    // per-doc coverage is a second key-bounded join, never pairwise.
+    Op("dedup_substring",
+      (s, d) => {
+        val k = 8
+        val toks = docs(s, d).select($"doc_id", split(lower($"text"), " ").as("t"))
+        val grams = toks
+          .where(size($"t") >= k)
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(0, size(t) - $k), " +
+              s"i -> array_join(slice(t, i + 1, $k), ' '))")).as("g"))
+        val repeated = grams.groupBy($"g")
+          .agg(countDistinct($"doc_id").as("nd")).where($"nd" > 1)
+          .select($"g")
+        val perDoc = grams.join(repeated.withColumn("_rep", lit(1)),
+            Seq("g"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when($"_rep".isNotNull, 1L).otherwise(0L)).as("n_repeated"))
+        docs(s, d).select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_windows", lit(0L)).as("n_windows"),
+            coalesce($"n_repeated", lit(0L)).as("n_repeated"))
+          .withColumn("rep_frac", when($"n_windows" === 0, 0.0)
+            .otherwise(round($"n_repeated".cast("double") / $"n_windows", 4)))
+          .withColumn("keep", $"rep_frac" < 0.5)
+          .orderBy($"doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM toks)),
+        |rep AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+        |  WHERE nd > 1),
+        |m AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(sum(CASE WHEN rep.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        |  FROM g LEFT JOIN rep ON g.g = rep.g GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(m.n_windows, 0) AS n_windows,
+        |  COALESCE(m.n_repeated, 0) AS n_repeated,
+        |  CASE WHEN COALESCE(m.n_windows, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(m.n_repeated AS DOUBLE) / m.n_windows, 4) END AS rep_frac,
+        |  (CASE WHEN COALESCE(m.n_windows, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(m.n_repeated AS DOUBLE) / m.n_windows, 4) END < 0.5) AS keep
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // Granular (sub-document) dedup — the C4/RefinedWeb "line dedup"
     // shape on this corpus's single-line docs (see [[segmentDedup]]).
     Op("dedup_segments",

@@ -1145,6 +1145,53 @@ object Similarity {
         |SELECT label, pos,
         |       CAST(sum(xd) AS DOUBLE) / count(*) AS c,
         |       CAST(count(*) AS BIGINT) AS n
-        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
+    // 1-BIT (sign) quantization + Hamming ranking: each 64-dim float
+    // vector packs into ONE long (32× smaller than float32; the binary
+    // tier below int8 in the quantization ladder), and candidate
+    // ranking is bit_count(xor) — one fused popcount per pair, no
+    // floats touched. Disjoint powers of two sum without carries, so
+    // the signature and every distance re-derive bit-identically in any
+    // engine: hash-exact oracle. At 100 TB the signature table for 10B
+    // vectors is 80 GB — broadcastable shards, scan-rankable at memory
+    // bandwidth; the standard first-pass filter before int8/float
+    // re-rank.
+    Op("similarity_hamming",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sig = emb(s, d)
+          .select($"vec_id", expr(
+            "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT), " +
+              "(acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i + 1) AS DOUBLE) > 0 " +
+              "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+            .as("sig"))
+        val q = broadcast(sig.where($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"sig".as("qs")))
+        q.join(sig, $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            bit_count($"qs".bitwiseXOR($"sig")).cast("long").as("hamming"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")).cast("long"))
+          .where($"rn" <= 10)
+          .orderBy($"q_id", $"rn")
+      },
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, CAST(list_sum([CASE WHEN e[i+1] > 0
+        |           THEN (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |                 ELSE (CAST(1 AS BIGINT) << i) END)
+        |           ELSE 0 END for i in range(0, 64)]) AS BIGINT) AS sig
+        |  FROM v),
+        |q AS (SELECT vec_id AS q_id, sig AS qs FROM b WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q_id, vec_id, CAST(bit_count(xor(qs, sig)) AS BIGINT) AS hamming
+        |  FROM q JOIN b ON vec_id != q_id)
+        |SELECT q_id, vec_id, hamming, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY hamming, vec_id) AS BIGINT) AS rn FROM p)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
   )
 }

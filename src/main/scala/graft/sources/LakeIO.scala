@@ -195,14 +195,7 @@ object LakeIO {
     * Parquet scans null-fill columns absent from old files natively.
     */
   def evolveAppend(df: DataFrame, path: String): Unit = {
-    // appends stage hour-partitioned files: a day-era table must evolve
-    // its spec first (evolvePartitioning) — an implicit flip of the
-    // manifest partCol here would be a surprising layout change
-    org.apache.spark.sql.graft.ManifestFileIndex.read(path).foreach {
-      case (pc, _) => require(pc == "ts_hour",
-        s"evolveAppend: table is $pc-partitioned; run " +
-          "evolvePartitioning(path, \"ts_hour\") before hour-era appends")
-    }
+    requireHourAppends(path, "evolveAppend")
     val withHour = hourPartitioned(df)
     tableSchema(path) match {
       case Some(current) =>
@@ -219,6 +212,7 @@ object LakeIO {
         val added = withHour.schema.fields.filterNot(f =>
           curByName.contains(f.name) || f.name == "ts_hour")
         val dead = droppedColumns(path)
+        added.foreach(f => requireUsableColumnName(f.name, "evolveAppend"))
         added.foreach(f => require(!dead.contains(f.name),
           s"evolveAppend: column ${f.name} was previously dropped; " +
             "re-adding it would resurrect dropped data — use a new name"))
@@ -268,6 +262,7 @@ object LakeIO {
     */
   def appendTxn(df: DataFrame, path: String): Int = {
     import org.apache.spark.sql.graft.ManifestFileIndex
+    requireHourAppends(path, "appendTxn")
     val withHour = hourPartitioned(df)
     if (tableSchema(path).isEmpty) writeSchemaFile(path, withHour.schema)
     val base = ManifestFileIndex.claimedVersion(path)
@@ -304,6 +299,7 @@ object LakeIO {
   def stageAppend(df: DataFrame, path: String, stageId: String): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     require(ManifestFileIndex.validRefName(stageId), s"invalid stage id '$stageId'")
+    requireHourAppends(path, "stageAppend")
     val withHour = hourPartitioned(df)
     if (tableSchema(path).isEmpty) writeSchemaFile(path, withHour.schema)
     val base = ManifestFileIndex.claimedVersion(path)
@@ -585,7 +581,7 @@ object LakeIO {
   def mergeInto(s: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
     requireNoDvs(path, "mergeInto")
-    requireSingleEra(path, "mergeInto")
+    requireHourEra(path, "mergeInto")
     val withHour = hourPartitioned(updates)
     val affected: Set[String] =
       withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
@@ -717,7 +713,7 @@ object LakeIO {
     */
   def deleteWhere(s: SparkSession, path: String, cond: Column): Unit = {
     requireNoDvs(path, "deleteWhere")
-    requireSingleEra(path, "deleteWhere")
+    requireHourEra(path, "deleteWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -804,6 +800,9 @@ object LakeIO {
   def mergeIntoMoR(s: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Long = {
     import org.apache.spark.sql.graft.ManifestFileIndex
+    // the batch append stages hour-era files (mixed-era candidates are
+    // fine — DV positions are file-based)
+    requireHourAppends(path, "mergeIntoMoR")
     if (updates.isEmpty) return 0L
     val base = ManifestFileIndex.claimedVersion(path)
     // read entries at the CLAIMED snapshot, never the mirror — the mirror
@@ -925,6 +924,8 @@ object LakeIO {
   def updateWhereMoR(s: SparkSession, path: String, cond: Column,
       assignments: Seq[(String, Column)]): Long = {
     import org.apache.spark.sql.graft.ManifestFileIndex
+    // updated images append as hour-era files
+    requireHourAppends(path, "updateWhereMoR")
     val base = ManifestFileIndex.claimedVersion(path)
     val (partCol, cands, _) = deleteCandidates(s, path, cond, Some(base))
     if (cands.isEmpty) return 0L
@@ -1029,7 +1030,13 @@ object LakeIO {
   def readMoR(s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val dvs = ManifestFileIndex.readDvs(path)
-    if (dvs.isEmpty && columnHistories(path).isEmpty)
+    // the manual V1 branch handles everything the V2 fast path cannot:
+    // DVs, rename histories, AND mixed-era manifests (this must be a
+    // superset of GraftLakeSource's needsRewrite guard, or a session
+    // without the rewrite rule gets bounced between the two)
+    val mixedEra = ManifestFileIndex.read(path).exists { case (pc, es) =>
+      es.exists(!_.relPath.startsWith(pc + "=")) }
+    if (dvs.isEmpty && columnHistories(path).isEmpty && !mixedEra)
       s.read.format("graft-lake").load(path)
     else {
       val (_, entries) = ManifestFileIndex.read(path).get
@@ -1061,9 +1068,15 @@ object LakeIO {
     val touchedParts = entries.filter(e => touchedFiles(e.relPath))
       .map(_.partValue).toSet
     val (touched, untouched) = entries.partition(e => touchedParts(e.partValue))
-    val survivors = positionedScan(s, path, touched.map(_.relPath), None)
+    // touchedParts membership is per-era exact (day and hour value
+    // formats never collide), so mixed-era folding is safe; a day-
+    // partitioned table needs its derived column back for the rewrite
+    // (explicit multi-file scans never restore directory columns)
+    val base = positionedScan(s, path, touched.map(_.relPath), None)
       .join(broadcast(dv), Seq("_dv_file", "_dv_pos"), "left_anti")
       .drop("_dv_file", "_dv_pos")
+    val survivors =
+      if (partCol == "ts_day") dayPartitioned(base.drop("ts_hour")) else base
     writeCow(s, path, partCol, survivors, untouched)
     dvs.foreach(d => rmDir(s"$path/$d"))
     folded
@@ -1091,7 +1104,7 @@ object LakeIO {
   def updateWhere(s: SparkSession, path: String, cond: Column,
       assignments: Seq[(String, Column)]): Unit = {
     requireNoDvs(path, "updateWhere")
-    requireSingleEra(path, "updateWhere")
+    requireHourEra(path, "updateWhere")
     val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
     if (cands.isEmpty) return
     val entries = cands ++ skipped
@@ -1155,6 +1168,7 @@ object LakeIO {
     */
   def appendExactlyOnce(path: String, batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
+    requireHourAppends(path, "appendExactlyOnce")
     val prefix = s"b$batchId-"
     // the replay check and the commit rebase must share ONE base: the
     // CLAIMED head, not the mirror manifest — after a crash between a
@@ -1448,6 +1462,7 @@ object LakeIO {
       // without column IDs, re-adding a dropped name would resurrect the
       // old files' data under the new column — Iceberg prevents this with
       // field IDs; we prevent it with a tombstone
+      requireUsableColumnName(f.name, "evolveSchema")
       require(!dead.contains(f.name),
         s"evolveSchema: column ${f.name} was previously dropped; " +
           "re-adding it would resurrect dropped data — use a new name")
@@ -1580,10 +1595,11 @@ object LakeIO {
     val partCol = ManifestFileIndex.read(path).map(_._1).getOrElse("ts_hour")
     require(current.fieldNames.contains(from),
       s"renameColumn: no column $from in ${current.fieldNames.mkString(",")}")
-    require(from != "ts" && from != partCol,
-      s"renameColumn: $from drives the hour partitioning and cannot rename")
+    require(from != "ts" && from != partCol && from != "ts_hour" && from != "ts_day",
+      s"renameColumn: $from drives the hidden partitioning and cannot rename")
     require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n' || c == '='),
       s"renameColumn: invalid target name '$to'")
+    requireUsableColumnName(to, "renameColumn")
     require(!current.fieldNames.contains(to),
       s"renameColumn: column $to already exists")
     require(!droppedColumns(path).contains(to),
@@ -1603,8 +1619,12 @@ object LakeIO {
       else hists :+ (ownLine :+ to)
     val newSchema = org.apache.spark.sql.types.StructType(
       current.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-    writeSchemaFile(path, newSchema)
+    // HISTORY FIRST, schema second: a concurrent reader that sees the
+    // renamed schema with no mapping yet would null-fill the column on
+    // every pre-rename file; an orphan history line is harmless (the
+    // lookup keys on the current schema's names). Rollback reverses.
     writeColumnHistories(path, newHists)
+    writeSchemaFile(path, newSchema)
     try ManifestFileIndex.commitDelta(path, partCol,
       ManifestFileIndex.claimedVersion(path), Seq.empty, Set.empty)
     catch {
@@ -1728,18 +1748,47 @@ object LakeIO {
 
   /** CoW mutations split touched/untouched partitions by comparing
     * DATA-derived ts_hour values against entry partValues — meaningless
-    * against a foreign-era entry, so they refuse on mixed-era manifests
-    * (MoR DML is file-position-based and stays era-safe; `rewriteEra`
-    * converges the layout, then CoW resumes).
+    * against a foreign-era entry OR a day-partitioned table (an hour
+    * string never equals a day partValue: the mutation would silently
+    * no-op), so they require the hour spec AND a converged layout
+    * (MoR deletes are file-position-based and stay era-safe;
+    * `evolvePartitioning` + `rewriteEra` converge, then CoW resumes).
     */
-  private def requireSingleEra(path: String, op: String): Unit = {
+  private def requireHourEra(path: String, op: String): Unit = {
     org.apache.spark.sql.graft.ManifestFileIndex.read(path).foreach {
       case (pc, es) =>
+        require(pc == "ts_hour",
+          s"$op: table $path is $pc-partitioned; this mutation accounts " +
+            "touched partitions in hour values — evolvePartitioning(path, " +
+            "\"ts_hour\") (+ rewriteEra) first")
         require(es.forall(_.relPath.startsWith(pc + "=")),
           s"$op: table $path is mid partition-evolution (mixed-era files); " +
             "use the MoR form or run rewriteEra(path) first")
     }
   }
+
+  /** Appending writers stage `ts_hour=` directories; on a table whose
+    * manifest declares a different partition spec they would either drop
+    * the staged files on the floor (moveStaged filters by the declared
+    * prefix) or silently flip the spec in the commit header. Refuse.
+    */
+  private def requireHourAppends(path: String, op: String): Unit = {
+    org.apache.spark.sql.graft.ManifestFileIndex.read(path).foreach {
+      case (pc, _) => require(pc == "ts_hour",
+        s"$op: table $path is $pc-partitioned; appends stage hour-era " +
+          "files — run evolvePartitioning(path, \"ts_hour\") first")
+    }
+  }
+
+  /** Names a table column may never take: `ts` drives partitioning and
+    * `ts_hour`/`ts_day` are DERIVED hidden partition columns that every
+    * reader strips from the read schema and recomputes from ts — a data
+    * column by one of these names would silently read as the derivation.
+    */
+  private def requireUsableColumnName(name: String, op: String): Unit =
+    require(name != "ts" && name != "ts_hour" && name != "ts_day",
+      s"$op: '$name' is reserved (ts drives partitioning; ts_hour/ts_day " +
+        "are derived hidden partition columns)")
 
   /** Switch the table's partition layout for FUTURE writes — metadata-
     * only: commits a snapshot whose manifest header carries the new
@@ -1748,9 +1797,12 @@ object LakeIO {
     */
   def evolvePartitioning(path: String, newPartCol: String): Int = {
     import org.apache.spark.sql.graft.ManifestFileIndex
-    require(newPartCol == "ts_hour" || newPartCol == "ts_day",
-      s"evolvePartitioning: unknown partition spec $newPartCol " +
-        "(supported: ts_day, ts_hour)")
+    // evolution is monotone toward the FINER spec: every appending
+    // writer stages hour-era files, so an hour→day flip would strand
+    // all future appends (moveStaged filters by the declared prefix)
+    require(newPartCol == "ts_hour",
+      s"evolvePartitioning: unsupported target $newPartCol " +
+        "(supported: ts_hour — evolution goes day -> hour)")
     val cur = ManifestFileIndex.read(path)
     require(cur.isDefined, s"evolvePartitioning: no committed manifest under $path")
     require(cur.get._1 != newPartCol,

@@ -168,20 +168,22 @@ class GraftLakeTable(inner: ParquetTable,
     // mid-convergence) equally needs the rewrite: the V2 file index would
     // parse day-era directory values as the current partition column. If
     // no rule installation is detectable in this session, refuse loudly
-    // rather than lose data.
-    def needsRewrite(r: String): Boolean =
-      graft.sources.LakeIO.columnHistories(r).nonEmpty ||
-        ManifestFileIndex.read(r).exists { case (pc, es) =>
-          es.exists(!_.relPath.startsWith(pc + "=")) }
-    if (rootDir.exists(needsRewrite)) {
+    // rather than lose data. Checks reuse the table's own `manifest`
+    // lazy val — no second manifest parse on the per-query planning path.
+    val renamed = rootDir.exists(r =>
+      graft.sources.LakeIO.columnHistories(r).nonEmpty)
+    val mixedEra = manifest.exists { case (pc, es) =>
+      es.exists(!_.relPath.startsWith(pc + "=")) }
+    if (renamed || mixedEra) {
       val s = inner.sparkSession
       val installed =
         s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")) ||
           s.experimental.extraOptimizations
             .exists(_.ruleName.endsWith("ApplyDeletionVectors"))
+      val why = if (renamed) "has renamed columns" else "is mixed-era"
       require(installed,
-        s"table ${rootDir.get} has renamed columns; reads require the " +
-          "column-mapping rule — set spark.sql.extensions=" +
+        s"table ${rootDir.get} $why; reads require the " +
+          "mapping/era rewrite — set spark.sql.extensions=" +
           "graft.plans.GraftExtensions (or Graft.install(spark)), or read " +
           "via LakeIO.readMoR")
     }
@@ -436,6 +438,21 @@ case class GraftLakeScan(
       case m: ManifestFileIndex => m
       case _ => throw new UnsupportedOperationException(
         "graft-lake streaming requires a committed manifest (write via LakeIO)")
+    }
+    // the micro-batch stream plans raw parquet scans of manifest-diff
+    // files — it has no column-mapping/era rewrite, so a renamed table's
+    // pre-rename files would stream with the renamed column null-filled
+    // and day-era files would misparse their directory value. Refuse
+    // loudly; compact/rewriteEra converge the files, then streaming works.
+    val streamRoot = idx.rootPaths.head.toString
+    require(graft.sources.LakeIO.columnHistories(streamRoot).isEmpty,
+      s"graft-lake streaming: table $streamRoot has renamed columns; the " +
+        "stream cannot apply the column mapping — compact the table " +
+        "(rewrites converge files to current names) before streaming")
+    ManifestFileIndex.read(streamRoot).foreach { case (pc, es) =>
+      require(es.forall(_.relPath.startsWith(pc + "=")),
+        s"graft-lake streaming: table $streamRoot is mid partition-" +
+          "evolution (mixed-era files); run rewriteEra first")
     }
     val partCol = idx.partitionSchema.headOption.map(_.name).getOrElse("ts_hour")
     val opts = initial.options

@@ -1042,6 +1042,10 @@ object ManifestFileIndex {
         if (head == 0) Seq.empty
         else read(rootDir, Some(head)).map(_._2).getOrElse(Seq.empty)
       val headLive = headEntries.map(_.relPath).toSet
+      // one head-DV read per attempt, shared by the requireNoNewDvs
+      // conflict check and the carry-forward below
+      val headDvs: Seq[String] =
+        if (head == 0) Seq.empty else readDvs(rootDir, Some(head))
       if (head != baseVersion) {
         val baseLive: Set[String] =
           if (baseVersion == 0) Set.empty
@@ -1070,7 +1074,7 @@ object ManifestFileIndex {
           val baseDvs =
             if (baseVersion == 0) Set.empty[String]
             else readDvs(rootDir, Some(baseVersion)).toSet
-          val newDvs = readDvs(rootDir, Some(head)).toSet -- baseDvs
+          val newDvs = headDvs.toSet -- baseDvs
           if (newDvs.nonEmpty)
             throw new CommitConflictException(
               s"delete-delete conflict: ${newDvs.size} deletion vector(s) " +
@@ -1101,9 +1105,7 @@ object ManifestFileIndex {
       // deletion vectors carry forward across unrelated commits (an
       // append must not resurrect MoR-deleted rows); compactDeletes
       // clears them after folding the deletes into rewritten files
-      val dvs =
-        (if (clearDvs || head == 0) Seq.empty
-         else readDvs(rootDir, Some(head))) ++ addDvs
+      val dvs = (if (clearDvs) Seq.empty else headDvs) ++ addDvs
       val content = renderManifest(partCol, newEntries, parked, dvs)
       if (tryClaim(rootDir, head + 1, content)) {
         publishClaimed(rootDir, head + 1, content)

@@ -149,4 +149,61 @@ class LakePartitionEvolutionSpec extends AnyFunSuite {
       LakeIO.evolvePartitioning(root, "ts_day")
     }
   }
+
+  test("day tables: hour-assuming writers refuse; MoR delete + DV fold work") {
+    val root = s"$base/dayguards"
+    rm(new java.io.File(root))
+    LakeIO.writeLakeDay(events, root)
+    // every appending writer stages hour-era files → must refuse rather
+    // than drop staged files or flip the spec (review findings r6)
+    intercept[IllegalArgumentException] { LakeIO.appendTxn(events.limit(5), root) }
+    intercept[IllegalArgumentException] { LakeIO.evolveAppend(events.limit(5), root) }
+    intercept[IllegalArgumentException] {
+      LakeIO.mergeIntoMoR(spark, root, events.limit(5), "event_id")
+    }
+    intercept[IllegalArgumentException] {
+      LakeIO.updateWhereMoR(spark, root, lit(true), Seq("value" -> lit(0.0)))
+    }
+    // CoW mutations account touched partitions in hour values → refuse
+    // on a day table instead of silently no-opping
+    intercept[IllegalArgumentException] {
+      LakeIO.deleteWhere(spark, root, $"event_type" === "click")
+    }
+    intercept[IllegalArgumentException] {
+      LakeIO.updateWhere(spark, root, lit(true), Seq("value" -> lit(0.0)))
+    }
+    // the file-position-based MoR delete IS era-general, and its DVs can
+    // be folded on a day table (rewrite re-derives ts_day)
+    val n = LakeIO.deleteWhereMoR(spark, root, $"event_type" === "click")
+    assert(n == events.where($"event_type" === "click").count())
+    val folded = LakeIO.compactDeletes(spark, root)
+    assert(folded == n)
+    val t = spark.read.format("graft-lake").load(root)
+    assert(t.where($"event_type" === "click").count() == 0)
+    assert(t.count() == events.count() - n)
+    val (pc, es) = ManifestFileIndex.read(root).get
+    assert(pc == "ts_day" && es.forall(_.relPath.startsWith("ts_day=")))
+  }
+
+  test("reserved names refuse everywhere; rename ordering keeps mapping first") {
+    val root = s"$base/reserved"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(events.limit(50), root)
+    intercept[IllegalArgumentException] { LakeIO.renameColumn(root, "value", "ts_day") }
+    intercept[IllegalArgumentException] { LakeIO.renameColumn(root, "value", "ts_hour") }
+    intercept[IllegalArgumentException] {
+      LakeIO.evolveSchema(root, Seq(org.apache.spark.sql.types.StructField(
+        "ts_day", org.apache.spark.sql.types.StringType)))
+    }
+    // streaming a renamed table refuses loudly (no mapping on the stream)
+    LakeIO.renameColumn(root, "value", "amount")
+    val q = spark.readStream.format("graft-lake-stream").load(root)
+      .writeStream.format("memory").queryName("ren_stream").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val full = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(full.contains("renamed columns"), s"got: $full")
+  }
 }
