@@ -134,12 +134,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SELECT * FROM galt.default.evolving VERSION AS OF $v0")
     assert(!old.columns.contains("extra"))
 
-    // rename/retype evolution stays rejected (needs field-ID mapping;
-    // DROP COLUMN is supported separately as a logical drop)
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE galt.default.evolving RENAME COLUMN v TO w")
-    }
-    assert(e.getMessage.contains("field-ID"))
+    // RENAME COLUMN is supported since r6 via the name-history mapping:
+    // metadata-only, old files keep reading under the coalesce
+    spark.sql("ALTER TABLE galt.default.evolving RENAME COLUMN v TO w")
+    val renamed = spark.sql(
+      "SELECT id, w FROM galt.default.evolving ORDER BY id").collect()
+    assert(renamed.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(renamed.forall(!_.isNullAt(1)), "old files must read w via mapping")
+    assert(LakeIO.columnHistories(path) == Seq(Seq("v", "w")))
     // RENAME TABLE stays unsupported
     intercept[Exception] {
       spark.sql("ALTER TABLE galt.default.evolving RENAME TO renamed")
