@@ -519,9 +519,7 @@ object LakeIO {
     require(cur.isDefined, s"optimizeZOrder: $path has no committed manifest")
     val (partCol, entries) = cur.get
     if (entries.isEmpty) return
-    // basePath recovers the partition column from directory names
-    val rows = s.read.option("basePath", path)
-      .parquet(entries.map(e => path + "/" + e.relPath): _*)
+    val rows = maintenanceScan(s, path, partCol, entries)
     val nParts = entries.map(_.partValue).distinct.size
     writeCow(s, path, partCol, rows, Seq.empty, cluster = df =>
       ZOrder.withZValue(df, colA, colB)
@@ -548,10 +546,7 @@ object LakeIO {
     val fragmented = entries.groupBy(_.partValue).filter(_._2.size > 1).keySet
     if (fragmented.isEmpty) return
     val (touched, untouched) = entries.partition(e => fragmented.contains(e.partValue))
-    // basePath inference recovers the partition column from directory
-    // names — schema-agnostic (works for any lake, not just ts-bearing)
-    val rows = s.read.option("basePath", path)
-      .parquet(touched.map(e => path + "/" + e.relPath): _*)
+    val rows = maintenanceScan(s, path, partCol, touched)
     writeCow(s, path, partCol, rows, untouched)
   }
 
@@ -1270,7 +1265,13 @@ object LakeIO {
     val dvFromP = if (fromV == 0) Seq.empty[String]
                   else ManifestFileIndex.readDvs(path, Some(fromV))
     val dvToP = ManifestFileIndex.readDvs(path, Some(toV))
-    if (dvFromP.isEmpty && dvToP.isEmpty) {
+    // renamed / mixed-era tables take the V1 (positionedScan) path: it
+    // resolves the column mapping and per-file eras, which the V2
+    // changesFrom fast path cannot (and its scan guard would refuse)
+    val needsMapping = columnHistories(path).nonEmpty ||
+      ManifestFileIndex.read(path).exists { case (pc, es) =>
+        es.exists(!_.relPath.startsWith(pc + "=")) }
+    if (dvFromP.isEmpty && dvToP.isEmpty && !needsMapping) {
       // both sides plan from the MANIFEST DIFF inside the V2 source
       // (changesFrom/changesTo options): two metadata reads replace the
       // V1 multi-path read that stat'd every touched file on the driver
@@ -1899,6 +1900,29 @@ object LakeIO {
     if (columnHistories(path).isEmpty)
       hourPartitioned(s.read.parquet(files.map(f => path + "/" + f): _*))
     else mappedScan(s, path, files, tableSchema(path), withPositions = false)
+
+  /** Whole-row maintenance read for CoW rewrites (compaction, Z-order).
+    * Plain never-renamed single-era tables read raw with basePath
+    * partition recovery (schema-agnostic). Renamed or mixed-era tables
+    * MUST read through the mapping — a raw multi-file read of mixed
+    * physical schemas silently null-fills whichever generation the
+    * inferred schema misses — and the rewrite then naturally converges
+    * the touched files to current names/era. Output always carries the
+    * table's partCol column (writeCow clusters on it).
+    */
+  private def maintenanceScan(s: SparkSession, path: String, partCol: String,
+      entries: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry])
+    : DataFrame = {
+    val mixedEra = entries.exists(!_.relPath.startsWith(partCol + "="))
+    if (columnHistories(path).isEmpty && !mixedEra)
+      s.read.option("basePath", path)
+        .parquet(entries.map(e => path + "/" + e.relPath): _*)
+    else {
+      val base = mappedScan(s, path, entries.map(_.relPath),
+        tableSchema(path), withPositions = false)
+      if (partCol == "ts_day") dayPartitioned(base.drop("ts_hour")) else base
+    }
+  }
 
   private def writeSchemaFile(path: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {

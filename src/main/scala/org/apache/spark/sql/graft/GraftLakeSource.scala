@@ -446,9 +446,10 @@ case class GraftLakeScan(
     // loudly; compact/rewriteEra converge the files, then streaming works.
     val streamRoot = idx.rootPaths.head.toString
     require(graft.sources.LakeIO.columnHistories(streamRoot).isEmpty,
-      s"graft-lake streaming: table $streamRoot has renamed columns; the " +
-        "stream cannot apply the column mapping — compact the table " +
-        "(rewrites converge files to current names) before streaming")
+      s"graft-lake streaming: table $streamRoot has renamed columns and " +
+        "the version-offset stream cannot apply the column mapping " +
+        "(the mapping is permanent — time travel needs it); consume " +
+        "snapshots via LakeIO.readMoR / readChanges instead")
     ManifestFileIndex.read(streamRoot).foreach { case (pc, es) =>
       require(es.forall(_.relPath.startsWith(pc + "=")),
         s"graft-lake streaming: table $streamRoot is mid partition-" +

@@ -146,6 +146,44 @@ class LakeRenameSpec extends AnyFunSuite {
     assert(pre.schema("id").dataType == IntegerType)
   }
 
+  test("maintenance + changefeed on a renamed table resolve the mapping") {
+    val root = s"$base/maint"
+    fresh(root)
+    val v1 = ManifestFileIndex.claimedVersion(root)
+    LakeIO.renameColumn(root, "value", "amount")
+    // fragment the partitions with a post-rename append (same hours)
+    val slice = events.limit(40)
+      .withColumn("event_id", $"event_id" + 5000000L)
+      .withColumnRenamed("value", "amount")
+    LakeIO.evolveAppend(slice, root)
+    val expectedSum = events.agg(sum($"value")).collect().head.getDouble(0) +
+      events.limit(40).agg(sum($"value")).collect().head.getDouble(0)
+
+    // the changefeed across the rename+append reports the appended rows
+    // with the mapping applied (no null-filled amount)
+    val head = ManifestFileIndex.claimedVersion(root)
+    val changes = LakeIO.readChanges(spark, root, v1, head)
+    assert(changes.where($"change" === "insert").count() == 40)
+    assert(changes.where($"amount".isNull).count() == 0)
+
+    // snapshot-safe compaction reads BOTH physical generations through
+    // the mapping (a raw multi-file read would null-fill one of them)
+    // and converges the rewritten files to the current name
+    LakeIO.compactSnapshots(spark, root)
+    val t = spark.read.format("graft-lake").load(root)
+    assert(t.count() == events.count() + 40)
+    assert(t.where($"amount".isNull).count() == 0)
+    assert(math.abs(t.agg(sum($"amount")).collect().head.getDouble(0)
+      - expectedSum) < 1e-6)
+
+    // Z-order maintenance likewise
+    LakeIO.optimizeZOrder(spark, root, "event_id", "amount")
+    val z = spark.read.format("graft-lake").load(root)
+    assert(z.count() == events.count() + 40)
+    assert(math.abs(z.agg(sum($"amount")).collect().head.getDouble(0)
+      - expectedSum) < 1e-6)
+  }
+
   test("rename guards: partitioning columns and existing names refuse") {
     val root = s"$base/guards"
     fresh(root)
