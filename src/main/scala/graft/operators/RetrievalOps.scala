@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,9 +28,13 @@ import graft.syntax._
   * 100 TB shape: tf/dl are one fact shuffle each (map-side combined);
   * df is dictionary-sized and BROADCAST; the corpus totals are 1-row
   * broadcast crossJoins (the lazy form — no eager count() job at plan
-  * time). The global row_number ranks the QUERY-MATCHED candidate set,
-  * which is bounded by the posting lists of the query terms, not the
-  * corpus.
+  * time). RANKING never funnels a corpus-sized set through one task:
+  * every top-k is the bounded-heap [[graft.functions.TopKByScore]]
+  * aggregate (partial per-partition top-k before the shuffle, one
+  * k×partitions-row final merge, rank = posexplode position) — a
+  * posting list for a frequent term IS corpus-sized, so a global
+  * `row_number` window over the scored candidates would be the
+  * scale-killer even though the candidate set is "bounded".
   */
 object RetrievalOps {
 
@@ -108,16 +111,36 @@ object RetrievalOps {
     coalesce(round(lit(1.0) / (lit(60) + rank), 6).cast(DecimalType(18, 6)),
       lit(BigDecimal(0)).cast(DecimalType(18, 6)))
 
+  /** Exact top-k of (score, id) via the bounded-heap aggregate, emitted
+    * as (id, rank). `score` must already be the SCALED-LONG image of the
+    * decimal ordering key (see [[graft.functions.TopKByScore]]); rank is
+    * the posexplode position — identical to the global
+    * `row_number() OVER (ORDER BY score DESC, id)` restricted to the
+    * true top-k, with no corpus-sized sort task anywhere in the plan.
+    */
+  private def topKRanked(scored: DataFrame, k: Int,
+      idOut: String, rankOut: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKByScore.agg(k))
+    scored.agg(topk($"score", $"id").as("top"))
+      .select(posexplode($"top").as(Seq("pos", "r")))
+      .select($"r.id".as(idOut), $"r.score".as("score"),
+        ($"pos" + 1).cast("long").as(rankOut))
+  }
+
   def ops: Seq[Op] = Seq(
 
     // BM25 top-10 for a fixed 3-term query. Rank compares DECIMAL
-    // totals (exact), tie-broken by doc_id.
+    // totals (exact, carried as scaled longs through the bounded-heap
+    // top-k — DECIMAL(18,6) × 1e6 is the unscaled long), tie-broken by
+    // doc_id. No ranking window: posting lists of frequent terms are
+    // corpus-sized, so rank comes from TopKByScore's partial-aggregated
+    // heap (≤ 10 rows per partition reach the shuffle).
     Op("bm25_topk",
       (s, d) => {
-        val ranked = bm25Scored(s, d).withColumn("rk",
-          row_number().over(Window.orderBy($"sd".desc, $"doc_id")).cast("long"))
-        ranked.where($"rk" <= 10)
-          .select($"doc_id", $"sd".cast("double").as("score"), $"rk")
+        val scored = bm25Scored(s, d)
+          .select(($"sd" * 1000000).cast("long").as("score"), $"doc_id".as("id"))
+        topKRanked(scored, 10, "doc_id", "rk")
+          .select($"doc_id", ($"score".cast("double") / 1e6).as("score"), $"rk")
           .orderBy($"rk")
       },
       s"""$bm25Cte
@@ -130,52 +153,71 @@ object RetrievalOps {
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and a
     // dense cosine ranking against one query vector (vec_id 0, the
     // "embed the query" stand-in; doc_id and vec_id share the id space).
-    // Each side ranks independently (text: decimal scores; vector: the
-    // similarity_topk recipe), then a FULL OUTER join fuses
-    // 1/(60+r) + 1/(60+r) — absent side contributes 0. Top 10 by fused
-    // decimal score. 100 TB: both rankings are top-k-bounded candidate
-    // sets (posting lists / ANN probes), the fusion join is
-    // candidate-sized, never corpus-sized.
+    // Each side contributes its exact TOP-100 CANDIDATE LIST (the
+    // standard RRF contract — retrievers return k candidates, not a
+    // corpus permutation): ranks within a side's top-100 equal that
+    // side's global ranks, and a FULL OUTER join fuses
+    // 1/(60+r) + 1/(60+r) with an absent side contributing 0. Top 10 by
+    // fused decimal score. 100 TB: BOTH side rankings and the final
+    // fused rank run through the bounded-heap TopKByScore aggregate —
+    // cosine scoring stays map-only (broadcast query vector), the text
+    // side is posting-list work, and no plan node ever sorts more than
+    // k×partitions rows in one task. The fused set (≤ 200 rows) is
+    // persisted so the rank→attribute join-back replays 200 cached
+    // rows, not the scoring lineage. Swapping the dense scan for a
+    // frozen-ANN probe (the similarity_ivf_trained recipe) is the
+    // recall-for-cost variant; the exact scan is kept here so the
+    // oracle stays hash-exact without replicating IVF assignment in SQL.
     Op("hybrid_rrf",
       (s, d) => {
-        val rt = bm25Scored(s, d).withColumn("r_text",
-          row_number().over(Window.orderBy($"sd".desc, $"doc_id")).cast("long"))
-          .select($"doc_id", $"r_text")
+        val rt = topKRanked(
+          bm25Scored(s, d)
+            .select(($"sd" * 1000000).cast("long").as("score"), $"doc_id".as("id")),
+          100, "doc_id", "r_text").drop("score")
 
         val v = Tables.embeddings(s, d)
           .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
           .withColumn("nrm", sqrt(Similarity.dot($"e", $"e")))
         val q = broadcast(v.where($"vec_id" === 0)
           .select($"e".as("qe"), $"nrm".as("qn")))
+        // round(·,6) then ×1e6 + round: the scaled long is recovered
+        // exactly (the double sits within ~1e-10 of its 6-dp integer
+        // image), so long order == the oracle's (cos DESC, vec_id) order.
         val cs = v.where($"vec_id" =!= 0).crossJoin(q)
-          .select($"vec_id",
-            round(Similarity.dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
-        val rv = cs.withColumn("r_vec",
-          row_number().over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
-          .select($"vec_id", $"r_vec")
+          .select(
+            round(round(Similarity.dot($"qe", $"e") / ($"qn" * $"nrm"), 6) * 1e6)
+              .cast("long").as("score"),
+            $"vec_id".as("id"))
+        val rv = topKRanked(cs, 100, "vec_id", "r_vec").drop("score")
 
-        rt.join(rv, $"doc_id" === $"vec_id", "full_outer")
+        val fused = rt.join(rv, $"doc_id" === $"vec_id", "full_outer")
           .select(coalesce($"doc_id", $"vec_id").as("id"), $"r_text", $"r_vec",
             (rrfPart($"r_text") + rrfPart($"r_vec")).as("rrf_dec"))
-          .withColumn("rk",
-            row_number().over(Window.orderBy($"rrf_dec".desc, $"id")).cast("long"))
-          .where($"rk" <= 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        val top = topKRanked(
+          fused.select(($"rrf_dec" * 1000000).cast("long").as("score"), $"id"),
+          10, "id", "rk").drop("score")
+
+        top.join(fused, "id")
           .select($"id", $"r_text", $"r_vec", $"rrf_dec".cast("double").as("rrf"), $"rk")
           .orderBy($"rk")
       },
       s"""$bm25Cte,
-         |rt AS (SELECT doc_id AS t_id,
+         |rt AS (SELECT t_id, r_text FROM (
+         |       SELECT doc_id AS t_id,
          |              CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT) AS r_text
-         |       FROM sc),
+         |       FROM sc) WHERE r_text <= 100),
          |v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |       FROM embeddings),
          |nv AS (SELECT vec_id, e, sqrt(${sqlDot.format("e", "e")}) AS nrm FROM v0),
          |qv AS (SELECT e AS qe, nrm AS qn FROM nv WHERE vec_id = 0),
          |cs AS (SELECT vec_id, round(${sqlDot.format("qe", "e")} / (qn * nrm), 6) AS cos
          |       FROM nv, qv WHERE vec_id <> 0),
-         |rv AS (SELECT vec_id AS v_id,
+         |rv AS (SELECT v_id, r_vec FROM (
+         |       SELECT vec_id AS v_id,
          |              CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS r_vec
-         |       FROM cs),
+         |       FROM cs) WHERE r_vec <= 100),
          |f AS (SELECT COALESCE(t_id, v_id) AS id, r_text, r_vec,
          |        COALESCE(CAST(round(CAST(1.0 AS DOUBLE) / (60 + r_text), 6) AS DECIMAL(18,6)),
          |                 CAST(0 AS DECIMAL(18,6)))

@@ -1157,9 +1157,18 @@ object Similarity {
     // vectors is 80 GB — broadcastable shards, scan-rankable at memory
     // bandwidth; the standard first-pass filter before int8/float
     // re-rank.
+    // Ranking: NO per-q_id window — 5 query keys would funnel the n×5
+    // scored pairs into 5 sort tasks. The bounded-heap TopKByScore
+    // aggregate (score = -hamming so "best" = smallest distance) caps
+    // each partition's contribution at 10 rows per q_id before the
+    // shuffle; rank = posexplode position of the heap-merged result.
+    // The q.join(sig, =!=) candidate scan is a DELIBERATE
+    // BroadcastNestedLoopJoin (the one sanctioned exception to the
+    // bucket-join invariant — this tier IS the brute binary first-pass
+    // scan, pinned by PlanShapeSpec).
     Op("similarity_hamming",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        val topk = udaf(graft.functions.TopKByScore.agg(10))
         val sig = emb(s, d)
           .select($"vec_id", expr(
             "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT), " +
@@ -1169,11 +1178,14 @@ object Similarity {
         val q = broadcast(sig.where($"vec_id" < 5)
           .select($"vec_id".as("q_id"), $"sig".as("qs")))
         q.join(sig, $"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id",
-            bit_count($"qs".bitwiseXOR($"sig")).cast("long").as("hamming"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"q_id").orderBy($"hamming", $"vec_id")).cast("long"))
-          .where($"rn" <= 10)
+          .select($"q_id",
+            (-bit_count($"qs".bitwiseXOR($"sig"))).cast("long").as("score"),
+            $"vec_id")
+          .groupBy($"q_id")
+          .agg(topk($"score", $"vec_id").as("top"))
+          .select($"q_id", posexplode($"top").as(Seq("pos", "r")))
+          .select($"q_id", $"r.id".as("vec_id"), (-$"r.score").as("hamming"),
+            ($"pos" + 1).cast("long").as("rn"))
           .orderBy($"q_id", $"rn")
       },
       """WITH v AS (

@@ -17,6 +17,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "AQE must be active and coalescing small shuffle partitions:\n" + plan.take(600))
   }
 
+  test("retrieval/ranking tier has no global-rank window funnel") {
+    // bm25_topk / hybrid_rrf / similarity_hamming rank via the
+    // bounded-heap TopKByScore aggregate (partial top-k per partition
+    // before the shuffle). A Window node anywhere in these plans means
+    // someone reintroduced the corpus-sized single-task sort the r6
+    // verdict flagged — the scored input (posting lists, the full
+    // signature scan) is unbounded at 100 TB even when "candidate
+    // bounded" at test scale.
+    Seq("bm25_topk", "hybrid_rrf", "similarity_hamming").foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"$k must rank through TopKByScore, not a Window: ${windows.mkString("; ")}")
+    }
+  }
+
+  test("similarity_hamming candidate scan is a pinned BroadcastNestedLoopJoin") {
+    // The =!= candidate join is the DELIBERATE exception to the
+    // bucket-join invariant: the binary tier is a brute signature scan
+    // with the 5-row query side broadcast. Pin the physical shape so an
+    // optimizer change degrading it to CartesianProduct (corpus×corpus
+    // shuffle) cannot land silently. (ADVICE r6.)
+    val df = SparkEntry.queries("similarity_hamming")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "hamming candidates must come from a broadcast nested-loop scan:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"),
+      "hamming scan degraded to CartesianProduct:\n" + plan.take(800))
+  }
+
   test("no keyed query collects to the driver mid-plan") {
     // structural: every registered op returns a DataFrame whose plan is
     // pure Catalyst (a .collect() inside a query function would surface
