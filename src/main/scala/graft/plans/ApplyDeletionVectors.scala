@@ -41,7 +41,29 @@ import graft.sources.LakeIO
   */
 object ApplyDeletionVectors extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Sessions this rule has PROVABLY run in. `GraftLakeSource`'s
+    * renamed/mixed-era scan guard needs to know whether the rewrite is
+    * active, but a session built with
+    * `SparkSession.builder().withExtensions(...)` leaves
+    * `spark.sql.extensions` unset and `experimental.extraOptimizations`
+    * empty — undetectable from configuration. The rule itself is the
+    * ground truth: injected optimizer rules run on EVERY query's plan,
+    * in the operator-optimization batch BEFORE V2 pushdown invokes the
+    * scan guard, so within the very first query the session is marked
+    * before the guard ever asks.
+    */
+  private val ranInSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Did this rule run in `s` (any install path)? */
+  def ranIn(s: SparkSession): Boolean = ranInSessions.contains(s.sessionUUID)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    SparkSession.getActiveSession.foreach(s => ranInSessions.add(s.sessionUUID))
+    applyImpl(plan)
+  }
+
+  private def applyImpl(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case r: DataSourceV2Relation => r.table match {
       case t: GraftLakeTable if eligible(t, r.options) =>
         resolve(t, r.options) match {

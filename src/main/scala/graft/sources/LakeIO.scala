@@ -652,8 +652,19 @@ object LakeIO {
     // reading it could include a file removed AT the claimed base —
     // commitDelta's removedSince(base..head) check would never see the
     // removal (head == base) and a DV could land on dead positions.
-    val cur = version.filter(_ > 0).flatMap(v => ManifestFileIndex.read(path, Some(v)))
-      .orElse(ManifestFileIndex.read(path))
+    // A claimed snapshot that fails to read must FAIL, never fall back
+    // to the mirror: the fallback would silently reintroduce exactly the
+    // lagging-mirror race this parameter exists to close.
+    val cur = version.filter(_ > 0) match {
+      case Some(v) =>
+        val snap = ManifestFileIndex.read(path, Some(v))
+        require(snap.isDefined,
+          s"deleteCandidates: claimed snapshot v$v under $path is " +
+            "unreadable — refusing to plan from the (possibly lagging) " +
+            "mirror manifest")
+        snap
+      case None => ManifestFileIndex.read(path)
+    }
     require(cur.isDefined, s"deleteWhere: $path has no committed manifest")
     val (partCol, entries) = cur.get
     // resolve cond against the real schema so the bound extractors see
@@ -802,10 +813,18 @@ object LakeIO {
     val base = ManifestFileIndex.claimedVersion(path)
     // read entries at the CLAIMED snapshot, never the mirror — the mirror
     // lags one commit inside a concurrent writer's claim->publish window
-    // (same discipline as deleteCandidates; CLAUDE.md invariant)
+    // (same discipline as deleteCandidates; CLAUDE.md invariant). An
+    // unreadable claimed snapshot fails loudly: the mirror fallback would
+    // reopen the race this read exists to close.
     val cur =
-      (if (base > 0) ManifestFileIndex.read(path, Some(base)) else None)
-        .orElse(ManifestFileIndex.read(path))
+      if (base > 0) {
+        val snap = ManifestFileIndex.read(path, Some(base))
+        require(snap.isDefined,
+          s"mergeIntoMoR: claimed snapshot v$base under $path is " +
+            "unreadable — refusing to plan from the (possibly lagging) " +
+            "mirror manifest")
+        snap
+      } else ManifestFileIndex.read(path)
     require(cur.isDefined, s"mergeIntoMoR: $path has no committed manifest")
     val (partCol, entries) = cur.get
     val prior = ManifestFileIndex.readDvs(path, Some(base).filter(_ > 0))
@@ -1267,10 +1286,25 @@ object LakeIO {
     val dvToP = ManifestFileIndex.readDvs(path, Some(toV))
     // renamed / mixed-era tables take the V1 (positionedScan) path: it
     // resolves the column mapping and per-file eras, which the V2
-    // changesFrom fast path cannot (and its scan guard would refuse)
+    // changesFrom fast path cannot (and its scan guard would refuse).
+    // The era test MUST look at the WINDOW's manifests (fromV and toV),
+    // not the head: after rewriteEra converges a day-origin table, the
+    // head is pure hour-era, but a window touching pre-convergence
+    // versions still diffs day-era files — the V2 fast path would parse
+    // their day partValues as ts_hour and the removed side would fail to
+    // net against the added side (every rewritten row reported as a
+    // spurious insert+delete pair). A partCol CHANGE inside the window
+    // (evolvePartitioning between fromV and toV) is mixed by definition.
+    def manifestAt(v: Int): Option[(String, Seq[ManifestFileIndex.Entry])] =
+      if (v <= 0) None else ManifestFileIndex.read(path, Some(v))
+    def mixedAt(v: Int): Boolean = manifestAt(v).exists { case (pc, es) =>
+      es.exists(!_.relPath.startsWith(pc + "=")) }
+    val eraChanged = (manifestAt(fromV), manifestAt(toV)) match {
+      case (Some((pcF, _)), Some((pcT, _))) => pcF != pcT
+      case _ => false
+    }
     val needsMapping = columnHistories(path).nonEmpty ||
-      ManifestFileIndex.read(path).exists { case (pc, es) =>
-        es.exists(!_.relPath.startsWith(pc + "=")) }
+      mixedAt(fromV) || mixedAt(toV) || eraChanged
     if (dvFromP.isEmpty && dvToP.isEmpty && !needsMapping) {
       // both sides plan from the MANIFEST DIFF inside the V2 source
       // (changesFrom/changesTo options): two metadata reads replace the
@@ -1886,6 +1920,29 @@ object LakeIO {
       .write.mode("overwrite").partitionBy("ts_hour")
       .option("compression", "zstd").parquet(stage)
     val appended = moveStaged(path, partCol, stage, s"e$token-")
+    // Convergence must also converge the SCHEMA FILE: a day-origin table
+    // keeps `ts_day` in _graft_schema.json, and once the last day-era
+    // file is gone the V2 fast path resumes with partCol=ts_hour — a
+    // leftover ts_day field would then read as an ordinary data column
+    // the hour-era files don't carry and silently null-fill. Swap it for
+    // ts_hour (in place, preserving field order) BEFORE the commit so
+    // the converged snapshot freezes the corrected schema; historical
+    // snapshots keep their own frozen ts_day schema (time travel reads
+    // them through the era rewrite). A commit failure after this write
+    // leaves the table mixed-era, where every read re-derives partition
+    // columns from ts anyway — the schema file is not load-bearing until
+    // the convergence commit lands.
+    tableSchema(path).foreach { st =>
+      if (st.fieldNames.contains("ts_day")) {
+        val swapped = st.fields.flatMap { f =>
+          if (f.name != "ts_day") Some(f)
+          else if (st.fieldNames.contains("ts_hour")) None
+          else Some(org.apache.spark.sql.types.StructField(
+            "ts_hour", org.apache.spark.sql.types.StringType, nullable = true))
+        }
+        writeSchemaFile(path, org.apache.spark.sql.types.StructType(swapped))
+      }
+    }
     ManifestFileIndex.commitDelta(path, partCol, base, appended,
       old.map(_.relPath).toSet)
   }
