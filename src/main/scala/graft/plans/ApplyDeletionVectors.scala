@@ -53,13 +53,15 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
     * before the guard ever asks.
     */
   private val ranInSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
 
   /** Did this rule run in `s` (any install path)? */
-  def ranIn(s: SparkSession): Boolean = ranInSessions.contains(s.sessionUUID)
+  def ranIn(s: SparkSession): Boolean =
+    ranInSessions.contains(Integer.valueOf(System.identityHashCode(s)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    SparkSession.getActiveSession.foreach(s => ranInSessions.add(s.sessionUUID))
+    SparkSession.getActiveSession.foreach(s =>
+      ranInSessions.add(Integer.valueOf(System.identityHashCode(s))))
     applyImpl(plan)
   }
 
