@@ -190,6 +190,12 @@ object RetrievalOps {
             $"vec_id".as("id"))
         val rv = topKRanked(cs, 100, "vec_id", "r_vec").drop("score")
 
+        // CACHE LIFETIME: the returned DataFrame is lazy, so this op
+        // cannot unpersist before the caller evaluates it — the ≤200-row
+        // entry lives until `spark.catalog.clearCache()` (Bench runs it
+        // per query; Verify is one-shot). Same documented contract as the
+        // Dedup/Similarity persists; interactive users reusing a session
+        // for many ad-hoc hybrid_rrf calls should clearCache periodically.
         val fused = rt.join(rv, $"doc_id" === $"vec_id", "full_outer")
           .select(coalesce($"doc_id", $"vec_id").as("id"), $"r_text", $"r_vec",
             (rrfPart($"r_text") + rrfPart($"r_vec")).as("rrf_dec"))

@@ -53,15 +53,52 @@ object ApplyDeletionVectors extends Rule[LogicalPlan] {
     * before the guard ever asks.
     */
   private val ranInSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Did this rule run in `s` (any install path)? */
-  def ranIn(s: SparkSession): Boolean =
-    ranInSessions.contains(Integer.valueOf(System.identityHashCode(s)))
+  /** Did this rule run in `s` (any install path)? Keyed on the session
+    * object itself through a weak map: identity-exact (no hash reuse
+    * after GC, unlike `identityHashCode`) and entries die with their
+    * session, so the set cannot grow without bound in a long-lived JVM
+    * cycling many sessions.
+    */
+  def ranIn(s: SparkSession): Boolean = ranInSessions.containsKey(s)
+
+  /** Is the rewrite ACTIVE in `s`, deciding cold-start exactly? `ranIn`
+    * is ground truth but only populated once a query has been optimized
+    * in the session; the conf sniff covers `spark.sql.extensions`
+    * installs before their first query; and for `builder()
+    * .withExtensions(...)` installs (which leave the conf unset) the
+    * last resort is a PROBE — optimize one trivial `range(1)` plan: if
+    * the rule is injected it runs and marks the session, if not the
+    * probe is a few-microsecond no-op and the answer is a true negative.
+    * The probe never touches a graft-lake relation, so it cannot recurse
+    * into the scan guard that calls this.
+    */
+  def activeIn(s: SparkSession): Boolean =
+    ranIn(s) ||
+      s.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")) ||
+      s.experimental.extraOptimizations
+        .exists(_.ruleName.endsWith("ApplyDeletionVectors")) || {
+        // `apply` marks the thread's ACTIVE session, so pin it to `s`
+        // for the probe (a bare queryExecution access is not wrapped in
+        // `withActive` the way actions are)
+        val prev = SparkSession.getActiveSession
+        try {
+          SparkSession.setActiveSession(s)
+          s.range(1).queryExecution.optimizedPlan
+        } finally {
+          prev match {
+            case Some(p) => SparkSession.setActiveSession(p)
+            case None    => SparkSession.clearActiveSession()
+          }
+        }
+        ranIn(s)
+      }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     SparkSession.getActiveSession.foreach(s =>
-      ranInSessions.add(Integer.valueOf(System.identityHashCode(s))))
+      ranInSessions.put(s, java.lang.Boolean.TRUE))
     applyImpl(plan)
   }
 

@@ -161,6 +161,33 @@ class GraftLakeTable(inner: ParquetTable,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // A RENAMED table must read through the column-mapping rewrite
+    // ([[graft.plans.ApplyDeletionVectors]]) — the delegated parquet scan
+    // resolves columns by NAME and would silently null-fill the renamed
+    // column on pre-rename files. A MIXED-ERA table (partition evolution
+    // mid-convergence) equally needs the rewrite: the V2 file index would
+    // parse day-era directory values as the current partition column. If
+    // the rewrite is not active in this session, refuse loudly rather
+    // than lose data. [[graft.plans.ApplyDeletionVectors.activeIn]]
+    // decides exactly (ranIn ground truth → conf sniff → trivial-plan
+    // probe), covering `builder().withExtensions(...)` installs that
+    // leave `spark.sql.extensions` unset, even before the session's
+    // first query. Checks reuse the table's own `manifest` lazy val —
+    // no second manifest parse on the per-query planning path.
+    val renamed = rootDir.exists(r =>
+      graft.sources.LakeIO.columnHistories(r).nonEmpty)
+    val mixedEra = manifest.exists { case (pc, es) =>
+      es.exists(!_.relPath.startsWith(pc + "=")) }
+    if (renamed || mixedEra) {
+      val s = inner.sparkSession
+      val installed = graft.plans.ApplyDeletionVectors.activeIn(s)
+      val why = if (renamed) "has renamed columns" else "is mixed-era"
+      require(installed,
+        s"table ${rootDir.get} $why; reads require the " +
+          "mapping/era rewrite — set spark.sql.extensions=" +
+          "graft.plans.GraftExtensions (or Graft.install(spark)), or read " +
+          "via LakeIO.readMoR")
+    }
     // time travel: `.option("versionAsOf", v)` reads snapshot v's frozen
     // manifest + schema (appends never delete files, so old snapshots
     // stay readable — Iceberg snapshot semantics)
