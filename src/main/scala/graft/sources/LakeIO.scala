@@ -1856,13 +1856,33 @@ object LakeIO {
       version: Option[Int] = None)
     : Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
     import org.apache.spark.sql.graft.ManifestFileIndex
-    val cur = ManifestFileIndex.read(path, version)
-    require(cur.isDefined, s"prunedEntriesForRange: no manifest under $path")
     val startHour = startTs.take(13).replace(' ', '-')
     val endHour = endTs.take(13).replace(' ', '-')
     val startDay = startTs.take(10)
     val endDay = endTs.take(10)
-    cur.get._2.filter { e =>
+    // sharded manifest: read ONLY the shards whose dir range can
+    // intersect the query range — the planning-I/O half of two-level
+    // manifests (a 100-shard table answers an hour-range query from the
+    // list + one or two shards, not the whole entry set). The shard
+    // filter is pure I/O reduction: the exact per-entry filter below
+    // reapplies either way, so a conservatively-read shard can never
+    // change the answer. Era-spanning or unknown-prefix shard ranges
+    // read conservatively (their dirs' eras aren't knowable from the
+    // range alone).
+    val list = ManifestFileIndex.readList(path, version)
+    require(list.isDefined, s"prunedEntriesForRange: no manifest under $path")
+    val (_, inline, refs) = list.get
+    def intersects(r: ManifestFileIndex.ShardRef, lo: String, hi: String) =
+      !(r.maxDir < lo || r.minDir > hi)
+    def singleEra(r: ManifestFileIndex.ShardRef, pre: String) =
+      r.minDir.startsWith(pre) && r.maxDir.startsWith(pre)
+    val entries: Seq[ManifestFileIndex.Entry] = inline ++
+      refs.filter { r =>
+        intersects(r, s"ts_hour=$startHour", s"ts_hour=$endHour") ||
+        intersects(r, s"ts_day=$startDay", s"ts_day=$endDay") ||
+        !(singleEra(r, "ts_hour=") || singleEra(r, "ts_day="))
+      }.flatMap(ManifestFileIndex.readShardEntries(path, _))
+    entries.filter { e =>
       eraOf(e) match {
         case "ts_hour" => e.partValue >= startHour && e.partValue <= endHour
         case "ts_day"  => e.partValue >= startDay && e.partValue <= endDay
@@ -2272,7 +2292,64 @@ object LakeIO {
     path
   }
 
+  /** Lake committed with a SHARDED manifest (two-level manifest list →
+    * dir-range shard files): built under a low shard target so the
+    * ~hundreds of hour partitions split across multiple shards, then an
+    * appended slice exercises the O(changed)-shards commit (untouched
+    * ranges re-resolve to the same content-hash shard file). Keyed op
+    * `lake_sharded_scan` range-plans it through the shard-pruned path.
+    */
+  def shardedLake(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val path = "/tmp/graft_lake/v6_shard_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_shard_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val prev = sys.props.get("graft.lake.shard.target")
+      sys.props("graft.lake.shard.target") = "50"
+      try {
+        val base = Tables.events(s, d)
+          .select($"event_id", $"ts", $"event_type", $"value")
+        writeLake(base, path)
+        evolveAppend(base.where($"event_id" % 7 === 0)
+          .withColumn("event_id", $"event_id" + 4500000L), path)
+        require(ManifestFileIndex.readRefs(path).size >= 2,
+          s"sharded-lake fixture must actually shard (got " +
+            s"${ManifestFileIndex.readRefs(path).size} refs)")
+      } finally prev match {
+        case Some(v) => sys.props("graft.lake.shard.target") = v
+        case None    => sys.props -= "graft.lake.shard.target"
+      }
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // Two-level (sharded) manifest planning: the range scan reads the
+    // manifest LIST plus only the shards whose dir range intersects the
+    // window — identical answer to a full-manifest plan, verified
+    // hash-exact against the oracle that scans everything.
+    Op("lake_sharded_scan",
+      (s, d) => {
+        val path = shardedLake(s, d)
+        prunedScanEvolved(s, path,
+          "2024-01-08 00:00:00", "2024-01-10 00:00:00")
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH all_rows AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 4500000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 7 = 0)
+        |SELECT event_id, ts, event_type, value FROM all_rows
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
     // Column rename via field-history mapping, end-to-end through SQL:
     // pre-rename files carry `value`, post-rename files `amount`, and
     // the read resolves both generations into one column — hash-exact

@@ -200,6 +200,98 @@ object ManifestFileIndex {
 
   val ManifestName = "_graft_manifest.tsv"
   val SnapshotDir = "_graft_snapshots"
+  val ShardsDirName = "shards"
+
+  /** Reference to one immutable manifest SHARD (two-level manifests —
+    * Iceberg v2's manifest-list → manifest layout). A shard holds the
+    * entry lines of a contiguous partition-DIRECTORY range
+    * `[minDir, maxDir]` (dirs never span shards) and is named by the
+    * SHA-1 of its content, so an unchanged range re-committed by any
+    * writer resolves to the SAME file: a commit touching 1 of N
+    * partitions rewrites one shard plus the small manifest list, not the
+    * whole table's metadata — the difference between O(changed) and
+    * O(table) commit I/O at 400k files. `nEntries`/`nParts`/`nBytes` let
+    * the history ledger and planners account without opening the shard.
+    */
+  final case class ShardRef(name: String, minDir: String, maxDir: String,
+      nEntries: Long, nParts: Long, nBytes: Long)
+
+  /** Entries per shard before a commit splits it (and the threshold
+    * above which a manifest shards at all). Overridable for tests via
+    * -Dgraft.lake.shard.target; the 4096 default keeps small tables on
+    * the single-file inline format (no extra read per plan) while a
+    * 400k-file table plans from ~100 shards it can range-prune.
+    */
+  def shardTarget: Int =
+    sys.props.get("graft.lake.shard.target").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(4096)
+
+  private def shardsDir(rootDir: String): java.io.File =
+    new java.io.File(s"$rootDir/$SnapshotDir", ShardsDirName)
+
+  private def sha1Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    hexEncode(d.digest(s.getBytes("UTF-8")))
+  }
+
+  /** Manifest WITHOUT resolving shards: (partCol, inline entries, shard
+    * refs). The planning entry point for shard-pruned reads — callers
+    * must take the inline entries unconditionally and may prune which
+    * refs they open.
+    */
+  def readList(rootDir: String, version: Option[Int] = None)
+    : Option[(String, Seq[Entry], Seq[ShardRef])] = {
+    val f = version match {
+      case Some(v) => new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+      case None    => new java.io.File(rootDir, ManifestName)
+    }
+    if (!f.exists()) None
+    else parseManifestLinesFull(java.nio.file.Files.readAllLines(f.toPath))
+  }
+
+  /** Shard refs of a snapshot's manifest list (empty = inline manifest). */
+  def readRefs(rootDir: String, version: Option[Int] = None): Seq[ShardRef] =
+    readList(rootDir, version).map(_._3).getOrElse(Seq.empty)
+
+  /** Entries of one shard file. A referenced-but-missing shard is
+    * corrupt metadata (or a shard GC'd under a live reader) — fail
+    * loudly, a silent empty result would drop that range's files.
+    */
+  def readShardEntries(rootDir: String, ref: ShardRef): Seq[Entry] = {
+    val f = new java.io.File(shardsDir(rootDir), ref.name)
+    if (!f.exists())
+      sys.error(s"manifest shard ${ref.name} [${ref.minDir}..${ref.maxDir}] " +
+        s"missing under $rootDir/$SnapshotDir/$ShardsDirName")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(f.toPath).asScala
+      .flatMap(parseEntryLine).toSeq
+  }
+
+  /** Write a shard's content under its content-hash name, if absent
+    * (temp + hard-link: atomic, and idempotent across racing writers —
+    * identical content is by definition the same file). Returns the ref.
+    */
+  private def writeShard(rootDir: String, dirs: Seq[(String, Seq[Entry])])
+    : ShardRef = {
+    val sb = new StringBuilder
+    dirs.foreach { case (_, es) => es.foreach(renderEntryLine(sb, _)) }
+    val content = sb.toString
+    val name = s"shard-${sha1Hex(content)}.tsv"
+    val dir = shardsDir(rootDir)
+    dir.mkdirs()
+    val target = new java.io.File(dir, name)
+    if (!target.exists()) {
+      val tmp = java.io.File.createTempFile(".shard-", ".tmp", dir)
+      try {
+        java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+        try java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally { tmp.delete(); () }
+    }
+    ShardRef(name, dirs.head._1, dirs.last._1,
+      dirs.iterator.map(_._2.size.toLong).sum, dirs.size.toLong,
+      dirs.iterator.flatMap(_._2).map(_.size).sum)
+  }
 
   /** Per-column closed-interval bounds implied by pushed data filters:
     * only simple attr-vs-long-literal comparisons contribute (anything
@@ -505,61 +597,80 @@ object ManifestFileIndex {
       case Some(v) => new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
       case None    => new java.io.File(rootDir, ManifestName)
     }
-    parseManifestFile(f)
-  }
-
-  /** Parse any manifest-format TSV (the mirror, a snapshot, or a staged
-    * WAP manifest) into (partition column, entries).
-    */
-  private def parseManifestFile(f: java.io.File): Option[(String, Seq[Entry])] = {
     if (!f.exists()) None
-    else parseManifestLines(java.nio.file.Files.readAllLines(f.toPath))
+    else parseManifestLinesFull(java.nio.file.Files.readAllLines(f.toPath))
+      .map { case (pc, inline, refs) =>
+        // sharded manifest: the list carries refs, entries live in the
+        // (immutable, snapshot-shared) shard files
+        (pc, inline ++ refs.flatMap(readShardEntries(rootDir, _)))
+      }
   }
 
   private def parseManifestLines(lines: java.util.List[String])
-    : Option[(String, Seq[Entry])] = {
-    {
-      val it = lines.iterator()
-      if (!it.hasNext) None
+    : Option[(String, Seq[Entry])] =
+    parseManifestLinesFull(lines).map { case (pc, es, _) => (pc, es) }
+
+  /** Parse one ENTRY line (the shared body format of inline manifests
+    * AND shard files). None for metadata ('#'-prefixed) or short lines.
+    */
+  private def parseEntryLine(line: String): Option[Entry] = {
+    val parts = line.split('\t')
+    // '#'-prefixed lines are metadata sections (#parked…), not files
+    if (parts.length < 4 || parts(0).startsWith("#")) None
+    else {
+      // limit -1: a string stat whose min/max are empty serializes
+      // with trailing ':' separators, and the default split would
+      // silently drop them (lost skipping at best)
+      val fields = parts.drop(4).map(_.split(":", -1))
+      val stats = fields.flatMap {
+        case Array(col, mn, mx) =>
+          scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
+        case _ => None
+      }.toMap
+      val rowCount = fields.collectFirst {
+        case Array("rows", n) if scala.util.Try(n.toLong).isSuccess => n.toLong
+      }.getOrElse(-1L)
+      val strStats = fields.collect {
+        case Array(col, "s", mn, mx) => (col, (mn, mx))
+      }.toMap
+      val dblStats = fields.flatMap {
+        case Array(col, "d", mn, mx) => scala.util.Try((col, (
+          java.lang.Double.longBitsToDouble(
+            java.lang.Long.parseUnsignedLong(mn, 16)),
+          java.lang.Double.longBitsToDouble(
+            java.lang.Long.parseUnsignedLong(mx, 16))))).toOption
+        case _ => None
+      }.toMap
+      Some(Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
+        stats, strStats, dblStats, rowCount))
+    }
+  }
+
+  private def parseManifestLinesFull(lines: java.util.List[String])
+    : Option[(String, Seq[Entry], Seq[ShardRef])] = {
+    val it = lines.iterator()
+    if (!it.hasNext) None
+    else {
+      val header = it.next()
+      if (!header.startsWith("#partcol\t")) None
       else {
-        val header = it.next()
-        if (!header.startsWith("#partcol\t")) None
-        else {
-          val partCol = header.substring("#partcol\t".length)
-          val buf = Seq.newBuilder[Entry]
-          while (it.hasNext) {
-            val parts = it.next().split('\t')
-            // '#'-prefixed lines are metadata sections (#parked…), not files
-            if (parts.length >= 4 && !parts(0).startsWith("#")) {
-              // limit -1: a string stat whose min/max are empty serializes
-              // with trailing ':' separators, and the default split would
-              // silently drop them (lost skipping at best)
-              val fields = parts.drop(4).map(_.split(":", -1))
-              val stats = fields.flatMap {
-                case Array(col, mn, mx) =>
-                  scala.util.Try((col, (mn.toLong, mx.toLong))).toOption
-                case _ => None
-              }.toMap
-              val rowCount = fields.collectFirst {
-                case Array("rows", n) if scala.util.Try(n.toLong).isSuccess => n.toLong
-              }.getOrElse(-1L)
-              val strStats = fields.collect {
-                case Array(col, "s", mn, mx) => (col, (mn, mx))
-              }.toMap
-              val dblStats = fields.flatMap {
-                case Array(col, "d", mn, mx) => scala.util.Try((col, (
-                  java.lang.Double.longBitsToDouble(
-                    java.lang.Long.parseUnsignedLong(mn, 16)),
-                  java.lang.Double.longBitsToDouble(
-                    java.lang.Long.parseUnsignedLong(mx, 16))))).toOption
-                case _ => None
-              }.toMap
-              buf += Entry(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
-                stats, strStats, dblStats, rowCount)
+        val partCol = header.substring("#partcol\t".length)
+        val buf = Seq.newBuilder[Entry]
+        val refs = Seq.newBuilder[ShardRef]
+        while (it.hasNext) {
+          val line = it.next()
+          if (line.startsWith("#shard\t")) {
+            line.split('\t') match {
+              case Array(_, name, minDir, maxDir, n, p, b) =>
+                refs += ShardRef(name, minDir, maxDir, n.toLong, p.toLong, b.toLong)
+              case bad =>
+                // a dropped ref would silently hide that shard's files
+                // from every reader — corrupt metadata must fail loudly
+                sys.error(s"malformed #shard ref (${bad.length} fields): $line")
             }
-          }
-          Some((partCol, buf.result()))
+          } else parseEntryLine(line).foreach(buf += _)
         }
+        Some((partCol, buf.result(), refs.result()))
       }
     }
   }
@@ -674,15 +785,26 @@ object ManifestFileIndex {
     // live after it just became a parked old generation (kept on disk for
     // time travel). Carry the previous parked set forward, dropping paths
     // a vacuum has since deleted so the list can't grow without bound.
+    val prev = read(rootDir, None)
     val newLive = entries.map(_.relPath).toSet
-    val prevLive = read(rootDir, None).map(_._2.map(_.relPath).toSet).getOrElse(Set.empty)
+    val prevEntries = prev.map(_._2).getOrElse(Seq.empty)
+    val prevLive = prevEntries.map(_.relPath).toSet
     val parked = (readParked(rootDir).getOrElse(Set.empty) ++ (prevLive -- newLive))
       .filter(p => new java.io.File(rootDir, p).exists())
+    // full-state commit: the changed-dir set is the per-dir DIFF vs the
+    // mirror state — only shards containing a differing dir re-render
+    val prevByDir = prevEntries.groupBy(dirOf).view
+      .mapValues(_.sortBy(_.relPath)).toMap
+    val newByDir = entries.groupBy(dirOf).view
+      .mapValues(_.sortBy(_.relPath)).toMap
+    val changedDirs = (prevByDir.keySet ++ newByDir.keySet)
+      .filter(d => prevByDir.get(d) != newByDir.get(d))
     // full-state commits DROP deletion vectors by default (an overwrite
     // or a DV-folding rewrite defines the complete new state); the
     // external reconcile-append opts in to carrying them
-    val content = renderManifest(partCol, entries, parked,
-      if (carryDvs) readDvs(rootDir) else Nil)
+    val content = renderManifestSharded(rootDir, partCol, entries, parked,
+      if (carryDvs) readDvs(rootDir) else Nil,
+      readRefs(rootDir, None), changedDirs)
     // The VERSION claim goes through the same CAS as [[commitDelta]], so
     // even two "single-writer" commits racing can never share a snapshot
     // number or tear each other's snapshot files. The table STATE is
@@ -697,38 +819,140 @@ object ManifestFileIndex {
   /** Render the manifest TSV for a live-entry set + parked set (+ live
     * deletion-vector paths, `#dv` lines — see [[readDvs]]).
     */
-  private def renderManifest(partCol: String, entries: Seq[Entry],
-      parked: Set[String], dvs: Seq[String] = Nil): String = {
+  /** Render one entry line (shared by inline manifests and shard files). */
+  private def renderEntryLine(sb: StringBuilder, e: Entry): Unit = {
     // a ':' inside a column name would corrupt the ':'-separated stat
     // field on read — omit that column's stats (pure skipping loss, never
     // a wrong answer) rather than write an unparseable manifest
     def statSafe(col: String): Boolean =
       !col.contains(':') && !col.contains('\t') && !col.contains('\n')
+    sb.append(e.partValue).append('\t').append(e.relPath)
+      .append('\t').append(e.size).append('\t').append(e.mtime)
+    e.stats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      sb.append('\t').append(col).append(':').append(mn).append(':').append(mx)
+    }
+    e.strStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      sb.append('\t').append(col).append(":s:").append(mn).append(':').append(mx)
+    }
+    // doubles as raw-bits hex: exact round trip, no decimal repr drift
+    e.dblStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
+      sb.append('\t').append(col).append(":d:")
+        .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mn)))
+        .append(':')
+        .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mx)))
+    }
+    // 2-segment field: pre-row-count parsers match neither stat shape
+    // and skip it, so old readers stay compatible (they just can't
+    // answer counts from metadata)
+    if (e.rowCount >= 0L) sb.append("\trows:").append(e.rowCount)
+    sb.append('\n')
+    ()
+  }
+
+  private def renderHeader(partCol: String, parked: Set[String],
+      dvs: Seq[String]): StringBuilder = {
     val sb = new StringBuilder(s"#partcol\t$partCol\n")
     sb.append("#parkedv\t1\n")
     parked.toSeq.sorted.foreach(p => sb.append("#parked\t").append(p).append('\n'))
     dvs.distinct.sorted.foreach(d => sb.append("#dv\t").append(d).append('\n'))
-    entries.sortBy(e => (e.partValue, e.relPath)).foreach { e =>
-      sb.append(e.partValue).append('\t').append(e.relPath)
-        .append('\t').append(e.size).append('\t').append(e.mtime)
-      e.stats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
-        sb.append('\t').append(col).append(':').append(mn).append(':').append(mx)
+    sb
+  }
+
+  private def renderManifest(partCol: String, entries: Seq[Entry],
+      parked: Set[String], dvs: Seq[String] = Nil): String = {
+    val sb = renderHeader(partCol, parked, dvs)
+    entries.sortBy(e => (e.partValue, e.relPath)).foreach(renderEntryLine(sb, _))
+    sb.toString
+  }
+
+  /** Partition DIRECTORY of an entry (first path segment — carries the
+    * era prefix, e.g. "ts_hour=2024-01-15-00"). The shard range key.
+    */
+  private def dirOf(e: Entry): String = {
+    val i = e.relPath.indexOf('/')
+    if (i < 0) e.relPath else e.relPath.substring(0, i)
+  }
+
+  /** Render the manifest-LIST content for a snapshot, writing/reusing
+    * shard files as needed. Stays on the inline single-file format for
+    * small tables (≤ [[shardTarget]] entries, never previously sharded);
+    * beyond that, entries split into dir-range shards:
+    *
+    *  - dirs are assigned to the PREVIOUS snapshot's shard ranges (new
+    *    trailing dirs go to the last shard), so an unchanged range
+    *    renders byte-identical content → same content hash → the
+    *    existing shard file is REUSED with zero writes. Only shards
+    *    whose dirs actually changed are re-rendered; a shard growing
+    *    past 2×target splits at dir boundaries.
+    *  - `changedDirs` (from the caller's delta/diff) lets unchanged
+    *    shards skip even the re-render: their refs carry over verbatim.
+    *
+    * Shards hold ONLY entry lines; #parked/#dv/#shard stay in the list,
+    * so every metadata reader of those sections is format-agnostic.
+    */
+  private def renderManifestSharded(rootDir: String, partCol: String,
+      entries: Seq[Entry], parked: Set[String], dvs: Seq[String],
+      prevRefs: Seq[ShardRef], changedDirs: Set[String]): String = {
+    val target = shardTarget
+    if (prevRefs.isEmpty && entries.size <= target)
+      return renderManifest(partCol, entries, parked, dvs)
+
+    // group (relPath-sorted ⇒ dirs contiguous) and order dirs
+    val sorted = entries.sortBy(_.relPath)
+    val byDir = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Entry]]
+    sorted.foreach { e =>
+      val d = dirOf(e)
+      byDir(d) = byDir.getOrElse(d, Vector.empty) :+ e
+    }
+    val dirs = byDir.keys.toVector.sorted
+
+    val prevSorted = prevRefs.sortBy(_.minDir).toVector
+    def shardIdxFor(dir: String): Int = {
+      val i = prevSorted.indexWhere(r => dir <= r.maxDir)
+      if (i < 0) math.max(prevSorted.length - 1, 0) else i
+    }
+    // dirs grouped by previous-shard assignment, in shard order
+    val groups: Vector[(Int, Vector[String])] =
+      if (prevSorted.isEmpty) Vector((0, dirs))
+      else dirs.groupBy(shardIdxFor).toVector.sortBy(_._1)
+
+    val refs = Vector.newBuilder[ShardRef]
+    groups.foreach { case (idx, gDirs) =>
+      val prev = prevSorted.lift(idx)
+      val unchanged = prev.exists { r =>
+        // reusable verbatim iff no dir in this group changed AND the
+        // group covers exactly the dirs the shard held before (a dir
+        // REMOVED from the range also invalidates the ref)
+        gDirs.forall(d => !changedDirs(d)) &&
+          !changedDirs.exists(d => d >= r.minDir && d <= r.maxDir) &&
+          r.minDir == gDirs.head && r.maxDir == gDirs.last &&
+          r.nEntries == gDirs.iterator.map(byDir(_).size.toLong).sum
       }
-      e.strStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
-        sb.append('\t').append(col).append(":s:").append(mn).append(':').append(mx)
+      if (unchanged) refs += prev.get
+      else {
+        // re-render, splitting at dir boundaries if oversized
+        var chunk = Vector.newBuilder[(String, Seq[Entry])]
+        var n = 0
+        gDirs.foreach { d =>
+          val es = byDir(d)
+          if (n > 0 && n + es.size > 2 * target) {
+            refs += writeShard(rootDir, chunk.result())
+            chunk = Vector.newBuilder[(String, Seq[Entry])]
+            n = 0
+          }
+          chunk += ((d, es)); n += es.size
+        }
+        val last = chunk.result()
+        if (last.nonEmpty) refs += writeShard(rootDir, last)
       }
-      // doubles as raw-bits hex: exact round trip, no decimal repr drift
-      e.dblStats.toSeq.filter(s => statSafe(s._1)).sortBy(_._1).foreach { case (col, (mn, mx)) =>
-        sb.append('\t').append(col).append(":d:")
-          .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mn)))
-          .append(':')
-          .append(java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(mx)))
-      }
-      // 2-segment field: pre-row-count parsers match neither stat shape
-      // and skip it, so old readers stay compatible (they just can't
-      // answer counts from metadata)
-      if (e.rowCount >= 0L) sb.append("\trows:").append(e.rowCount)
-      sb.append('\n')
+    }
+
+    val sb = renderHeader(partCol, parked, dvs)
+    refs.result().foreach { r =>
+      sb.append("#shard\t").append(r.name)
+        .append('\t').append(r.minDir).append('\t').append(r.maxDir)
+        .append('\t').append(r.nEntries).append('\t').append(r.nParts)
+        .append('\t').append(r.nBytes).append('\n')
     }
     sb.toString
   }
@@ -829,9 +1053,18 @@ object ManifestFileIndex {
     */
   private def appendHistory(rootDir: String, v: Int, content: String): Unit = {
     var n = 0L; var bytes = 0L
+    // sharded manifests account from the ref fields (dirs never span
+    // shards, and inline entries never coexist with refs, so the sums
+    // are exact without opening a single shard)
+    var shardParts = 0L
     val parts = scala.collection.mutable.HashSet.empty[String]
     content.linesIterator.foreach { l =>
-      if (l.nonEmpty && l.charAt(0) != '#') {
+      if (l.startsWith("#shard\t")) {
+        val f = l.split('\t')
+        if (f.length == 7) {
+          n += f(4).toLong; shardParts += f(5).toLong; bytes += f(6).toLong
+        }
+      } else if (l.nonEmpty && l.charAt(0) != '#') {
         val tab1 = l.indexOf('\t')
         val tab2 = if (tab1 < 0) -1 else l.indexOf('\t', tab1 + 1)
         val tab3 = if (tab2 < 0) -1 else l.indexOf('\t', tab2 + 1)
@@ -843,7 +1076,7 @@ object ManifestFileIndex {
       }
     }
     val line =
-      s"$v\t${System.currentTimeMillis()}\t$n\t${parts.size}\t$bytes\n"
+      s"$v\t${System.currentTimeMillis()}\t$n\t${parts.size + shardParts}\t$bytes\n"
     val f = new java.io.File(s"$rootDir/$SnapshotDir", HistoryName)
     java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
@@ -1106,7 +1339,17 @@ object ManifestFileIndex {
       // append must not resurrect MoR-deleted rows); compactDeletes
       // clears them after folding the deletes into rewritten files
       val dvs = (if (clearDvs) Seq.empty else headDvs) ++ addDvs
-      val content = renderManifest(partCol, newEntries, parked, dvs)
+      // delta commits know their changed dirs exactly: the dirs of the
+      // added and removed files — every other shard's ref carries over
+      // with zero re-render (the O(changed) commit shape)
+      def dirOfPath(p: String): String = {
+        val i = p.indexOf('/'); if (i < 0) p else p.substring(0, i)
+      }
+      val changedDirs: Set[String] =
+        freshAdded.iterator.map(dirOf).toSet ++ removedPaths.map(dirOfPath)
+      val content = renderManifestSharded(rootDir, partCol, newEntries,
+        parked, dvs, if (head == 0) Seq.empty else readRefs(rootDir, Some(head)),
+        changedDirs)
       if (tryClaim(rootDir, head + 1, content)) {
         publishClaimed(rootDir, head + 1, content)
         return head + 1
@@ -1341,6 +1584,29 @@ object ManifestFileIndex {
     }
     // history must not list snapshots that no longer exist
     pruneHistory(rootDir, v => v >= cutoff || tagged(v))
+    // shard GC: a shard referenced only by expired manifests is dead
+    // metadata. Reference set = every manifest file still present (ALL of
+    // them, not just kept versions — a racing writer's freshly-claimed
+    // snapshot counts) + the mirror; the grace period protects shards a
+    // concurrent commit wrote but has not claimed yet (shards write
+    // BEFORE the claim).
+    val sDir = shardsDir(rootDir)
+    if (sDir.exists()) {
+      val referenced: Set[String] =
+        (Option(snapDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("manifest-") && f.getName.endsWith(".tsv"))
+          .flatMap(f => scala.util.Try(
+            parseManifestLinesFull(java.nio.file.Files.readAllLines(f.toPath))
+              .map(_._3.map(_.name)).getOrElse(Seq.empty)).getOrElse(Seq.empty)) ++
+          readRefs(rootDir, None).map(_.name)).toSet
+      val grace = System.currentTimeMillis() -
+        sys.props.get("graft.lake.shard.gc.graceMs").flatMap(_.toLongOption)
+          .getOrElse(60L * 60 * 1000L)
+      Option(sDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("shard-") &&
+          !referenced.contains(f.getName) && f.lastModified() < grace)
+        .foreach { f => f.delete(); () }
+    }
     removed
   }
 
