@@ -1007,6 +1007,74 @@ object Similarity {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM rer)
          |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+    // RETRIEVAL-QUALITY oracle for the ANN tiers: hash-exactness (the
+    // keys above) proves determinism — that the frozen artifacts and the
+    // declared computation agree bit-for-bit — but says nothing about
+    // whether the approximate searches FIND the right neighbors. This op
+    // measures recall@10 of ivf_trained / pq / ivfpq against the exact
+    // brute-force top-10 and emits error-bound BOOLEANS (the HLL/
+    // t-digest recipe): per-query floors with wide margin under the
+    // measured minima (ivf .7 / pq .4 / ivfpq .6 at sf0.01) plus
+    // tighter mean-recall floors (measured means .92/.64/.86), so a
+    // future regression of the index quality — not just its determinism
+    // — goes red. The exact side (`exact_ids`, CSV like collect_per_key)
+    // is RECOMPUTED by the oracle, anchoring the comparison in DuckDB's
+    // own ground truth. At 100 TB this is the offline eval-sample job
+    // every serving index ships with; the exact tier stays the declared
+    // small-N ground truth.
+    Op("similarity_recall",
+      (s, d) => {
+        val exact = bruteForceTopK(s, d).select($"q_id", $"vec_id")
+        val embDf = emb(s, d)
+        val ivf = ivfTopKTrained(embDf, annCentroids(s, d),
+          numQueries = 5, k = 10).select($"q_id", $"vec_id")
+        val pq = pqTopKEncoded(embDf, annCodes(s, d), annCodebook(s, d),
+          numQueries = 5, k = 10).select($"q_id", $"vec_id")
+        val ivfpq = ivfPqTopK(embDf, annCentroids(s, d), annCells(s, d),
+          annCodes(s, d), annCodebook(s, d), numQueries = 5, k = 10,
+          nprobe = 2, rerank = 4).select($"q_id", $"vec_id")
+        def recallOf(a: DataFrame, name: String): DataFrame =
+          exact.join(a.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+            .groupBy($"q_id")
+            .agg((sum(coalesce($"hit", lit(0))) / count(lit(1))).as(name))
+        val base = exact.groupBy($"q_id").agg(
+          array_join(transform(sort_array(collect_list($"vec_id")),
+            x => x.cast("string")), ",").as("exact_ids"),
+          count(lit(1)).as("n_exact"))
+        val r = base
+          .join(recallOf(ivf, "r_ivf"), "q_id")
+          .join(recallOf(pq, "r_pq"), "q_id")
+          .join(recallOf(ivfpq, "r_ivfpq"), "q_id")
+        // means via broadcast join-back, not a global window (5 rows,
+        // but the no-unpartitioned-window rule is absolute)
+        val means = r.agg(avg($"r_ivf").as("m_ivf"), avg($"r_pq").as("m_pq"),
+          avg($"r_ivfpq").as("m_ivfpq"))
+        r.crossJoin(broadcast(means))
+          .select($"q_id", $"exact_ids", $"n_exact",
+            ($"r_ivf" >= 0.5).as("ivf_ok"),
+            ($"r_pq" >= 0.2).as("pq_ok"),
+            ($"r_ivfpq" >= 0.4).as("ivfpq_ok"),
+            ($"m_ivf" >= 0.7 && $"m_pq" >= 0.45 && $"m_ivfpq" >= 0.65)
+              .as("mean_ok"))
+          .orderBy($"q_id")
+      },
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+         |p AS (
+         |  SELECT q_id, vec_id,
+         |         round(${sqlDot.format("qe", "e")}
+         |           / (sqrt(${sqlDot.format("qe", "qe")}) * sqrt(${sqlDot.format("e", "e")})), 6) AS cos
+         |  FROM q JOIN v ON vec_id != q_id),
+         |top AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM p) WHERE rn <= 10)
+         |SELECT q_id,
+         |       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS exact_ids,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       TRUE AS ivf_ok, TRUE AS pq_ok, TRUE AS ivfpq_ok, TRUE AS mean_ok
+         |FROM top GROUP BY q_id ORDER BY q_id""".stripMargin),
     // Keyed entry runs at 0.35 — the synthetic embeddings top out at
     // cos≈0.51, so a 0.95 production threshold would (correctly) return
     // zero rows and trip the driver's rows-only smoke. DedupSpec exercises
