@@ -21,10 +21,12 @@ import graft.syntax._
   * 100 TB shape: the index build is one full pass (a maintenance job,
   * like OPTIMIZE); the sketches are ~1.2 bytes/row at 1% fpp (a 256 MB
   * file of 5M ids → ~6 MB sketch) and the PROBE is distributed — the
-  * sidecar is itself a parquet table, the driver collects only file
-  * NAMES (manifest-scale, the same metadata it already holds), never the
-  * sketch bytes. A point lookup on a 400k-file table reads the sidecar +
-  * ~fpp·files data files instead of all of them.
+  * sidecar is itself a parquet table, verdicts semi-join against the
+  * live-file list as DataFrames, and the driver collects only the
+  * CANDIDATE names (≈ fpp·files + post-build unseen — the names the
+  * scan plan materializes anyway), never the sketch bytes and never a
+  * per-file verdict map. A point lookup on a 400k-file table reads the
+  * sidecar + ~fpp·files data files instead of all of them.
   *
   * Safety is absence-based: files committed AFTER the build (appends, CoW
   * rewrites — new files get new names) have no sidecar row and are always
@@ -68,21 +70,36 @@ object BloomIndex {
       value: Any): (Seq[ManifestFileIndex.Entry], Seq[ManifestFileIndex.Entry]) = {
     val (_, entries) = ManifestFileIndex.read(path).get
     if (!new java.io.File(idxDir(path, column)).exists()) return (entries, Nil)
-    import s.implicits.{newProductEncoder, newStringEncoder}
+    import s.implicits.{newProductEncoder, newStringEncoder,
+      localSeqToDatasetHolder}
     val probe: Array[Byte] => Boolean = value match {
       case l: Long   => BloomSketch.mightContainLong(_, l)
       case i: Int    => BloomSketch.mightContainLong(_, i.toLong)
       case t: String => BloomSketch.mightContainString(_, t)
       case other => sys.error(s"bloom probe: unsupported value type $other")
     }
-    // the PROBE runs distributed over the sidecar; only (name, verdict)
-    // pairs come back — bounded by the file count, like the manifest
-    val verdicts: Map[String, Boolean] =
-      s.read.parquet(idxDir(path, column))
-        .select(col("_dv_file"), col("bloom")).as[(String, Array[Byte])]
-        .map { case (f, b) => (f, probe(b)) }
-        .collect().toMap
-    entries.partition(e => verdicts.getOrElse(e.relPath, true))
+    // FULLY-DISTRIBUTED candidate selection: the probe filters the
+    // sidecar to ADMITTED file names, the live-file list joins against
+    // it as a DataFrame (semi: admitted ∧ live; anti: live files the
+    // index has never seen — post-build commits, conservatively
+    // scanned), and only the resulting CANDIDATE names are collected —
+    // ≈ fpp·files + unseen, the same names planning materializes
+    // anyway. No per-file verdict map ever lands on the driver: at
+    // 400k files the old shape collected 400k (name, verdict) pairs,
+    // this collects the ~4k admitted names.
+    val sidecar = s.read.parquet(idxDir(path, column))
+      .select(col("_dv_file"), col("bloom"))
+    val live = entries.map(_.relPath).toDF("relPath")
+    val admitted = sidecar.as[(String, Array[Byte])]
+      .flatMap { case (f, b) => if (probe(b)) Some(f) else None }
+      .toDF("relPath")
+    val unseen = live.join(
+      sidecar.select(col("_dv_file").as("relPath")), Seq("relPath"), "left_anti")
+    val candNames: Set[String] =
+      admitted.join(live, Seq("relPath"), "left_semi")
+        .union(unseen).distinct()
+        .as[String].collect().toSet
+    entries.partition(e => candNames.contains(e.relPath))
   }
 
   /** Point lookup through the index: `WHERE column = value` scanning only
