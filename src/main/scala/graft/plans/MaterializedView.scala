@@ -98,13 +98,20 @@ object Mv {
 
   /** MV storage is versioned by base snapshot (`hourly_v<N>`) so a refresh
     * never overwrites the files a concurrent reader's plan references;
-    * `_SUCCESS`-guarded write-once per version.
+    * `_SUCCESS`-guarded write-once per version. The state writes
+    * PARTITIONED on the MV key (hash-repartition + in-file key order) —
+    * a high-cardinality key (millions of hours×dims at 100 TB) must
+    * never funnel through one task the way the earlier `coalesce(1)`
+    * forced; file count follows the shuffle parallelism, and readers
+    * (`s.read.parquet`) are file-count agnostic.
     */
   private def write(s: SparkSession, basePath: String, v: Int,
       state: DataFrame): HourlyMv = {
     val mvPath = basePath + s"_mv/hourly_v$v"
     if (!new File(mvPath, "_SUCCESS").exists())
-      state.coalesce(1).write.mode("overwrite")
+      state.repartition(col("ts_hour"))
+        .sortWithinPartitions($"ts_hour")
+        .write.mode("overwrite")
         .option("compression", "zstd").parquet(mvPath)
     val mv = HourlyMv(canonical(basePath), mvPath, v,
       s.read.parquet(mvPath).queryExecution.analyzed)

@@ -78,6 +78,28 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     Mv.ensureHourly(spark, path)
   }
 
+  test("MV state writes partitioned — never a single-task funnel") {
+    // dedicated lake: the shared suite MV may already exist (write-once)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mvpart").toString
+    val p2 = root2 + "/events"
+    LakeIO.writeLake(
+      Tables.events(spark, sf).select($"event_id", $"ts", $"event_type", $"value"), p2)
+    // at test scale AQE correctly coalesces the tiny state shuffle to one
+    // partition — that's adaptive sizing, not a funnel. Freeze coalescing
+    // to observe the PLAN shape: hash-partitioned on the MV key, so a
+    // high-cardinality key at 100 TB fans across the shuffle parallelism
+    // instead of the old coalesce(1) single task.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val mv = try Mv.ensureHourly(spark, p2)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val files = Option(new java.io.File(mv.mvPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 2,
+      s"MV state wrote ${files.length} file(s) — single-task write")
+    Mv.clear()
+  }
+
   test("rollup: day-level and global aggregates re-aggregate MV partials") {
     Mv.ensureHourly(spark, path)
     val day = lake.groupBy(substring($"ts_hour", 1, 10).as("d"))
