@@ -2895,6 +2895,36 @@ object LakeIO {
       },
       Tables.names.sorted
         .map(n => s"SELECT '$n' AS tableName")
-        .mkString("", " UNION ALL ", " ORDER BY tableName"))
+        .mkString("", " UNION ALL ", " ORDER BY tableName")),
+
+    // Catalog-SERVED query: SQL text against the three-part GraftCatalog
+    // identifier (`graft_fix.default.events`), not a temp view — the
+    // full V2 catalog path (loadTable → GraftLakeTable → manifest-planned
+    // scan) answering an hourly aggregate hash-exact. This is how a
+    // warehouse user actually reaches a lake table; catalog_tables above
+    // only proved introspection.
+    Op("catalog_sql_agg",
+      (s, d) => {
+        val wh = "/tmp/graft_lake/v6_cat_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = wh + "/default/events"
+        if (!new java.io.File(path + "/_SUCCESS").exists())
+          writeLake(Tables.events(s, d)
+            .select($"event_id", $"ts", $"event_type", $"value"), path)
+        s.conf.set("spark.sql.catalog.graft_fix",
+          "org.apache.spark.sql.graft.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+        s.sql("""SELECT ts_hour,
+                |       count(*) AS n,
+                |       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                |       max(value) AS max_value
+                |FROM graft_fix.default.events
+                |GROUP BY ts_hour ORDER BY ts_hour""".stripMargin)
+      },
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS ts_hour,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY ts_hour""".stripMargin)
   )
 }

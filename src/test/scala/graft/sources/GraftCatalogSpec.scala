@@ -34,6 +34,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     val tables = spark.sql("SHOW TABLES IN gcat.default")
       .select($"tableName").collect().map(_.getString(0))
     assert(tables.contains("items"))
+    // SHOW CATALOGS parity (reference README.md:462-465): the registered
+    // graft catalog lists alongside the session catalog once loaded
+    val cats = spark.sql("SHOW CATALOGS")
+      .select($"catalog").collect().map(_.getString(0))
+    assert(cats.contains("gcat"), s"SHOW CATALOGS missing gcat: ${cats.toSeq}")
   }
 
   test("SQL VERSION AS OF reads the pre-merge snapshot; head sees the merge") {
