@@ -253,18 +253,38 @@ object ManifestFileIndex {
   def readRefs(rootDir: String, version: Option[Int] = None): Seq[ShardRef] =
     readList(rootDir, version).map(_._3).getOrElse(Seq.empty)
 
+  /** Parsed-shard LRU. Shard files are IMMUTABLE and content-hash-named,
+    * so (root, name) is a perfect cache key — a planner touching the
+    * same snapshot (or any snapshot sharing the shard) re-pays zero
+    * read/parse I/O. Bounded (default 32 shards ≈ 32×target entries) so
+    * a driver planning many tables can't hoard entry objects; access-
+    * order eviction drops the coldest.
+    */
+  private val shardCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Seq[Entry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Seq[Entry]]): Boolean =
+        size() > sys.props.get("graft.lake.shard.cache").flatMap(_.toIntOption)
+          .getOrElse(32)
+    })
+
   /** Entries of one shard file. A referenced-but-missing shard is
     * corrupt metadata (or a shard GC'd under a live reader) — fail
     * loudly, a silent empty result would drop that range's files.
     */
   def readShardEntries(rootDir: String, ref: ShardRef): Seq[Entry] = {
+    val key = (new java.io.File(rootDir).getAbsolutePath, ref.name)
+    val hit = shardCache.get(key)
+    if (hit != null) return hit
     val f = new java.io.File(shardsDir(rootDir), ref.name)
     if (!f.exists())
       sys.error(s"manifest shard ${ref.name} [${ref.minDir}..${ref.maxDir}] " +
         s"missing under $rootDir/$SnapshotDir/$ShardsDirName")
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(f.toPath).asScala
+    val parsed = java.nio.file.Files.readAllLines(f.toPath).asScala
       .flatMap(parseEntryLine).toSeq
+    shardCache.put(key, parsed)
+    parsed
   }
 
   /** Write a shard's content under its content-hash name, if absent
