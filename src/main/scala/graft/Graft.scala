@@ -373,4 +373,17 @@ object Graft {
         sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
       WeatherPipeline.enrichWithLake(source, lakePath, key)(sink)
   }
+
+  object serving {
+    /** Long-lived dashboard HTTP server over a bounded keyed store
+      * (reference visualization-server/server.js:34-110): `/api/weather`,
+      * `/api/weather/latest?since=…`, `/health`, reference-shape JSON.
+      * `source` is typically `() => JdbcUpsert.readBack(...)` or a
+      * graft-lake read; port 0 binds an ephemeral port (`boundPort`).
+      */
+    def server(source: () => DataFrame, cities: Seq[String],
+        refreshMs: Long = 2000L, retention: Int = 100,
+        port: Int = 0): graft.serving.ServingServer =
+      new graft.serving.ServingServer(source, cities, refreshMs, retention, port)
+  }
 }

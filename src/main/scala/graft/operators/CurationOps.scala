@@ -213,6 +213,100 @@ object CurationOps {
         |      FROM b)
         |SELECT lang, CAST(floor(bef / 512.0) AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
-        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin),
+
+    // URL-canonicalization dedup — the first pass of every web-corpus
+    // pipeline: the same page crawled as http/https, mixed-case host,
+    // trailing slash, or with tracking params is ONE document. The
+    // synthetic corpus has no URLs, so each engine SEEDS an identical
+    // doc_id-derived URL (the redact_pii pattern) whose surface form
+    // varies by doc_id but whose canonical form collides across docs:
+    // scheme dropped, host lowercased, utm_* query params stripped,
+    // trailing slash trimmed. Groups on the canonical key in ONE
+    // shuffle (the exact-dedup shape — at 100 TB this is a single
+    // hash-partition pass over (url, doc_id) pairs, never text bytes);
+    // smallest doc_id survives.
+    Op("dedup_url",
+      (s, d) => {
+        val raw = concat(
+          when($"doc_id" % 2 === 0, "https://").otherwise("http://"),
+          when($"doc_id" % 3 === 0, upper($"source")).otherwise($"source"),
+          lit(".example.com/page/"), ($"doc_id" % 7).cast("string"),
+          when($"doc_id" % 5 === 0, "/").otherwise(""),
+          when($"doc_id" % 11 === 0,
+            concat(lit("?utm_source=feed&utm_campaign="), ($"doc_id" % 3).cast("string")))
+            .otherwise(""))
+        val canon =
+          regexp_replace(regexp_replace(regexp_replace(lower(raw),
+            "^https?://", ""), "\\?utm_[^#]*$", ""), "/$", "")
+        docs(s, d).select($"doc_id", canon.as("url"))
+          .groupBy($"url")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy($"url")
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+        |    || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |          THEN '?utm_source=feed&utm_campaign=' || CAST(doc_id % 3 AS VARCHAR)
+        |          ELSE '' END) AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        regexp_replace(regexp_replace(regexp_replace(lower(raw),
+        |          '^https?://', ''), '\?utm_[^#]*$', ''), '/$', '') AS url
+        |      FROM u)
+        |SELECT url, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY url ORDER BY url""".stripMargin),
+
+    // HTML boilerplate strip — the extract-text step between crawl and
+    // curation. Deterministic seeding again: each doc is wrapped in an
+    // id-varying tag structure (nav chrome, attributes, entities), then
+    // both engines strip tags, decode the entities the seed injects, and
+    // collapse whitespace. Map-only regex in one codegen stage; the
+    // cleaned text is length-checked and fingerprinted (the cleaned
+    // bytes equal the original text exactly — the strip provably
+    // inverts the wrap).
+    Op("html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>t</title></head><body><nav class=\"m\">home &amp; more</nav>"),
+          when($"doc_id" % 2 === 0, "<div id=\"main\"><p>").otherwise("<article><p >"),
+          $"text",
+          when($"doc_id" % 2 === 0, "</p></div>").otherwise("</p></article>"),
+          lit("<footer>&copy; 2024</footer></body></html>"))
+        val stripped = regexp_replace(html, "<[^>]*>", " ")
+        val decoded = regexp_replace(regexp_replace(regexp_replace(stripped,
+          "&amp;", "&"), "&copy;", "(c)"), "&[a-z]+;", " ")
+        val clean = regexp_replace(trim(decoded), " +", " ")
+        docs(s, d).select(
+          $"doc_id",
+          length(clean).cast("long").as("clean_len"),
+          md5(clean.cast("binary")).as("clean_fp"),
+          (clean === concat(lit("t home & more "), $"text", lit(" (c) 2024")))
+            .as("strip_exact"))
+          .orderBy($"doc_id")
+      },
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>t</title></head><body><nav class="m">home &amp; more</nav>'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '<div id="main"><p>' ELSE '<article><p >' END)
+        |    || text
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '</p></div>' ELSE '</p></article>' END)
+        |    || '<footer>&copy; 2024</footer></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        regexp_replace(trim(
+        |          regexp_replace(regexp_replace(regexp_replace(
+        |            regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |            '&amp;', '&', 'g'), '&copy;', '(c)', 'g'), '&[a-z]+;', ' ', 'g')),
+        |          ' +', ' ', 'g') AS clean
+        |      FROM h)
+        |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+        |       md5(clean) AS clean_fp,
+        |       (clean = 't home & more ' || text || ' (c) 2024') AS strip_exact
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 }
