@@ -10,7 +10,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-PREV_REF="${1:-$(git log --format='%H %s' | grep -m1 ': verdict' | cut -d' ' -f1)}"
+# `|| true` keeps set -e/pipefail from silently aborting when no commit
+# subject contains ': verdict' (first round, shallow/rebased history) or
+# when grep -m1 SIGPIPEs a long git log.
+PREV_REF="${1:-$(git log --format='%H %s' | grep -m1 ': verdict' | cut -d' ' -f1 || true)}"
+if [ -z "$PREV_REF" ]; then
+  echo "gate: no previous ': verdict' commit found — pass the baseline ref explicitly: scripts/gate.sh <ref>" >&2
+  exit 1
+fi
 echo "== gate: compile =="
 sbt -batch compile
 

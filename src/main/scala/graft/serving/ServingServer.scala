@@ -112,7 +112,9 @@ final class ServingServer(
     val byCity = points.groupBy(_.city)
     val data = cities.map { c =>
       val arr = byCity.getOrElse(c, Vector.empty).map { p =>
-        s"""{"time":"${p.time.toString}","temperature":${p.temp}}"""
+        // a raw NaN/Infinity token is invalid JSON — render null instead
+        val t = if (java.lang.Double.isFinite(p.temp)) p.temp.toString else "null"
+        s"""{"time":"${p.time.toString}","temperature":$t}"""
       }.mkString(",")
       s""""${esc(c)}":[$arr]"""
     }.mkString(",")

@@ -2306,9 +2306,8 @@ object LakeIO {
     val marker = new java.io.File(path, "_graft_shard_done")
     if (!marker.exists()) {
       rmDir(path)
-      val prev = sys.props.get("graft.lake.shard.target")
-      sys.props("graft.lake.shard.target") = "50"
-      try {
+      // thread-scoped override: other threads' commits keep the default
+      ManifestFileIndex.withShardTarget(50) {
         val base = Tables.events(s, d)
           .select($"event_id", $"ts", $"event_type", $"value")
         writeLake(base, path)
@@ -2317,9 +2316,6 @@ object LakeIO {
         require(ManifestFileIndex.readRefs(path).size >= 2,
           s"sharded-lake fixture must actually shard (got " +
             s"${ManifestFileIndex.readRefs(path).size} refs)")
-      } finally prev match {
-        case Some(v) => sys.props("graft.lake.shard.target") = v
-        case None    => sys.props -= "graft.lake.shard.target"
       }
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
     }

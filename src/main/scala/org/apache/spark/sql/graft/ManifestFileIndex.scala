@@ -223,8 +223,21 @@ object ManifestFileIndex {
     * 400k-file table plans from ~100 shards it can range-prune.
     */
   def shardTarget: Int =
-    sys.props.get("graft.lake.shard.target").flatMap(_.toIntOption)
+    shardTargetDyn.value.orElse(
+      sys.props.get("graft.lake.shard.target").flatMap(_.toIntOption))
       .filter(_ > 0).getOrElse(4096)
+
+  /** Thread-scoped shard-target override. Fixtures that want a table to
+    * shard at test scale use this instead of mutating the process-global
+    * sys-prop: a concurrent lake commit on another thread keeps the
+    * default, and two concurrent fixture builders can't clobber each
+    * other's save/restore. (Manifest commits run on the calling thread —
+    * executors never write metadata — so thread scope is commit scope.)
+    */
+  private val shardTargetDyn =
+    new scala.util.DynamicVariable[Option[Int]](None)
+  def withShardTarget[T](target: Int)(body: => T): T =
+    shardTargetDyn.withValue(Some(target))(body)
 
   private def shardsDir(rootDir: String): java.io.File =
     new java.io.File(s"$rootDir/$SnapshotDir", ShardsDirName)
@@ -805,9 +818,17 @@ object ManifestFileIndex {
     // live after it just became a parked old generation (kept on disk for
     // time travel). Carry the previous parked set forward, dropping paths
     // a vacuum has since deleted so the list can't grow without bound.
-    val prev = read(rootDir, None)
+    // ONE mirror read: entries and shard refs must come from the same
+    // parse, or a publish landing between two reads pairs entries@v with
+    // refs@v+1 and the shard-reuse check (endpoints + counts) can carry
+    // a stale-content shard. Shard files are immutable/content-named, so
+    // resolving these refs is atomic with the refs themselves.
+    val prev = readList(rootDir, None)
+    val prevRefs = prev.map(_._3).getOrElse(Seq.empty)
     val newLive = entries.map(_.relPath).toSet
-    val prevEntries = prev.map(_._2).getOrElse(Seq.empty)
+    val prevEntries = prev.map { case (_, inline, refs) =>
+      inline ++ refs.flatMap(readShardEntries(rootDir, _))
+    }.getOrElse(Seq.empty)
     val prevLive = prevEntries.map(_.relPath).toSet
     val parked = (readParked(rootDir).getOrElse(Set.empty) ++ (prevLive -- newLive))
       .filter(p => new java.io.File(rootDir, p).exists())
@@ -824,7 +845,7 @@ object ManifestFileIndex {
     // external reconcile-append opts in to carrying them
     val content = renderManifestSharded(rootDir, partCol, entries, parked,
       if (carryDvs) readDvs(rootDir) else Nil,
-      readRefs(rootDir, None), changedDirs)
+      prevRefs, changedDirs)
     // The VERSION claim goes through the same CAS as [[commitDelta]], so
     // even two "single-writer" commits racing can never share a snapshot
     // number or tear each other's snapshot files. The table STATE is
@@ -1612,20 +1633,32 @@ object ManifestFileIndex {
     // BEFORE the claim).
     val sDir = shardsDir(rootDir)
     if (sDir.exists()) {
-      val referenced: Set[String] =
-        (Option(snapDir.listFiles()).getOrElse(Array.empty)
+      // ALL-OR-NOTHING reference set: a manifest that fails to read or
+      // parse must BLOCK the GC pass, not count as zero refs — a
+      // transient IO error (or the fail-loud malformed-#shard parse)
+      // would otherwise mark a live snapshot's shards unreferenced and,
+      // once past the grace window, delete them, making that snapshot
+      // permanently unreadable. Corrupt metadata blocks GC; it never
+      // feeds it. (A file parsing to None is equally suspect — every
+      // manifest this writer produces parses to Some.)
+      val refReads: Array[scala.util.Try[Seq[String]]] =
+        Option(snapDir.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("manifest-") && f.getName.endsWith(".tsv"))
-          .flatMap(f => scala.util.Try(
+          .map(f => scala.util.Try(
             parseManifestLinesFull(java.nio.file.Files.readAllLines(f.toPath))
-              .map(_._3.map(_.name)).getOrElse(Seq.empty)).getOrElse(Seq.empty)) ++
-          readRefs(rootDir, None).map(_.name)).toSet
-      val grace = System.currentTimeMillis() -
-        sys.props.get("graft.lake.shard.gc.graceMs").flatMap(_.toLongOption)
-          .getOrElse(60L * 60 * 1000L)
-      Option(sDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("shard-") &&
-          !referenced.contains(f.getName) && f.lastModified() < grace)
-        .foreach { f => f.delete(); () }
+              .map(_._3.map(_.name))
+              .getOrElse(sys.error(s"unparseable manifest ${f.getName}")))) :+
+          scala.util.Try(readRefs(rootDir, None).map(_.name))
+      if (refReads.forall(_.isSuccess)) {
+        val referenced: Set[String] = refReads.flatMap(_.get).toSet
+        val grace = System.currentTimeMillis() -
+          sys.props.get("graft.lake.shard.gc.graceMs").flatMap(_.toLongOption)
+            .getOrElse(60L * 60 * 1000L)
+        Option(sDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith("shard-") &&
+            !referenced.contains(f.getName) && f.lastModified() < grace)
+          .foreach { f => f.delete(); () }
+      }
     }
     removed
   }

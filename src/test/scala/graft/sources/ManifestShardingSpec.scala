@@ -235,4 +235,38 @@ class ManifestShardingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ManifestFileIndex.read(root, Some(head)).get._2.nonEmpty)
     assert(spark.read.format("graft-lake").load(root).count() == events.count() - 3)
   }
+
+  test("shard GC blocks while any present manifest is unreadable") {
+    val root = s"$base/gc_corrupt"
+    fresh(root)
+    // superseded shard generations that keepLast=1 would normally collect
+    (1 to 3).foreach { i =>
+      val victim = events.orderBy($"event_id").limit(i).collect().last.getLong(0)
+      LakeIO.deleteWhere(spark, root, $"event_id" === victim)
+    }
+    val snapDir = new java.io.File(root, ManifestFileIndex.SnapshotDir)
+    val shardDir = new java.io.File(snapDir, ManifestFileIndex.ShardsDirName)
+    val before = Option(shardDir.listFiles()).get.count(_.getName.startsWith("shard-"))
+    assert(before > 0)
+    // a claimed-but-unpublished manifest with a malformed #shard line:
+    // only the GC's reference scan ever reads it, and the fail-loud
+    // parse must BLOCK the pass — treating it as zero refs would let the
+    // grace-expired generations below be deleted out from under it
+    val corrupt = new java.io.File(snapDir, "manifest-999.tsv")
+    java.nio.file.Files.write(corrupt.toPath,
+      "#partcol\tts_hour\n#shard\tbroken-line\n".getBytes("UTF-8"))
+    sys.props("graft.lake.shard.gc.graceMs") = "0"
+    try {
+      ManifestFileIndex.expireSnapshots(root, keepLast = 1)
+      val blocked = Option(shardDir.listFiles()).get.count(_.getName.startsWith("shard-"))
+      assert(blocked == before,
+        s"corrupt metadata must block shard GC, not feed it ($before -> $blocked)")
+      // with the corruption gone, the same pass collects as usual
+      corrupt.delete()
+      ManifestFileIndex.expireSnapshots(root, keepLast = 1)
+      val after = Option(shardDir.listFiles()).get.count(_.getName.startsWith("shard-"))
+      assert(after < before, s"expected GC to resume ($before -> $after)")
+    } finally { sys.props -= "graft.lake.shard.gc.graceMs"; () }
+    assert(spark.read.format("graft-lake").load(root).count() == events.count() - 3)
+  }
 }
