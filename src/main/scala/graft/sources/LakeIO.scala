@@ -2122,7 +2122,18 @@ object LakeIO {
       min(when(ins, $"value")).as("ins_mn"),
       max(when(!ins, $"value")).as("del_mx"),
       min(when(!ins, $"value")).as("del_mn"))
+    // The hours-sized joined state feeds THREE consumers — the safe
+    // branch, the recompute-hour set, and (through it) the recompute
+    // scan. Unpersisted, each consumer re-executes the prior aggregate
+    // (a full v1-snapshot scan) and the changefeed netting (the window's
+    // touched rows): measured 2× on exactly the two expensive subtrees
+    // (sf0.1: refresh 8-13 s → ~4 s persisted). CACHE LIFETIME: the
+    // returned DataFrame is lazy, so this cannot unpersist before the
+    // caller evaluates it — the ≤hours-count-row entry lives until
+    // `spark.catalog.clearCache()` (same documented contract as the
+    // hybrid_rrf/Dedup persists).
     val joined = prior.as("p").join(delta.as("d"), Seq("ts_hour"), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val untouched = col("d.dn").isNull    // hour not in the changefeed
     val newHour = col("p.n").isNull       // hour born in this increment
     val extremesSafe =
