@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, T
   *   ALTER TABLE t DROP TAG name
   *   SHOW TAGS IN t
   *   DESCRIBE DETAIL <table>                -- table-level metadata
+  *   RESTORE [TABLE] t TO VERSION AS OF n   -- roll back as a new commit
   *
   * Injected ahead of the delegate parser ([[GraftExtensions]]); anything
   * that doesn't FULLY match one of the statement shapes above falls
@@ -59,6 +60,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+(?:IN|FOR)\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`'/-]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -101,6 +104,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftShowPartitionsCommand(lakeRoot(ident))
     case ShowTags(ident) =>
       GraftShowTagsCommand(lakeRoot(ident))
+    case Restore(ident, version) =>
+      GraftRestoreCommand(lakeRoot(ident), version.toInt)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -138,6 +143,24 @@ case class GraftVacuumCommand(root: String, retainSnapshots: Option[Int])
       .map(k => ManifestFileIndex.expireSnapshots(root, k)).getOrElse(0)
     val orphans = ManifestFileIndex.removeOrphanFiles(root)
     Seq(Row(expired.toLong, orphans.toLong))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` (Delta syntax): roll the table
+  * back to snapshot n's state as a NEW commit — [[ManifestFileIndex
+  * .restoreTo]] carries n's files, deletion vectors, partition spec and
+  * frozen schema; history stays append-only so the undone snapshots
+  * remain travelable and a second RESTORE undoes the first.
+  */
+case class GraftRestoreCommand(root: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    ManifestFileIndex.restoreTo(root, version)
+    Seq(Row(version.toLong,
+      ManifestFileIndex.headVersion(root).getOrElse(0).toLong))
   }
 }
 

@@ -2333,7 +2333,44 @@ object LakeIO {
     path
   }
 
+  /** Lake taken through mutate-then-RESTORE: v1 = the base events table,
+    * v2 = after a CoW delete, v3 = `restoreTo(1)` — so the head must read
+    * exactly the original table again while v2 stays time-travelable.
+    * Keyed op `lake_restore_read` hash-proves the round trip against an
+    * oracle that never heard of the detour.
+    */
+  def restoredLake(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val path = "/tmp/graft_lake/v6_restore_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_restore_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      deleteWhere(s, path, $"event_id" % 5 === 0)
+      ManifestFileIndex.restoreTo(path, 1)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // Table RESTORE (Iceberg rollback_to_snapshot / Delta RESTORE): head
+    // reads the pre-mutation state bit-for-bit after a CoW delete was
+    // rolled back — and the rolled-back snapshot itself remains readable
+    // via time travel (spec-asserted; the oracle proves the head read).
+    Op("lake_restore_read",
+      (s, d) => {
+        val path = restoredLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Two-level (sharded) manifest planning: the range scan reads the
     // manifest LIST plus only the shards whose dir range intersects the
     // window — identical answer to a full-manifest plan, verified

@@ -813,7 +813,8 @@ object ManifestFileIndex {
     * the table state (Iceberg's manifest-defines-liveness semantics).
     */
   def commitEntries(rootDir: String, partCol: String, entries: Seq[Entry],
-      carryDvs: Boolean = false): Unit = {
+      carryDvs: Boolean = false,
+      explicitDvs: Option[Seq[String]] = None): Unit = {
     // parked bookkeeping: whatever was live before this commit but is not
     // live after it just became a parked old generation (kept on disk for
     // time travel). Carry the previous parked set forward, dropping paths
@@ -842,9 +843,10 @@ object ManifestFileIndex {
       .filter(d => prevByDir.get(d) != newByDir.get(d))
     // full-state commits DROP deletion vectors by default (an overwrite
     // or a DV-folding rewrite defines the complete new state); the
-    // external reconcile-append opts in to carrying them
+    // external reconcile-append opts in to carrying them, and restore
+    // passes the restored snapshot's own DV set explicitly
     val content = renderManifestSharded(rootDir, partCol, entries, parked,
-      if (carryDvs) readDvs(rootDir) else Nil,
+      explicitDvs.getOrElse(if (carryDvs) readDvs(rootDir) else Nil),
       prevRefs, changedDirs)
     // The VERSION claim goes through the same CAS as [[commitDelta]], so
     // even two "single-writer" commits racing can never share a snapshot
@@ -855,6 +857,37 @@ object ManifestFileIndex {
     var v = claimedVersion(rootDir) + 1
     while (!tryClaim(rootDir, v, content)) v += 1
     publishClaimed(rootDir, v, content)
+  }
+
+  /** Roll the table back (or forward) to snapshot `v`'s state as a NEW
+    * commit — Iceberg's `rollback_to_snapshot` / Delta `RESTORE`.
+    * History stays append-only: the restored state gets a fresh version
+    * on top, so the undone snapshots remain time-travelable and a second
+    * restore can undo the first. The restored state is v's FILES, v's
+    * DELETION VECTORS (dropping them would resurrect MoR-deleted rows),
+    * v's partition spec, and v's frozen schema (restoring the file set
+    * under a later evolved schema would misread v-era files). Fails
+    * loudly when any of v's files or DV sidecars has since been vacuumed
+    * — a restore that silently drops rows is worse than no restore.
+    * Full-state/last-writer-wins like every [[commitEntries]] commit.
+    */
+  def restoreTo(rootDir: String, v: Int): Unit = {
+    val (partCol, entries) = read(rootDir, Some(v)).getOrElse(
+      sys.error(s"restoreTo: no snapshot $v under $rootDir"))
+    val dvs = readDvs(rootDir, Some(v))
+    val missing = (entries.map(_.relPath) ++ dvs)
+      .filterNot(p => new java.io.File(rootDir, p).exists())
+    require(missing.isEmpty, s"restoreTo: snapshot $v references " +
+      s"${missing.size} vacuumed file(s), e.g. ${missing.take(3).mkString(", ")}")
+    val snapSchema = new java.io.File(s"$rootDir/$SnapshotDir", s"schema-$v.json")
+    if (snapSchema.exists()) {
+      // atomic same-dir rename, like every schema write (LakeIO precedent)
+      val tmp = new java.io.File(rootDir, "._graft_schema.json.tmp")
+      java.nio.file.Files.copy(snapSchema.toPath, tmp.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmp.renameTo(new java.io.File(rootDir, "_graft_schema.json")); ()
+    }
+    commitEntries(rootDir, partCol, entries, explicitDvs = Some(dvs))
   }
 
   /** Render the manifest TSV for a live-entry set + parked set (+ live

@@ -164,6 +164,22 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(!err.getMessage.contains("graft"))
   }
 
+  test("RESTORE TO VERSION AS OF rolls back as a new commit") {
+    attach()
+    val path = s"$wh/default/resto"
+    LakeIO.writeLake(df(1L -> "a", 2L -> "b"), path)                // v1
+    LakeIO.deleteWhere(spark, path, $"id" === 1L)                   // v2
+    assert(spark.sql("SELECT * FROM mcat.default.resto").count() === 1)
+    val out = spark.sql(
+      "RESTORE TABLE mcat.default.resto TO VERSION AS OF 1").collect().head
+    assert(out.getLong(0) === 1L && out.getLong(1) === 3L)
+    val rows = spark.sql("SELECT id, v FROM mcat.default.resto ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq(1L -> "a", 2L -> "b"))
+    // the undone snapshot stays in DESCRIBE HISTORY (append-only log)
+    assert(spark.sql("DESCRIBE HISTORY mcat.default.resto").count() === 3)
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
