@@ -86,11 +86,31 @@ object Mv {
     val hasDvs = ManifestFileIndex.readDvs(basePath).nonEmpty
     lookup(basePath) match {
       case Some(mv) if mv.baseVersion == head => mv
-      case Some(mv) if mv.baseVersion < head && !hasDvs =>
+      case Some(mv) if mv.baseVersion < head && !hasDvs &&
+          ManifestFileIndex.read(basePath, Some(mv.baseVersion)).isDefined =>
         val prior = s.read.parquet(mv.mvPath)
+        // The append-only increment algebra (prior ⊎ agg(added files)) is
+        // only sound when NO file left the live set in the window: a CoW
+        // delete/merge — or even a pure compaction/z-order rewrite —
+        // re-adds carried rows under new file names (double count) and
+        // never subtracts removed ones. Any removed file routes the
+        // refresh through the CDC algebra instead, whose row-level netting
+        // cancels carried CoW rows exactly (a compaction diffs to ZERO
+        // changes, so its CDC refresh is prior verbatim). Same manifest
+        // reads the refresh itself plans from — no extra I/O class.
+        val fromFiles = ManifestFileIndex.read(basePath, Some(mv.baseVersion))
+          .get._2.map(_.relPath).toSet
+        val toFiles = ManifestFileIndex.read(basePath, Some(head))
+          .map(_._2.map(_.relPath).toSet).getOrElse(Set.empty)
+        val removedInWindow = !fromFiles.subsetOf(toFiles)
         write(s, basePath, head,
-          LakeIO.refreshHourlyAgg(s, basePath, prior, mv.baseVersion, head))
+          if (removedInWindow)
+            LakeIO.refreshHourlyAggCDC(s, basePath, prior, mv.baseVersion, head)
+          else
+            LakeIO.refreshHourlyAgg(s, basePath, prior, mv.baseVersion, head))
       case _ =>
+        // first build, live DVs, or an expired base snapshot (no window
+        // to diff): (re)build from the DV-applied read
         write(s, basePath, head,
           LakeIO.hourlyAggState(LakeIO.readMoR(s, basePath)))
     }

@@ -166,4 +166,39 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mvScanned(v1) && baseScanned(v1),
       "versionAsOf scan must not see HEAD-fresh MV data")
   }
+
+  test("CoW delete in the refresh window routes through the CDC algebra") {
+    Mv.ensureHourly(spark, path)
+    LakeIO.deleteWhere(spark, path, $"event_id" % 5 === 0)
+    // refresh across the rewrite commit: the append-only increment would
+    // double-count every carried CoW row and never subtract the deleted
+    // ones — the refreshed MV must equal a direct recomputation exactly
+    Mv.ensureHourly(spark, path)
+    val q = lake.agg(count(lit(1)).as("n"))
+    assert(mvScanned(q) && !baseScanned(q))
+    val viaMv = hourlyQ.orderBy($"ts_hour").collect()
+    Mv.clear()
+    val direct = hourlyQ.orderBy($"ts_hour").collect()
+    assert(viaMv.toSeq === direct.toSeq)
+  }
+
+  test("compaction in the refresh window does not double-count") {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    // fragment some partitions so the compaction has real work to commit
+    LakeIO.evolveAppend(Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .where($"event_id" % 97 === 0)
+      .withColumn("event_id", $"event_id" + 20000000L), path)
+    Mv.ensureHourly(spark, path)
+    val before = lake.count()
+    val headBefore = ManifestFileIndex.headVersion(path).get
+    LakeIO.compactSnapshots(spark, path)   // physical rewrite, logical no-op
+    assert(ManifestFileIndex.headVersion(path).get > headBefore,
+      "setup must produce a real compaction commit")
+    Mv.ensureHourly(spark, path)
+    val q = lake.agg(count(lit(1)).as("n"))
+    assert(mvScanned(q) && !baseScanned(q))
+    assert(q.collect().head.getLong(0) === before,
+      "a compacted file re-added under a new name must not re-count")
+  }
 }
