@@ -2112,10 +2112,24 @@ object LakeIO {
     * the keyed op's oracle hash-proves it against a full re-aggregation.
     */
   def refreshHourlyAggCDC(s: SparkSession, path: String, prior: DataFrame,
-      fromV: Int, toV: Int): DataFrame = {
+      fromV: Int, toV: Int): DataFrame =
+    refreshHourlyAggChanges(prior, readChanges(s, path, fromV, toV),
+      hours => hourPartitioned(
+        s.read.format("graft-lake").option("versionAsOf", toV.toString)
+          .load(path)).join(broadcast(hours), Seq("ts_hour")))
+
+  /** The CDC refresh core over an ALREADY-COMPUTED changefeed — shared by
+    * the batch version-window refresh above and the streaming maintainer
+    * ([[graft.streaming.StreamingMv]]), whose micro-batches arrive as
+    * change rows rather than version ranges. `recomputeRows` must return
+    * the CURRENT table rows of the given (tiny, broadcastable) hour set,
+    * read AS OF the state the changefeed leads to.
+    */
+  private[graft] def refreshHourlyAggChanges(prior: DataFrame,
+      changes: DataFrame, recomputeRows: DataFrame => DataFrame): DataFrame = {
     val ins = $"change" === "insert"
     val dec = round($"value", 6).cast("decimal(18,6)")
-    val delta = readChanges(s, path, fromV, toV).groupBy($"ts_hour").agg(
+    val delta = changes.groupBy($"ts_hour").agg(
       sum(when(ins, 1L).otherwise(-1L)).as("dn"),
       sum(when(ins, dec).otherwise(-dec)).as("dsdec"),
       max(when(ins, $"value")).as("ins_mx"),
@@ -2150,9 +2164,7 @@ object LakeIO {
     val recomputeHours = joined
       .where(!untouched && !newHour && !extremesSafe)
       .select($"ts_hour")
-    val recomputed = hourlyAggState(
-      s.read.format("graft-lake").option("versionAsOf", toV.toString).load(path)
-        .join(broadcast(recomputeHours), Seq("ts_hour")))
+    val recomputed = hourlyAggState(recomputeRows(recomputeHours))
     safe.unionByName(recomputed)
   }
 
