@@ -261,11 +261,17 @@ object RelationalOps {
     // both engines and the row set agrees exactly.
     Op("q17_small_qty_rev",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val partAvg = li.groupBy($"l_partkey").agg(
-          (sum(cents($"l_quantity")).cast("double") / 100.0 / count(lit(1)))
-            .as("avg_qty"))
-        li.join(broadcast(partAvg), Seq("l_partkey"))
+        // per-part average as KEYED window aggregates (partitionBy
+        // l_partkey: millions of small groups, never a funnel) — one
+        // lineitem scan and one keyed shuffle. The agg-then-join-back
+        // formulation scanned lineitem twice and broadcast a
+        // PART-cardinality aggregate, which stops fitting in a broadcast
+        // long before 100 TB.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+        Tables.lineitem(s, d)
+          .withColumn("avg_qty",
+            sum(cents($"l_quantity")).over(w).cast("double") / 100.0
+              / count(lit(1)).over(w))
           .where($"l_quantity" < lit(0.5) * $"avg_qty")
           .agg(moneySum($"l_extendedprice").as("small_qty_revenue"),
             count(lit(1)).as("n_small"))
@@ -588,9 +594,14 @@ object RelationalOps {
           .groupBy($"l_partkey", $"l_suppkey")
           .agg(min(round($"l_extendedprice" / $"l_quantity", 6).cast(DecimalType(18, 6)))
             .as("unit_cost"))
-        val best = cost.groupBy($"l_partkey".as("b_key"))
-          .agg(min($"unit_cost").as("best_cost"))
-        cost.join(best, $"l_partkey" === $"b_key" && $"unit_cost" === $"best_cost")
+        // best-per-part as a KEYED window min (partitionBy l_partkey:
+        // millions of small groups at scale, never a global funnel) —
+        // one lineitem scan; the agg+self-join formulation scanned and
+        // aggregated lineitem twice (no exchange reuse across the
+        // differing subtrees) for the same tie-keeping semantics
+        val bestW = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+        cost.withColumn("best_cost", min($"unit_cost").over(bestW))
+          .where($"unit_cost" === $"best_cost")
           .join(broadcast(Tables.part(s, d).where($"p_size" <= 5)),
             $"p_partkey" === $"l_partkey")
           .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
@@ -694,8 +705,10 @@ object RelationalOps {
     // Suppliers holding >30% share of a brand's yearly volume (TPC-H Q20
     // shape, adapted to shipped-quantity share — no partsupp availqty).
     // Share test is integer-only (qty*10 > total*3). One fact shuffle on
-    // (part, supp); the per-part total is a second agg of the FIRST
-    // agg's output (tiny), not a second fact pass.
+    // (part, supp); the per-part total is a KEYED window sum over the
+    // agg's output (partitionBy pk: millions of small groups, never a
+    // funnel) — the agg-then-self-join formulation re-planned the whole
+    // scan+agg subtree on both join sides (no exchange reuse).
     Op("q20_share_suppliers",
       (s, d) => {
         val sq = Tables.lineitem(s, d)
@@ -703,8 +716,8 @@ object RelationalOps {
             && $"l_shipdate" < to_timestamp(lit("1998-01-01 00:00:00")))
           .groupBy($"l_partkey".as("pk"), $"l_suppkey".as("sk"))
           .agg(sum($"l_quantity".cast("long")).as("qty"))
-        val tot = sq.groupBy($"pk".as("t_pk")).agg(sum($"qty").as("tqty"))
-        sq.join(tot, $"pk" === $"t_pk")
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
+        sq.withColumn("tqty", sum($"qty").over(wp))
           .join(broadcast(Tables.part(s, d).where($"p_brand" === "Brand#12")),
             $"p_partkey" === $"pk")
           .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"sk")
