@@ -276,6 +276,53 @@ object TextOps {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
         |WHERE length(term) > 0
-        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin),
+
+    // Bigram-LM quality score — the CCNet/Gopher-style LM filter, self-
+    // trained on the corpus: MLE bigram model P(w2|w1) = C(w1,w2)/C(w1·),
+    // each doc scored by its mean log conditional probability (docs full
+    // of corpus-typical word transitions score high; noise scores low).
+    // Shape at 100 TB: bigram extraction is map-only (array transform,
+    // no shuffle); the model is TWO keyed aggregates and the scoring is
+    // keyed joins on (w1,w2)/(w1) — vocabulary-sized keys, never an
+    // unbounded broadcast. Per-term logs round at 6 dp into
+    // DECIMAL(18,6) (the rarity_score recipe) so the distributed sum is
+    // order-independent and hash-exact against the oracle.
+    Op("lm_score_bigram",
+      (s, d) => {
+        val arr = filter(toks($"text"), t => length(t) > 0)
+        val docsT = docs(s, d).select($"doc_id", arr.as("a"))
+          .where(size($"a") >= 2)
+        val bg = docsT.select($"doc_id", explode(
+            expr("transform(sequence(0, size(a)-2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+            .as("b"))
+          .select($"doc_id", $"b.w1", $"b.w2")
+        val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select($"doc_id",
+            round(log($"c12".cast("double") / $"c1".cast("double")), 6)
+              .cast("decimal(18,6)").as("lp"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
+          .select($"doc_id", $"n_bigrams",
+            ($"slp".cast("double") / $"n_bigrams").as("avg_logp"))
+          .orderBy($"doc_id")
+      },
+      """WITH toked AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS a
+        |  FROM documents),
+        |long_docs AS (SELECT doc_id, a FROM toked WHERE len(a) >= 2),
+        |bg AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM long_docs)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(round(ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 6)
+        |               AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logp
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)
   )
 }

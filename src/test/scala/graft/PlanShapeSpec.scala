@@ -50,6 +50,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "hamming scan degraded to CartesianProduct:\n" + plan.take(800))
   }
 
+  test("lm_score_bigram scores through keyed joins, never a cartesian") {
+    // the bigram model is vocabulary-sized: the (w1,w2)/(w1) scoring
+    // joins must stay keyed equi-joins (hash or sort-merge; AQE may
+    // broadcast at test scale) — a CartesianProduct or nested-loop here
+    // means a join key was lost and the plan is corpus² at 100 TB
+    val df = SparkEntry.queries("lm_score_bigram")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "lm_score_bigram join degraded to a product:\n" + plan.take(800))
+  }
+
   test("no keyed query collects to the driver mid-plan") {
     // structural: every registered op returns a DataFrame whose plan is
     // pure Catalyst (a .collect() inside a query function would surface
