@@ -596,6 +596,22 @@ object LakeIO {
     writeCow(s, path, partCol, rewritten, untouched)
   }
 
+  /** INSERT OVERWRITE: replace the table's entire logical content with
+    * `df` as ONE new snapshot — the old generation's files stay on disk,
+    * parked and referenced by earlier snapshot manifests, so time travel
+    * works across the overwrite (Delta/Iceberg overwrite semantics at
+    * snapshot granularity). Live deletion vectors are dropped with the
+    * full-state commit: no pre-overwrite file stays live, so there is no
+    * row a stale DV could resurrect — the one CoW mutation that is
+    * DV-safe by construction.
+    */
+  def overwriteLake(s: SparkSession, path: String, df: DataFrame): Unit = {
+    requireHourEra(path, "overwriteLake")
+    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
+    require(cur.isDefined, s"overwriteLake: $path has no committed manifest")
+    writeCow(s, path, cur.get._1, hourPartitioned(df), Seq.empty)
+  }
+
   /** Idempotent micro-batch MERGE for `foreachBatch` (streaming upsert
     * sink): the txn marker records the last applied batchId, so a
     * replayed batch after crash recovery (foreachBatch is at-least-once)
@@ -2368,7 +2384,43 @@ object LakeIO {
     path
   }
 
+  /** Lake taken through a full INSERT OVERWRITE: v1 = the base events
+    * table, v2 = overwritten with a transformed subset. Keyed op
+    * `lake_overwrite_read` hash-proves the replacement; the spec proves
+    * v1 stays travelable.
+    */
+  def overwrittenLake(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v6_ovw_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_ovw_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      overwriteLake(s, path, base.where($"event_id" % 3 === 0)
+        .withColumn("value", $"value" * 10.0))
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   def ops: Seq[Op] = Seq(
+    // INSERT OVERWRITE semantics: the head reads ONLY the replacement
+    // content after a full overwrite (old generation parked — the spec
+    // proves v1 stays travelable); hash-exact against an oracle that
+    // computes the replacement directly.
+    Op("lake_overwrite_read",
+      (s, d) => {
+        val path = overwrittenLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       value * 10.0 AS value
+        |FROM events WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin),
+
     // Table RESTORE (Iceberg rollback_to_snapshot / Delta RESTORE): head
     // reads the pre-mutation state bit-for-bit after a CoW delete was
     // rolled back — and the rolled-back snapshot itself remains readable

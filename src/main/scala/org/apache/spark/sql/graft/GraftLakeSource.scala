@@ -155,6 +155,7 @@ class GraftLakeTable(inner: ParquetTable,
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)  // manifest-committing append
+    caps.add(TableCapability.TRUNCATE)        // INSERT OVERWRITE (full replace)
     if (manifest.isDefined)
       caps.add(TableCapability.MICRO_BATCH_READ)  // snapshot-version offsets
     caps
@@ -323,26 +324,37 @@ class GraftLakeTable(inner: ParquetTable,
     * root (no hour-partitioned layout) and — the invariant that matters —
     * never commit the manifest, making the rows invisible to every V2
     * reader. The `V1Write` bridge hands the whole batch to
-    * `LakeIO.evolveAppend`: hour-clustered layout, schema evolution
-    * rules, and the reconcile-commit (snapshot + HEAD advance) all apply
-    * to SQL `INSERT INTO` exactly as to programmatic appends.
+    * `LakeIO.evolveAppend` (INSERT INTO) or `LakeIO.overwriteLake`
+    * (INSERT OVERWRITE — full replace as one new snapshot, old
+    * generation parked for time travel): hour-clustered layout, schema
+    * evolution rules, and the reconcile-commit (snapshot + HEAD advance)
+    * all apply to SQL writes exactly as to programmatic ones.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     rootDir match {
       case Some(root) if manifest.isDefined =>
         require(tableVersion.isEmpty,
           "graft-lake: cannot write to a VERSION AS OF time-travel view")
-        new WriteBuilder {
+        // SupportsTruncate is how V2Writes models INSERT OVERWRITE's
+        // full-replace (OverwriteByExpression(true) → truncate()); the
+        // flag routes the V1 bridge to overwriteLake
+        new WriteBuilder
+            with org.apache.spark.sql.connector.write.SupportsTruncate {
+          private var replaceAll = false
+          override def truncate(): WriteBuilder = { replaceAll = true; this }
           override def build(): org.apache.spark.sql.connector.write.Write =
             new org.apache.spark.sql.connector.write.V1Write {
               override def toInsertableRelation
                 : org.apache.spark.sql.sources.InsertableRelation =
                 (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-                  require(!overwrite,
-                    "graft-lake: only INSERT INTO (append) is supported; " +
-                    "use LakeIO.mergeInto/deleteWhere for mutations")
-                  // ts_hour is re-derived from ts by the writer
-                  graft.sources.LakeIO.evolveAppend(data.drop("ts_hour"), root)
+                  // ts_hour is re-derived from ts by the writer; OVERWRITE
+                  // replaces the table as one new snapshot (old generation
+                  // parked — time travel works across it)
+                  if (overwrite || replaceAll)
+                    graft.sources.LakeIO.overwriteLake(
+                      data.sparkSession, root, data.drop("ts_hour"))
+                  else
+                    graft.sources.LakeIO.evolveAppend(data.drop("ts_hour"), root)
                 }
             }
         }

@@ -200,6 +200,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) === 3L)
   }
 
+  test("SQL INSERT OVERWRITE replaces the table as one snapshot; old generation travelable") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    // live DVs before the overwrite: the one CoW mutation that is DV-safe
+    // by construction (no pre-overwrite file stays live), so it must
+    // proceed and drop them rather than refuse
+    assert(LakeIO.deleteWhereMoR(spark, path, $"id" === 2L) === 1L)
+    val headBefore = ManifestFileIndex.headVersion(path).get
+    spark.sql("INSERT OVERWRITE gcat.default.items VALUES " +
+      "(7, 'z', TIMESTAMP'2024-01-02 00:00:05', '2024-01-02-00')")
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((7L, "z")))
+    assert(ManifestFileIndex.headVersion(path).get === headBefore + 1)
+    assert(ManifestFileIndex.readDvs(path).isEmpty,
+      "a full overwrite defines the complete new state — no DV survives")
+    // the replaced generation is parked, not deleted: travel still reads
+    // it (WITH its deletion vector applied)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.default.items VERSION AS OF $headBefore")
+      .head.getLong(0) === 2L)
+  }
+
   test("SQL DELETE FROM routes through the CoW delete: head loses the rows, old snapshot keeps them") {
     attach(); seed()
     val path = s"$wh/default/items"
