@@ -80,6 +80,18 @@ case class GraftDmlRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => m
       }
 
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: Spark plans
+    // OverwritePartitionsDynamic, which has NO V1 write fallback exec —
+    // convert at resolution time into the lake's partition-granular CoW
+    // (the same conversion class as UPDATE/MERGE above). Static
+    // overwrite needs no rule: it reaches overwriteLake through the
+    // V1 bridge's SupportsTruncate.
+    case o @ OverwritePartitionsDynamic(table, query, _, _, _) if o.resolved =>
+      lakeRoot(table) match {
+        case Some(root) => GraftDynamicOverwriteCommand(root, query)
+        case None => o
+      }
+
     case other => other
   }
 
@@ -134,6 +146,20 @@ case class GraftUpdateCommand(root: String, condSql: Option[String],
   * query text, exactly like Delta's merge tuning knobs. The two are
   * observationally equivalent (LakeMorMergeSpec / identical oracles).
   */
+/** `INSERT OVERWRITE` (dynamic mode) → replace exactly the hour
+  * partitions the query's rows touch, as one snapshot commit.
+  */
+case class GraftDynamicOverwriteCommand(root: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftBridge.ofRows(session, query)
+    graft.sources.LakeIO.overwritePartitionsDynamic(
+      session, root, df.drop("ts_hour"))
+    Seq.empty
+  }
+}
+
 case class GraftMergeCommand(root: String, source: LogicalPlan, key: String)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)

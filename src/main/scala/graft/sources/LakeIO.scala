@@ -612,6 +612,32 @@ object LakeIO {
     writeCow(s, path, cur.get._1, hourPartitioned(df), Seq.empty)
   }
 
+  /** DYNAMIC partition overwrite (Hive/Spark `partitionOverwriteMode=
+    * dynamic` semantics): replace exactly the hour partitions the new
+    * data touches — each touched hour's content becomes the new data's
+    * rows for that hour, untouched hours carry over, and the whole swap
+    * is ONE snapshot commit (old generation parked for travel). The
+    * partition-granular backfill/restatement verb: rerun one day's
+    * pipeline output into a year-long table without rewriting the year.
+    * Refuses over live DVs like every partial CoW mutation (an untouched
+    * file's DV would be dropped by the full-state commit and resurrect
+    * its deleted rows).
+    */
+  def overwritePartitionsDynamic(s: SparkSession, path: String,
+      df: DataFrame): Unit = {
+    requireNoDvs(path, "overwritePartitionsDynamic")
+    requireHourEra(path, "overwritePartitionsDynamic")
+    val cur = org.apache.spark.sql.graft.ManifestFileIndex.read(path)
+    require(cur.isDefined, s"overwritePartitionsDynamic: $path has no committed manifest")
+    val (partCol, entries) = cur.get
+    val withHour = hourPartitioned(df)
+    // partition VALUES only — metadata-scale, the DPP/deleteWhere precedent
+    val affected: Set[String] =
+      withHour.select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val untouched = entries.filterNot(e => affected.contains(e.partValue))
+    writeCow(s, path, partCol, withHour, untouched)
+  }
+
   /** Idempotent micro-batch MERGE for `foreachBatch` (streaming upsert
     * sink): the txn marker records the last applied batchId, so a
     * replayed batch after crash recovery (foreachBatch is at-least-once)

@@ -156,6 +156,7 @@ class GraftLakeTable(inner: ParquetTable,
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)  // manifest-committing append
     caps.add(TableCapability.TRUNCATE)        // INSERT OVERWRITE (full replace)
+    caps.add(TableCapability.OVERWRITE_DYNAMIC) // partitionOverwriteMode=dynamic
     if (manifest.isDefined)
       caps.add(TableCapability.MICRO_BATCH_READ)  // snapshot-version offsets
     caps
@@ -339,18 +340,27 @@ class GraftLakeTable(inner: ParquetTable,
         // full-replace (OverwriteByExpression(true) → truncate()); the
         // flag routes the V1 bridge to overwriteLake
         new WriteBuilder
-            with org.apache.spark.sql.connector.write.SupportsTruncate {
+            with org.apache.spark.sql.connector.write.SupportsTruncate
+            with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
           private var replaceAll = false
+          private var replaceTouched = false
           override def truncate(): WriteBuilder = { replaceAll = true; this }
+          override def overwriteDynamicPartitions(): WriteBuilder = {
+            replaceTouched = true; this
+          }
           override def build(): org.apache.spark.sql.connector.write.Write =
             new org.apache.spark.sql.connector.write.V1Write {
               override def toInsertableRelation
                 : org.apache.spark.sql.sources.InsertableRelation =
                 (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
                   // ts_hour is re-derived from ts by the writer; OVERWRITE
-                  // replaces the table as one new snapshot (old generation
-                  // parked — time travel works across it)
-                  if (overwrite || replaceAll)
+                  // replaces the table (or, under partitionOverwriteMode=
+                  // dynamic, just the touched hours) as one new snapshot
+                  // (old generation parked — time travel works across it)
+                  if (replaceTouched)
+                    graft.sources.LakeIO.overwritePartitionsDynamic(
+                      data.sparkSession, root, data.drop("ts_hour"))
+                  else if (overwrite || replaceAll)
                     graft.sources.LakeIO.overwriteLake(
                       data.sparkSession, root, data.drop("ts_hour"))
                   else

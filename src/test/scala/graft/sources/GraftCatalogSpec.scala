@@ -223,6 +223,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) === 2L)
   }
 
+  test("dynamic partition overwrite replaces only the touched hours") {
+    attach()
+    // two hour partitions: 00 (ids 1,2,3) and 01 (ids 10,11)
+    val h0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    val h1 = Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 01:00:01")))
+    val path = s"$wh/default/dynov"
+    LakeIO.writeLake(h0.unionByName(h1), path)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the restatement touches ONLY hour 01: it must be replaced whole,
+      // hour 00 must carry over untouched
+      spark.sql("INSERT OVERWRITE gcat.default.dynov VALUES " +
+        "(77, 'R', TIMESTAMP'2024-01-01 01:30:00', '2024-01-01-01')")
+      val rows = spark.sql("SELECT id, v FROM gcat.default.dynov ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c"), (77L, "R")))
+      // the pre-restatement snapshot still reads hour 01's old content
+      assert(spark.sql(
+        "SELECT count(*) FROM gcat.default.dynov VERSION AS OF 1")
+        .head.getLong(0) === 5L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // STATIC mode (default) still replaces the whole table
+    spark.sql("INSERT OVERWRITE gcat.default.dynov VALUES " +
+      "(99, 'S', TIMESTAMP'2024-01-01 02:00:00', '2024-01-01-02')")
+    assert(spark.sql("SELECT id FROM gcat.default.dynov").collect()
+      .map(_.getLong(0)).toSeq === Seq(99L))
+  }
+
   test("SQL DELETE FROM routes through the CoW delete: head loses the rows, old snapshot keeps them") {
     attach(); seed()
     val path = s"$wh/default/items"
