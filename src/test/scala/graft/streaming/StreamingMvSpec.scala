@@ -95,5 +95,13 @@ class StreamingMvSpec extends AnyFunSuite {
     val q3 = StreamingMv.maintainHourlyAgg(spark, root, state, ckpt)
     try { q3.processAllAvailable() } finally q3.stop()
     assert(maintained === before)
+
+    // a RESTORE flows through the same feed: its diff is deletes of the
+    // rolled-back content + re-inserts of the restored generation, and
+    // the maintained state must land exactly on the restored table
+    org.apache.spark.sql.graft.ManifestFileIndex.restoreTo(root, 1)
+    val q4 = StreamingMv.maintainHourlyAgg(spark, root, state, ckpt)
+    try { q4.processAllAvailable() } finally q4.stop()
+    assert(maintained === direct, "restore through the changefeed")
   }
 }
