@@ -612,6 +612,38 @@ object LakeIO {
     writeCow(s, path, cur.get._1, hourPartitioned(df), Seq.empty)
   }
 
+  /** Overwrite-by-FILTER (Delta `replaceWhere` / `DataFrameWriterV2
+    * .overwrite(cond)`): atomically replace exactly the rows matching
+    * `cond` with `df` in ONE snapshot commit — candidate files come from
+    * manifest-stats pruning (the deleteWhere machinery), survivor rows
+    * of touched partitions carry over, untouched partitions keep their
+    * files (and simply gain `df`'s rows for their hours), and the old
+    * generation parks for time travel. The range-restatement verb:
+    * `overwrite(ts ∈ day)` re-lands one day's corrected output without
+    * touching the rest of the table. Refuses over live DVs like every
+    * partial CoW mutation.
+    */
+  def overwriteWhere(s: SparkSession, path: String, df: DataFrame,
+      cond: Column): Unit = {
+    requireNoDvs(path, "overwriteWhere")
+    requireHourEra(path, "overwriteWhere")
+    val withHour = hourPartitioned(df)
+    val (partCol, cands, skipped) = deleteCandidates(s, path, cond)
+    val entries = cands ++ skipped
+    val affected: Set[String] =
+      if (cands.isEmpty) Set.empty
+      else cowScan(s, path, cands.map(_.relPath)).where(cond)
+        .select($"ts_hour").distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = entries.partition(e => affected.contains(e.partValue))
+    val rewritten =
+      if (touched.isEmpty) withHour
+      else cowScan(s, path, touched.map(_.relPath))
+        .where(coalesce(!cond, lit(true)))   // SQL DELETE semantics: NULL keeps
+        .select(withHour.columns.map(col).toIndexedSeq: _*)
+        .unionByName(withHour)
+    writeCow(s, path, partCol, rewritten, untouched)
+  }
+
   /** DYNAMIC partition overwrite (Hive/Spark `partitionOverwriteMode=
     * dynamic` semantics): replace exactly the hour partitions the new
     * data touches — each touched hour's content becomes the new data's

@@ -157,6 +157,7 @@ class GraftLakeTable(inner: ParquetTable,
     caps.add(TableCapability.V1_BATCH_WRITE)  // manifest-committing append
     caps.add(TableCapability.TRUNCATE)        // INSERT OVERWRITE (full replace)
     caps.add(TableCapability.OVERWRITE_DYNAMIC) // partitionOverwriteMode=dynamic
+    caps.add(TableCapability.OVERWRITE_BY_FILTER) // replaceWhere
     if (manifest.isDefined)
       caps.add(TableCapability.MICRO_BATCH_READ)  // snapshot-version offsets
     caps
@@ -340,13 +341,30 @@ class GraftLakeTable(inner: ParquetTable,
         // full-replace (OverwriteByExpression(true) → truncate()); the
         // flag routes the V1 bridge to overwriteLake
         new WriteBuilder
-            with org.apache.spark.sql.connector.write.SupportsTruncate
+            with org.apache.spark.sql.connector.write.SupportsOverwrite
             with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
           private var replaceAll = false
           private var replaceTouched = false
+          private var replaceCond: Option[org.apache.spark.sql.Column] = None
           override def truncate(): WriteBuilder = { replaceAll = true; this }
           override def overwriteDynamicPartitions(): WriteBuilder = {
             replaceTouched = true; this
+          }
+          // replaceWhere: only predicates expressible as V1 source
+          // filters are accepted — anything else rejects at analysis
+          // rather than replacing the wrong rows (same contract as
+          // canDeleteWhere)
+          override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+            : WriteBuilder = {
+            if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+              replaceAll = true
+            else {
+              val cols = filters.toSeq.map(f => filterToColumn(f).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"graft-lake overwrite-by-filter cannot express: $f")))
+              replaceCond = Some(cols.reduce(_ && _))
+            }
+            this
           }
           override def build(): org.apache.spark.sql.connector.write.Write =
             new org.apache.spark.sql.connector.write.V1Write {
@@ -360,6 +378,10 @@ class GraftLakeTable(inner: ParquetTable,
                   if (replaceTouched)
                     graft.sources.LakeIO.overwritePartitionsDynamic(
                       data.sparkSession, root, data.drop("ts_hour"))
+                  else if (replaceCond.isDefined)
+                    graft.sources.LakeIO.overwriteWhere(
+                      data.sparkSession, root, data.drop("ts_hour"),
+                      replaceCond.get)
                   else if (overwrite || replaceAll)
                     graft.sources.LakeIO.overwriteLake(
                       data.sparkSession, root, data.drop("ts_hour"))

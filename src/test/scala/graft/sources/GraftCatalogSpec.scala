@@ -257,6 +257,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq === Seq(99L))
   }
 
+  test("overwrite-by-filter (replaceWhere) swaps exactly the matching rows") {
+    attach(); seed()
+    val path = s"$wh/default/items"
+    val repl = Seq((20L, "R1"), (21L, "R2")).toDF("id", "v")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:09")))
+      .withColumn("ts_hour", lit("2024-01-01-00"))
+    // replace rows with id >= 2: survivors (id=1) carry over, the new
+    // rows land, and the whole swap is one snapshot commit
+    repl.writeTo("gcat.default.items").overwrite($"id" >= 2L)
+    val rows = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (20L, "R1"), (21L, "R2")))
+    // the pre-replace generation stays travelable
+    assert(spark.sql("SELECT count(*) FROM gcat.default.items VERSION AS OF 1")
+      .head.getLong(0) === 3L)
+  }
+
   test("SQL DELETE FROM routes through the CoW delete: head loses the rows, old snapshot keeps them") {
     attach(); seed()
     val path = s"$wh/default/items"
