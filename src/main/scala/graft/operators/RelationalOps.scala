@@ -322,15 +322,20 @@ object RelationalOps {
     Op("q21_sole_late_supplier",
       (s, d) => {
         val late = $"l_shipdate" > to_timestamp(lit("1997-01-01 00:00:00"))
-        val li = Tables.lineitem(s, d)
+        // ONE pass over lineitem: per-order supplier sets as keyed window
+        // aggregates (partitionBy l_orderkey — suppliers per order is a
+        // handful, never a funnel). "Another supplier exists" = ≥2
+        // distinct suppliers in the order; "no OTHER supplier was late" =
+        // exactly one distinct LATE supplier — and since the row itself
+        // is late, that one is this row's supplier. Replaces the
+        // 3-scan semi+anti formulation (two l_orderkey shuffle joins).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+        Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-        val l1 = li.where(late)
-        val l2 = li.select($"l_orderkey", $"l_suppkey".as("s2"))
-        val l3 = li.where(late).select($"l_orderkey", $"l_suppkey".as("s3"))
-        l1.join(l2, l1("l_orderkey") === l2("l_orderkey")
-            && $"l_suppkey" =!= $"s2", "left_semi")
-          .join(l3, l1("l_orderkey") === l3("l_orderkey")
-            && $"l_suppkey" =!= $"s3", "left_anti")
+          .withColumn("n_supp", size(collect_set($"l_suppkey").over(w)))
+          .withColumn("n_late_supp",
+            size(collect_set(when(late, $"l_suppkey")).over(w)))
+          .where(late && $"n_supp" >= 2 && $"n_late_supp" === 1)
           .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
