@@ -272,6 +272,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the pre-replace generation stays travelable
     assert(spark.sql("SELECT count(*) FROM gcat.default.items VERSION AS OF 1")
       .head.getLong(0) === 3L)
+
+    // the SQL spelling routes through the same path: replace id>=20
+    // (the rows just written) with one fresh row
+    spark.sql("INSERT INTO gcat.default.items REPLACE WHERE id >= 20 " +
+      "VALUES (30, 'Z', TIMESTAMP'2024-01-01 00:00:07', '2024-01-01-00')")
+    val rows2 = spark.sql("SELECT id, v FROM gcat.default.items ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows2 === Seq((1L, "a"), (30L, "Z")))
   }
 
   test("SQL DELETE FROM routes through the CoW delete: head loses the rows, old snapshot keeps them") {
