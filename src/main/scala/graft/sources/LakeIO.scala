@@ -2442,6 +2442,36 @@ object LakeIO {
     path
   }
 
+  /** Lake taken through a BRANCH lifecycle (Iceberg-branch-shaped
+    * multi-commit WAP): base table committed on main, TWO appends staged
+    * on branch `cur` (invisible to main readers), a concurrent append
+    * lands on MAIN while the branch is open, then the branch publishes —
+    * one squashed delta commit rebased over the main append. Keyed op
+    * `lake_branch_read` hash-proves the published head carries base +
+    * main append + both branch appends; LakeBranchSpec proves the
+    * isolation half (main never saw branch work pre-publish).
+    */
+  def branchedLake(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_lake/v6_branch_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
+    val marker = new java.io.File(path, "_graft_branch_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      appendToBranch(base.where($"event_id" % 5 === 0)
+        .withColumn("event_id", $"event_id" + 5000000L), path, "cur")
+      appendToBranch(base.where($"event_id" % 11 === 0)
+        .withColumn("event_id", $"event_id" + 6000000L), path, "cur")
+      appendTxn(base.where($"event_id" % 13 === 0)
+        .withColumn("event_id", $"event_id" + 7000000L), path)
+      publishBranch(path, "cur")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   /** Lake taken through a full INSERT OVERWRITE: v1 = the base events
     * table, v2 = overwritten with a transformed subset. Keyed op
     * `lake_overwrite_read` hash-proves the replacement; the spec proves
@@ -2514,6 +2544,33 @@ object LakeIO {
         |SELECT event_id, ts, event_type, value FROM all_rows
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // Branch lifecycle end-to-end: two appends staged on a branch, a
+    // concurrent main append, then the squashed rebased publish — the
+    // head must read all four generations, hash-exact against an oracle
+    // that computes the union directly. (Pre-publish isolation is
+    // LakeBranchSpec's half: main readers never see staged branch work.)
+    Op("lake_branch_read",
+      (s, d) => {
+        val path = branchedLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH all_rows AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 5000000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id + 6000000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT event_id + 7000000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 13 = 0)
+        |SELECT event_id, ts, event_type, value FROM all_rows
         |ORDER BY event_id""".stripMargin),
 
     // Column rename via field-history mapping, end-to-end through SQL:
