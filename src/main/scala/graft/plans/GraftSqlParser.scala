@@ -56,6 +56,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+CREATE\s+TAG\s+['"]?([\w.-]+)['"]?(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val DropTag =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+TAG\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+ADD\s+CONSTRAINT\s+([\w.-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+CONSTRAINT\s+([\w.-]+)\s*;?\s*""".r
+  private val ShowConstraints =
+    """(?is)\s*SHOW\s+CONSTRAINTS\s+(?:IN|FOR|ON)\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val ShowPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val ShowTags =
@@ -96,6 +102,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         drop = false)
     case DropTag(ident, name) =>
       GraftTagCommand(lakeRoot(ident), name, None, drop = true)
+    case AddConstraint(ident, name, check) =>
+      GraftConstraintCommand(lakeRoot(ident), name, Some(check.trim))
+    case DropConstraint(ident, name) =>
+      GraftConstraintCommand(lakeRoot(ident), name, None)
+    case ShowConstraints(ident) =>
+      GraftShowConstraintsCommand(lakeRoot(ident))
     // SHOW PARTITIONS is real Spark SQL — intercept ONLY when the target
     // resolves to a committed graft-lake table; every other table keeps
     // Spark's own command
@@ -298,6 +310,40 @@ case class GraftTagCommand(root: String, name: String,
       val v = graft.sources.LakeIO.tagSnapshot(root, name, version)
       Seq(Row(name, v.toLong))
     }
+}
+
+/** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT`
+  * (Delta parity): named SQL predicates stored in table metadata and
+  * enforced on every row-introducing write. ADD scans the head first —
+  * a constraint that existing rows violate is refused, so a committed
+  * constraint is a whole-table invariant. SQL-standard NULL semantics:
+  * only rows where the predicate is FALSE violate.
+  */
+case class GraftConstraintCommand(root: String, name: String,
+    check: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("expr", StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = check match {
+    case Some(expr) =>
+      graft.sources.LakeIO.addConstraint(session, root, name, expr)
+      Seq(Row(name, expr))
+    case None =>
+      val prev = ManifestFileIndex.listConstraints(root)
+        .collectFirst { case (n, e) if n == name => e }
+      graft.sources.LakeIO.dropConstraint(root, name)
+      Seq(Row(name, prev.orNull))
+  }
+}
+
+/** `SHOW CONSTRAINTS IN t`: every table constraint and its predicate. */
+case class GraftShowConstraintsCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("expr", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    ManifestFileIndex.listConstraints(root).map { case (n, e) => Row(n, e) }
 }
 
 /** `SHOW TAGS IN t`: every named ref and the version it pins. */

@@ -35,6 +35,9 @@ object LakeIO {
     */
   def writeLake(df: DataFrame, path: String): Unit = {
     val withHour = hourPartitioned(df)
+    // validate BEFORE the overwrite-mode write: a constraint violation
+    // must abort while the existing data is still intact
+    enforceConstraints(path, withHour, "writeLake")
     withHour
       .repartition(col("ts_hour"))
       .write.mode("overwrite")
@@ -50,6 +53,7 @@ object LakeIO {
     */
   def writeLakeDay(df: DataFrame, path: String): Unit = {
     val withDay = dayPartitioned(df)
+    enforceConstraints(path, withDay, "writeLakeDay")
     withDay
       .repartition(col("ts_day"))
       .write.mode("overwrite")
@@ -452,14 +456,81 @@ object LakeIO {
     v
   }
 
+  // -------------------------------------------------------------------
+  // Table CHECK constraints (Delta ADD CONSTRAINT parity): named SQL
+  // predicates stored in table metadata and enforced on every write
+  // that introduces or changes rows. SQL-standard semantics: a row
+  // violates only when the predicate evaluates to FALSE — NULL passes
+  // (so `value > 0` admits NULL values; spell `value IS NOT NULL AND
+  // value > 0` to forbid them). Maintenance rewrites that only CARRY
+  // rows (compact, z-order, delete survivors, era rewrite) skip the
+  // check: their rows were validated when they entered, and re-scanning
+  // them would make OPTIMIZE O(table-data) at 100 TB for no information.
+  // -------------------------------------------------------------------
+
+  /** Add a named CHECK constraint. Refuses unless every EXISTING row
+    * satisfies it (one head scan through the full MoR/rename-aware
+    * reader), so a committed constraint is an invariant over the whole
+    * table, not just future writes — Delta's ADD CONSTRAINT contract.
+    */
+  def addConstraint(s: SparkSession, path: String, name: String,
+      exprSql: String): Unit = {
+    val e = expr(exprSql) // malformed SQL fails here, before any metadata write
+    if (org.apache.spark.sql.graft.ManifestFileIndex.read(path, None).isDefined) {
+      val bad = readMoR(s, path).where(e <=> lit(false)).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint '$name': $bad existing row(s) violate ($exprSql)")
+    }
+    org.apache.spark.sql.graft.ManifestFileIndex.addConstraintEntry(path, name, exprSql)
+  }
+
+  def dropConstraint(path: String, name: String): Unit =
+    org.apache.spark.sql.graft.ManifestFileIndex.dropConstraintEntry(path, name)
+
+  def constraints(path: String): Seq[(String, String)] =
+    org.apache.spark.sql.graft.ManifestFileIndex.listConstraints(path)
+
+  /** Validate incoming rows against every table constraint in ONE pass
+    * (one aggregate over the batch, all predicates as parallel
+    * conditional sums). Free for unconstrained tables: the metadata
+    * lookup is a single file-existence check and `rows` is never forced.
+    */
+  private def enforceConstraints(path: String, rows: => DataFrame,
+      what: String): Unit = {
+    val cs = org.apache.spark.sql.graft.ManifestFileIndex.listConstraints(path)
+    if (cs.nonEmpty) {
+      val aggs = cs.zipWithIndex.map { case ((_, x), i) =>
+        sum(when(expr(x) <=> lit(false), 1L).otherwise(0L)).as(s"_c$i") }
+      val row = rows.agg(aggs.head, aggs.tail: _*).head()
+      cs.zipWithIndex.foreach { case ((n, x), i) =>
+        val v = if (row.isNullAt(i)) 0L else row.getLong(i) // empty batch → null sum
+        if (v > 0L) sys.error(
+          s"$what aborted: CHECK constraint '$n' ($x) violated by $v " +
+            "incoming row(s); table unchanged")
+      }
+    }
+  }
+
   /** Move every staged partition file into the live tree under
     * `prefix`-unique names and return its manifest entries (footer stats
     * included). Shared by the CoW tail and the append path; the staged
     * directory is removed afterwards.
+    *
+    * `validate=true` (every row-introducing path) re-reads the staged
+    * parquet and enforces table CHECK constraints BEFORE anything moves:
+    * on violation the staged directory is deleted and the table is
+    * untouched (no live-tree debris, no commit). Carried-row rewrites
+    * pass `validate=false` — see the constraints block above.
     */
   private def moveStaged(path: String, partCol: String, stage: String,
-      prefix: String): Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
+      prefix: String, validate: Boolean = true):
+      Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
     import org.apache.spark.sql.graft.ManifestFileIndex
+    if (validate) {
+      try enforceConstraints(path,
+        SparkSession.active.read.parquet(stage), "write")
+      catch { case e: Throwable => rmDir(stage); throw e }
+    }
     val stageDir = new java.io.File(stage)
     val out = Seq.newBuilder[ManifestFileIndex.Entry]
     Option(stageDir.listFiles()).getOrElse(Array.empty)
@@ -521,7 +592,7 @@ object LakeIO {
     if (entries.isEmpty) return
     val rows = maintenanceScan(s, path, partCol, entries)
     val nParts = entries.map(_.partValue).distinct.size
-    writeCow(s, path, partCol, rows, Seq.empty, cluster = df =>
+    writeCow(s, path, partCol, rows, Seq.empty, validate = false, cluster = df =>
       ZOrder.withZValue(df, colA, colB)
         // contiguous (partition, z) ranges per task → each file is a
         // small bounding box in both z dimensions
@@ -547,7 +618,7 @@ object LakeIO {
     if (fragmented.isEmpty) return
     val (touched, untouched) = entries.partition(e => fragmented.contains(e.partValue))
     val rows = maintenanceScan(s, path, partCol, touched)
-    writeCow(s, path, partCol, rows, untouched)
+    writeCow(s, path, partCol, rows, untouched, validate = false)
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `key`: rows of `updates` whose
@@ -803,7 +874,7 @@ object LakeIO {
     if (touched.isEmpty) return
     val survivors = cowScan(s, path, touched.map(_.relPath))
       .where(coalesce(!cond, lit(true)))
-    writeCow(s, path, partCol, survivors, untouched)
+    writeCow(s, path, partCol, survivors, untouched, validate = false)
   }
 
   // -------------------------------------------------------------------
@@ -1165,7 +1236,7 @@ object LakeIO {
       .drop("_dv_file", "_dv_pos")
     val survivors =
       if (partCol == "ts_day") dayPartitioned(base.drop("ts_hour")) else base
-    writeCow(s, path, partCol, survivors, untouched)
+    writeCow(s, path, partCol, survivors, untouched, validate = false)
     dvs.foreach(d => rmDir(s"$path/$d"))
     folded
   }
@@ -1219,11 +1290,14 @@ object LakeIO {
     * and commit untouched + new entries as the next snapshot. `cluster`
     * shapes the write (default: one file per partition); an OPTIMIZE
     * caller substitutes its own clustering (e.g. z-order ranges).
+    * `validate=false` marks carried-row-only rewrites (compact, z-order,
+    * delete survivors, DV folds) that skip CHECK-constraint re-validation.
     */
   private def writeCow(s: SparkSession, path: String, partCol: String,
       rewritten: DataFrame,
       untouched: Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry],
-      cluster: DataFrame => DataFrame = null): Unit = {
+      cluster: DataFrame => DataFrame = null,
+      validate: Boolean = true): Unit = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     val v = ManifestFileIndex.headVersion(path).getOrElse(0) + 1
     val stage = path + s"_stage_v$v"
@@ -1233,7 +1307,7 @@ object LakeIO {
     clusterFn(rewritten)
       .write.mode("overwrite").partitionBy(partCol)
       .option("compression", "zstd").parquet(stage)
-    val newEntries = moveStaged(path, partCol, stage, s"m$v-")
+    val newEntries = moveStaged(path, partCol, stage, s"m$v-", validate)
     ManifestFileIndex.commitEntries(path, partCol, untouched ++ newEntries)
   }
 
@@ -1281,6 +1355,12 @@ object LakeIO {
     batch.repartition(col("ts_hour"))
       .write.mode("overwrite").partitionBy("ts_hour")
       .option("compression", "zstd").parquet(stage)
+    // streaming batches obey table CHECK constraints like any append; a
+    // violating micro-batch fails the query before anything moves or
+    // commits (foreachBatch surfaces the error; the table is untouched)
+    try enforceConstraints(path,
+      SparkSession.active.read.parquet(stage), "appendExactlyOnce")
+    catch { case e: Throwable => rmDir(stage); throw e }
     val stageDir = new java.io.File(stage)
     val newEntries = Seq.newBuilder[ManifestFileIndex.Entry]
     Option(stageDir.listFiles()).getOrElse(Array.empty)
@@ -2013,7 +2093,8 @@ object LakeIO {
     df.repartition(col("ts_hour"))
       .write.mode("overwrite").partitionBy("ts_hour")
       .option("compression", "zstd").parquet(stage)
-    val appended = moveStaged(path, partCol, stage, s"e$token-")
+    val appended = moveStaged(path, partCol, stage, s"e$token-",
+      validate = false) // era rewrite carries rows; they were validated on entry
     // Convergence must also converge the SCHEMA FILE: a day-origin table
     // keeps `ts_day` in _graft_schema.json, and once the last day-era
     // file is gone the V2 fast path resumes with partCol=ts_hour — a
@@ -2472,6 +2553,41 @@ object LakeIO {
     path
   }
 
+  /** Lake living under CHECK constraints: constraints added through the
+    * SQL surface, a valid slice appended (passes), then a violating
+    * append attempted — the fixture REQUIRES the refusal, so the keyed
+    * op `lake_constrained_append` hash-proves both halves: enforcement
+    * fired AND left the table exactly base ∪ valid-slice.
+    */
+  def constrainedLake(s: SparkSession, d: String): String = {
+    val wh = "/tmp/graft_lake/v6_cons_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = wh + "/default/events"
+    val marker = new java.io.File(path, "_graft_cons_done")
+    if (!marker.exists()) {
+      rmDir(path)
+      val base = Tables.events(s, d)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      writeLake(base, path)
+      s.conf.set("spark.sql.catalog.graft_cons_fx",
+        "org.apache.spark.sql.graft.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cons_fx.warehouse", wh)
+      s.sql("ALTER TABLE graft_cons_fx.default.events " +
+        "ADD CONSTRAINT value_sane CHECK (value > -1e12)")
+      s.sql("ALTER TABLE graft_cons_fx.default.events " +
+        "ADD CONSTRAINT id_notnull CHECK (event_id IS NOT NULL)")
+      evolveAppend(base.where($"event_id" % 19 === 0)
+        .withColumn("event_id", $"event_id" + 8000000L), path)
+      val refused =
+        try {
+          appendTxn(base.limit(5).withColumn("value", lit(-1e15)), path)
+          false
+        } catch { case e: RuntimeException => e.getMessage.contains("value_sane") }
+      require(refused, "constrained-lake fixture: violating append must be refused")
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    path
+  }
+
   /** Lake taken through a full INSERT OVERWRITE: v1 = the base events
     * table, v2 = overwritten with a transformed subset. Keyed op
     * `lake_overwrite_read` hash-proves the replacement; the spec proves
@@ -2570,6 +2686,26 @@ object LakeIO {
         |  UNION ALL
         |  SELECT event_id + 7000000, CAST(ts AS TIMESTAMP), event_type, value
         |  FROM events WHERE event_id % 13 = 0)
+        |SELECT event_id, ts, event_type, value FROM all_rows
+        |ORDER BY event_id""".stripMargin),
+
+    // CHECK constraints end-to-end: SQL ADD CONSTRAINT, a passing
+    // append, and a violating append the fixture proves was refused —
+    // the final table is hash-exact base ∪ valid-slice, i.e. enforcement
+    // admitted exactly the right rows and nothing from the bad batch.
+    Op("lake_constrained_append",
+      (s, d) => {
+        val path = constrainedLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """WITH all_rows AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 8000000, CAST(ts AS TIMESTAMP), event_type, value
+        |  FROM events WHERE event_id % 19 = 0)
         |SELECT event_id, ts, event_type, value FROM all_rows
         |ORDER BY event_id""".stripMargin),
 

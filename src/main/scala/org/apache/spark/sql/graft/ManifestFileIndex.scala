@@ -1505,6 +1505,73 @@ object ManifestFileIndex {
   def resolveRef(rootDir: String, name: String): Option[Int] =
     listRefs(rootDir).get(name)
 
+  // ---------------------------------------------------------------------
+  // Table CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT` parity)
+  // ---------------------------------------------------------------------
+
+  val ConstraintsName = "constraints.tsv"
+
+  /** All table constraints, name → SQL predicate, in name order. Current-
+    * state metadata like refs (not per-snapshot): a constraint governs
+    * writes from the moment it's added; RESTORE does not resurrect
+    * dropped constraints.
+    */
+  def listConstraints(rootDir: String): Seq[(String, String)] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", ConstraintsName)
+    if (!f.exists()) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f.toPath).asScala.flatMap { line =>
+        line.split('\t') match {
+          case Array(n, e) => Some(n -> e)
+          case _           => None
+        }
+      }.toSeq.sortBy(_._1)
+    }
+  }
+
+  private def writeConstraintsFile(rootDir: String,
+      cs: Seq[(String, String)]): Unit = {
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    snapDir.mkdirs()
+    val content = cs.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }.mkString("", "\n", "\n")
+    val tmp = new java.io.File(snapDir, "." + ConstraintsName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    tmp.renameTo(new java.io.File(snapDir, ConstraintsName))
+    ()
+  }
+
+  /** Record a named CHECK constraint. Semantic validation (the predicate
+    * parses; existing rows satisfy it) is the caller's job —
+    * `LakeIO.addConstraint` scans the head before calling here.
+    */
+  def addConstraintEntry(rootDir: String, name: String, expr: String): Unit = {
+    require(validRefName(name),
+      s"invalid constraint name '$name' (alphanumeric/-/_/., not all digits)")
+    require(!expr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint expression must not contain tabs or newlines")
+    require(expr.trim.nonEmpty, "empty constraint expression")
+    val key = new java.io.File(rootDir).getAbsolutePath
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val cs = listConstraints(rootDir)
+      require(!cs.exists(_._1 == name),
+        s"constraint '$name' already exists (drop it first)")
+      writeConstraintsFile(rootDir, cs :+ (name -> expr.trim))
+    }
+  }
+
+  def dropConstraintEntry(rootDir: String, name: String): Unit = {
+    val key = new java.io.File(rootDir).getAbsolutePath
+    val lock = publishLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val cs = listConstraints(rootDir)
+      require(cs.exists(_._1 == name), s"no constraint '$name' under $rootDir")
+      writeConstraintsFile(rootDir, cs.filterNot(_._1 == name))
+    }
+  }
+
   /** Resolve a `versionAsOf` SPEC: a numeric snapshot version, or a named
     * tag. One seam for the reader option and the catalog's SQL
     * `VERSION AS OF`, so `VERSION AS OF 'corpus-v1'` works everywhere a

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ManifestFileIndex
+
+import graft.SharedSpark.spark
+
+/** Table CHECK constraints (Delta ADD CONSTRAINT parity): named SQL
+  * predicates in table metadata, enforced on every row-introducing write
+  * path; NULL passes (SQL standard); maintenance rewrites that only carry
+  * rows skip re-validation.
+  */
+class LakeConstraintSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  private def df(vals: (Long, java.lang.Double)*) =
+    vals.toSeq.toDF("id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+
+  private def fresh(name: String, rows: (Long, java.lang.Double)*): String = {
+    val root = s"/tmp/graft_lake_test/constraint_spec/$name"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(df(rows: _*), root)
+    root
+  }
+
+  test("violating append is refused atomically; valid append passes") {
+    val root = fresh("append", 1L -> Double.box(5.0), 2L -> Double.box(7.5))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val e = intercept[RuntimeException] {
+      LakeIO.appendTxn(df(3L -> Double.box(-1.0), 4L -> Double.box(2.0)), root)
+    }
+    assert(e.getMessage.contains("value_nonneg"))
+    // atomic: no new snapshot, no new rows, no staged debris in live dirs
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+
+    LakeIO.appendTxn(df(5L -> Double.box(0.0)), root)
+    assert(spark.read.format("graft-lake").load(root).count() == 3L)
+  }
+
+  test("NULL passes a CHECK (SQL standard); IS NOT NULL spelling forbids it") {
+    val root = fresh("nulls", 1L -> Double.box(5.0))
+    LakeIO.addConstraint(spark, root, "value_pos", "value > 0")
+    // value NULL → predicate NULL → not a violation
+    LakeIO.appendTxn(df(2L -> null), root)
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+
+    LakeIO.addConstraint(spark, root, "id_notnull", "id IS NOT NULL")
+    val e = intercept[RuntimeException] {
+      LakeIO.appendTxn(
+        Seq((null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(1.0)))
+          .toDF("id", "value")
+          .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01"))), root)
+    }
+    assert(e.getMessage.contains("id_notnull"))
+  }
+
+  test("addConstraint refuses when existing rows violate; names are unique") {
+    val root = fresh("existing", 1L -> Double.box(-3.0))
+    val e = intercept[Exception] {
+      LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    }
+    assert(e.getMessage.contains("existing"))
+    assert(LakeIO.constraints(root).isEmpty)
+
+    LakeIO.addConstraint(spark, root, "id_pos", "id > 0")
+    intercept[Exception] {
+      LakeIO.addConstraint(spark, root, "id_pos", "id > 1")
+    }
+    // malformed SQL fails at parse, before any metadata write
+    intercept[Exception] {
+      LakeIO.addConstraint(spark, root, "broken", "value >=")
+    }
+    assert(LakeIO.constraints(root).map(_._1) == Seq("id_pos"))
+  }
+
+  test("CoW update and MoR merge cannot write violating values") {
+    val root = fresh("dml", 1L -> Double.box(5.0), 2L -> Double.box(7.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val eu = intercept[RuntimeException] {
+      LakeIO.updateWhere(spark, root, $"id" === 1L,
+        Seq("value" -> lit(-9.0)))
+    }
+    assert(eu.getMessage.contains("value_nonneg"))
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+
+    val em = intercept[RuntimeException] {
+      LakeIO.mergeIntoMoR(spark, root, df(2L -> Double.box(-4.0)), "id")
+    }
+    assert(em.getMessage.contains("value_nonneg"))
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+    // table content intact
+    assert(spark.read.format("graft-lake").load(root)
+      .agg(sum($"value")).head().getDouble(0) == 12.0)
+
+    // valid forms of the same mutations pass
+    LakeIO.updateWhere(spark, root, $"id" === 1L, Seq("value" -> lit(9.0)))
+    LakeIO.mergeIntoMoR(spark, root, df(2L -> Double.box(4.0)), "id")
+    assert(spark.read.format("graft-lake").load(root)
+      .agg(sum($"value")).head().getDouble(0) == 13.0)
+  }
+
+  test("drop lifts enforcement; carried-row maintenance never re-validates") {
+    val root = fresh("drop", 1L -> Double.box(5.0), 2L -> Double.box(6.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    LakeIO.appendTxn(df(3L -> Double.box(1.0)), root) // fragment the hour
+    // carried-row compaction on a constrained table: fine (skips validation)
+    LakeIO.compactSnapshots(spark, root)
+    assert(spark.read.format("graft-lake").load(root).count() == 3L)
+
+    LakeIO.dropConstraint(root, "value_nonneg")
+    LakeIO.appendTxn(df(4L -> Double.box(-1.0)), root)
+    assert(spark.read.format("graft-lake").load(root).count() == 4L)
+    intercept[Exception] { LakeIO.dropConstraint(root, "value_nonneg") }
+  }
+
+  test("SQL surface: ADD/SHOW/DROP CONSTRAINT through the catalog") {
+    val wh = "/tmp/graft_lake_test/constraint_spec/sqlwh"
+    rm(new java.io.File(wh))
+    val root = s"$wh/default/items"
+    LakeIO.writeLake(df(1L -> Double.box(5.0)), root)
+    spark.conf.set("spark.sql.catalog.graft_cons",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cons.warehouse", wh)
+
+    val added = spark.sql(
+      "ALTER TABLE graft_cons.default.items ADD CONSTRAINT value_nonneg CHECK (value >= 0)")
+      .collect()
+    assert(added.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("value_nonneg", "value >= 0")))
+
+    val shown = spark.sql("SHOW CONSTRAINTS IN graft_cons.default.items").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("value_nonneg"))
+
+    val e = intercept[RuntimeException] {
+      LakeIO.appendTxn(df(9L -> Double.box(-2.0)), root)
+    }
+    assert(e.getMessage.contains("value_nonneg"))
+
+    spark.sql("ALTER TABLE graft_cons.default.items DROP CONSTRAINT value_nonneg")
+    assert(LakeIO.constraints(root).isEmpty)
+    LakeIO.appendTxn(df(9L -> Double.box(-2.0)), root)
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+  }
+}
