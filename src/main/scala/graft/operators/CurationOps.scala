@@ -25,6 +25,93 @@ object CurationOps {
     transform(sequence(lit(0), size(t) - n),
       i => concat_ws(" ", slice(t, i + 1, lit(n))))
 
+  /** Distributed full-batch logistic regression over document features —
+    * the TRAINED quality-classifier tier above the heuristic
+    * `quality_score` (the fastText/CCNet-style learned filter a training
+    * pipeline runs where hand-tuned thresholds stop scaling), trained
+    * entirely in-engine. Returns (weights, persisted feature table with
+    * columns doc_id, y, x).
+    *
+    * Deterministic at any parallelism:
+    * - features are z-scored with moments computed through 6-dp
+    *   DECIMAL(18,6) sums (the engine-wide order-independent float
+    *   recipe), so standardization is bit-identical across runs;
+    * - each gradient-descent iteration is ONE aggregate over the
+    *   persisted feature projection, every per-row component rounded at
+    *   9 dp into DECIMAL(28,9) before summing — the sum is exact, so the
+    *   weight trajectory is bit-identical at any partitioning;
+    * - only the 4 gradient doubles cross to the driver per iteration
+    *   (the metadata-sized-collect precedent: partition values, Bloom
+    *   verdicts; MLlib's treeAggregate gradient loop has the same shape)
+    *   — corpus rows never leave the executors.
+    *
+    * 100 TB shape: per iteration = one map-side partial aggregate over a
+    * 4-doubles-per-row projection; no shuffle wider than the partial-agg
+    * combine, no window, no cartesian (the moments row is a 1-row
+    * broadcast). The label is the deterministic curation rule
+    * (len > 300 AND lang = 'en') standing in for human labels — the
+    * subject under test is the distributed trainer, not the rule.
+    *
+    * CACHE LIFETIME: the feature table stays persisted so the caller's
+    * scoring pass replays 4 doubles/row, not the text scan — same
+    * documented contract as the Dedup/Similarity/hybrid_rrf persists
+    * (Bench clearCaches per query; Verify is one-shot).
+    */
+  def trainQualityLr(s: SparkSession, d: String, iters: Int = 12,
+      rate: Double = 2.0): (Array[Double], DataFrame) = {
+    val raw = docs(s, d).select($"doc_id",
+      (length($"text").cast("double") / 1000.0).as("f1"),
+      when($"lang" === "en", 1.0).otherwise(0.0).as("f2"),
+      (size(split($"text", " ")).cast("double") / 100.0).as("f3"),
+      when(length($"text") > 300 && $"lang" === "en", 1.0)
+        .otherwise(0.0).as("y"))
+    val moments = raw.agg(
+      sum(round($"f1", 6).cast("decimal(18,6)")).as("s1"),
+      sum(round($"f1" * $"f1", 6).cast("decimal(18,6)")).as("q1"),
+      sum(round($"f2", 6).cast("decimal(18,6)")).as("s2"),
+      sum(round($"f2" * $"f2", 6).cast("decimal(18,6)")).as("q2"),
+      sum(round($"f3", 6).cast("decimal(18,6)")).as("s3"),
+      sum(round($"f3" * $"f3", 6).cast("decimal(18,6)")).as("q3"),
+      count(lit(1)).as("n"))
+    def std(f: Column, sc: Column, qc: Column, nc: Column) = {
+      val m = sc.cast("double") / nc
+      // +1e-9 keeps a constant feature (e.g. single-language corpus)
+      // finite instead of dividing by a zero stddev
+      (f - m) / sqrt(qc.cast("double") / nc - m * m + lit(1e-9))
+    }
+    val feats = raw.crossJoin(broadcast(moments))
+      .select($"doc_id", $"y",
+        array(lit(1.0),
+          std($"f1", $"s1", $"q1", $"n"),
+          std($"f2", $"s2", $"q2", $"n"),
+          std($"f3", $"s3", $"q3", $"n")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count().toDouble
+    var w = Array.fill(4)(0.0)
+    var it = 0
+    while (it < iters) {
+      val wCol = array(w.toIndexedSeq.map(lit(_)): _*)
+      val margin = aggregate(zip_with($"x", wCol, (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val gradAggs = (0 until 4).map(j =>
+        sum(round((p - $"y") * element_at($"x", j + 1) / n, 9)
+          .cast("decimal(28,9)")).as(s"g$j"))
+      val row = feats.agg(gradAggs.head, gradAggs.tail: _*).head()
+      w = w.indices.map(j => w(j) - rate *
+        (if (row.isNullAt(j)) 0.0 else row.getDecimal(j).doubleValue)).toArray
+      it += 1
+    }
+    (w, feats)
+  }
+
+  /** Scores of [[trainQualityLr]]'s model: margin > 0 ⇒ keep. */
+  def lrPrediction(w: Array[Double]): Column = {
+    val wCol = array(w.toIndexedSeq.map(lit(_)): _*)
+    when(aggregate(zip_with($"x", wCol, (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v) > 0, 1.0).otherwise(0.0)
+  }
+
   def ops: Seq[Op] = Seq(
 
     // Benchmark-contamination check: which corpus docs share any 3-gram
@@ -307,6 +394,27 @@ object CurationOps {
         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
         |       md5(clean) AS clean_fp,
         |       (clean = 't home & more ' || text || ' (c) 2024') AS strip_exact
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Trained quality classifier: in-engine distributed logistic
+    // regression (see trainQualityLr). The oracle proves the data facts
+    // exactly (corpus size, label counts from the deterministic rule)
+    // and the training claim as an error-bound boolean — the trained
+    // model must classify its corpus at >= 0.95 accuracy (the
+    // HLL/t-digest oracle pattern: the bound proves the algorithm, not
+    // bit-equality of an opaque float).
+    Op("quality_classifier_lr",
+      (s, d) => {
+        val (w, feats) = trainQualityLr(s, d)
+        feats.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum($"y".cast("long")).as("n_pos"),
+          (avg(($"y" === lrPrediction(w)).cast("double")) >= 0.95).as("acc_ok"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN length(text) > 300 AND lang = 'en'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  TRUE AS acc_ok
+        |FROM documents""".stripMargin)
   )
 }
