@@ -124,6 +124,24 @@ class LakeConstraintSpec extends AnyFunSuite {
     intercept[Exception] { LakeIO.dropConstraint(root, "value_nonneg") }
   }
 
+  test("exactly-once streaming append enforces constraints per micro-batch") {
+    val root = fresh("stream", 1L -> Double.box(5.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val bad = LakeIO.hourPartitioned(df(2L -> Double.box(-1.0)))
+    val e = intercept[RuntimeException] {
+      LakeIO.appendExactlyOnce(root, bad, batchId = 1L)
+    }
+    assert(e.getMessage.contains("value_nonneg"))
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+    // the failed batch left no staged debris; a corrected replay of the
+    // SAME batchId commits cleanly (the at-least-once retry story)
+    LakeIO.appendExactlyOnce(root,
+      LakeIO.hourPartitioned(df(2L -> Double.box(1.0))), batchId = 1L)
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+  }
+
   test("SQL surface: ADD/SHOW/DROP CONSTRAINT through the catalog") {
     val wh = "/tmp/graft_lake_test/constraint_spec/sqlwh"
     rm(new java.io.File(wh))
