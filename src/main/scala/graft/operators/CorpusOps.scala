@@ -20,6 +20,80 @@ object CorpusOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** Distributed BPE vocabulary training (Sennrich et al. 2016 — the
+    * merge-learning step behind every modern tokenizer), re-expressed as
+    * Spark aggregates over the DISTINCT-WORD table. That compression is
+    * the whole 100 TB story: pair statistics are identical whether
+    * computed over the corpus or over (word, freq) pairs, so after ONE
+    * corpus-wide tokenize+groupBy the iteration cost scales with
+    * vocabulary size, not corpus bytes — the corpus is never re-read.
+    *
+    * Per merge iteration (all deterministic at any parallelism):
+    * 1. argmax pair: explode adjacent symbol pairs weighted by word
+    *    frequency, one hash aggregate, total tie-break (count desc, then
+    *    left/right lexicographic) — a single top-1 row to the driver
+    *    (metadata-sized, like every iterative trainer here);
+    * 2. merge: symbol sequences are SPACE-JOINED STRINGS and the merge is
+    *    one codegen'd `regexp_replace` with zero-width boundary
+    *    lookarounds — java's left-to-right non-overlapping replacement IS
+    *    BPE's merge order ("a a a a" merges to "aa aa", never "aa a a"),
+    *    and the lookarounds keep the second of two adjacent matches
+    *    eligible where a space-consuming pattern would skip it.
+    *
+    * Word symbolization = lowercase letters + a terminal `_` end-of-word
+    * marker (disjoint from the a-z alphabet by construction). Returns the
+    * merge table [(left, right, pairCount)] and the base alphabet size.
+    */
+  def bpeTrainOn(corpus: DataFrame, k: Int): (Seq[(String, String, Long)], Long) = {
+    val s = corpus.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words0 = corpus
+      // parallelize the CPU-heavy tokenize: a single local input split
+      // would run it one-threaded (the contamination_ngram lesson); at
+      // 100 TB the scan already has thousands of splits and this is noise
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(split(regexp_replace(lower($"text"), "[^a-z ]", " "), " +")).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .select(concat_ws(" ", concat(split($"w", ""), array(lit("_")))).as("s"), $"f")
+      .persist(lvl)
+    val alphabet = words0.select(explode(split($"s", " ")).as("sym"))
+      .agg(countDistinct($"sym")).head().getLong(0)
+    var words = words0
+    val cached = scala.collection.mutable.ArrayBuffer(words0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var it = 0
+    while (it < k) {
+      val top = words
+        .select($"f", split($"s", " ").as("a"))
+        .where(size($"a") >= 2)
+        .select($"f", explode(transform(sequence(lit(0), size($"a") - 2),
+          i => struct(element_at($"a", i + 1).as("l"),
+            element_at($"a", i + 2).as("r")))).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(1).head()
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((l, r, c))
+      it += 1
+      if (it < k) {
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?= |$)"
+        val next = words.select(
+          regexp_replace($"s", pat,
+            java.util.regex.Matcher.quoteReplacement(l + r)).as("s"), $"f")
+          .persist(lvl)
+        cached += next
+        words = next
+      }
+    }
+    cached.foreach { c => c.unpersist(); () }
+    (merges.toSeq, alphabet)
+  }
+
+  def bpeTrain(s: SparkSession, d: String, k: Int = 6): (Seq[(String, String, Long)], Long) =
+    bpeTrainOn(docs(s, d), k)
+
   /** Native bloom-filter aggregate over `xxhash64(c)` — the Catalyst
     * expression Spark's InjectRuntimeFilter uses, exposed as a Column.
     * `numBits = 10×items` ≈ 1% false-positive rate.
@@ -188,6 +262,51 @@ object CorpusOps {
         |    ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
         |  doc_id, md5('ep1' || CAST(doc_id AS VARCHAR)) AS skey
         |FROM documents ORDER BY pos""".stripMargin),
+
+    // BPE vocabulary training (see bpeTrainOn). The oracle anchors the
+    // hardest-to-fake fact exactly — iteration 1's argmax pair and its
+    // weighted count, recomputed independently by DuckDB over the same
+    // tokenization — plus the exact base alphabet size; the full 6-merge
+    // trajectory is pinned symbol-for-symbol by BpeSpec against a
+    // hand-computed Sennrich-example corpus (merge-frequency monotonicity
+    // is checked Spark-side and reported through merges_ok).
+    Op("bpe_train",
+      (s, d) => {
+        val (merges, alphabet) = bpeTrain(s, d, k = 6)
+        val (l1, r1, c1) = merges.head
+        val monotonic = merges.sliding(2).forall {
+          case Seq((_, _, a), (_, _, b)) => b <= a
+          case _                         => true
+        }
+        val distinctPairs =
+          merges.map(m => (m._1, m._2)).distinct.size == merges.size
+        val positive = merges.forall(_._3 > 0L)
+        s.range(1).select(
+          lit(l1).as("first_left"), lit(r1).as("first_right"),
+          lit(c1).as("first_count"), lit(alphabet).as("alphabet_size"),
+          lit(merges.size.toLong).as("n_merges"),
+          lit(monotonic && distinctPairs && positive).as("merges_ok"))
+      },
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(
+        |           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT w || '_' AS s, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM toks WHERE w <> '' GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(s, i, 1) AS l, substr(s, i + 1, 1) AS r, f
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, length(s) - 1)) AS i)),
+        |top1 AS (
+        |  SELECT l, r, CAST(SUM(f) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |alpha AS (
+        |  SELECT CAST(COUNT(DISTINCT substr(s, i, 1)) AS BIGINT) AS n
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, length(s))) AS i))
+        |SELECT t.l AS first_left, t.r AS first_right, t.cnt AS first_count,
+        |       a.n AS alphabet_size, CAST(6 AS BIGINT) AS n_merges,
+        |       TRUE AS merges_ok
+        |FROM top1 t, alpha a""".stripMargin),
 
     // Token-window chunking: window 64, stride 48 (16-token overlap).
     // The oracle re-derives every window by list slicing, so the hash

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark.spark
+
+/** Distributed BPE vocabulary training: the merge trajectory must match a
+  * hand computation on the classic Sennrich corpus, ties must break
+  * deterministically, and the regex merge must implement left-to-right
+  * NON-OVERLAPPING replacement (BPE's merge order) including back-to-back
+  * matches that a space-consuming pattern would skip.
+  */
+class BpeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("Sennrich example corpus: exact 5-merge trajectory, hand-computed") {
+    // word frequencies: low×5 lower×2 newest×6 widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq(text).toDF("text")
+    val (merges, alphabet) = CorpusOps.bpeTrainOn(corpus, 5)
+    // hand computation:
+    //   pair counts round 1: (e,s)=9 (s,t)=9 (t,_)=9 ... → tie on 9,
+    //   lexicographic left asc picks (e,s)
+    //   then (es,t)=9 → (est,_)=9 → (l,o)=7 ties (o,w)=7, 'l'<'o' → (lo,w)=7
+    assert(merges == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "_", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // chars {l,o,w,e,r,n,s,t,i,d} + '_'
+    assert(alphabet == 11L)
+  }
+
+  test("back-to-back merges: 'aaaa' yields 'aa aa', and '_' wins the r-tie") {
+    val corpus = Seq("aaaa aaaa").toDF("text")
+    val (merges, alphabet) = CorpusOps.bpeTrainOn(corpus, 2)
+    // round 1: (a,a) = 3 adjacencies × 2 occurrences = 6
+    // round 2 PROVES non-overlapping replacement: a a a a _ → aa aa _
+    //   (never aa a a); pairs then (aa,aa)=2 and (aa,_)=2 — count tie,
+    //   left tie, right '_' (0x5F) < 'aa' → (aa,_)
+    assert(merges == Seq(("a", "a", 6L), ("aa", "_", 2L)))
+    assert(alphabet == 2L) // {a, _}
+  }
+
+  test("training is deterministic across runs on real data") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = CorpusOps.bpeTrain(spark, d, k = 3)
+    val r2 = CorpusOps.bpeTrain(spark, d, k = 3)
+    assert(r1 == r2)
+    // merge frequency is non-increasing (each new pair's count is bounded
+    // by the count of the merge that created its left/right symbol)
+    val counts = r1._1.map(_._3)
+    assert(counts == counts.sorted.reverse)
+  }
+}
