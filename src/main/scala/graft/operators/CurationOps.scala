@@ -58,8 +58,12 @@ object CurationOps {
     * (Bench clearCaches per query; Verify is one-shot).
     */
   def trainQualityLr(s: SparkSession, d: String, iters: Int = 12,
+      rate: Double = 2.0): (Array[Double], DataFrame) =
+    trainQualityLrOn(docs(s, d), iters, rate)
+
+  def trainQualityLrOn(corpus: DataFrame, iters: Int = 12,
       rate: Double = 2.0): (Array[Double], DataFrame) = {
-    val raw = docs(s, d).select($"doc_id",
+    val raw = corpus.select($"doc_id",
       (length($"text").cast("double") / 1000.0).as("f1"),
       when($"lang" === "en", 1.0).otherwise(0.0).as("f2"),
       (size(split($"text", " ")).cast("double") / 100.0).as("f3"),

@@ -218,6 +218,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
     AttributeReference("num_tags", LongType, nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)(),
     AttributeReference("num_staged", LongType, nullable = false)(),
     // schema-evolution surfaces: renamed fields' name histories
     // ("old -> new; …", null when never renamed) and the partition ERAS
@@ -247,6 +248,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       entries.iterator.map(_.size).sum,
       ManifestFileIndex.readDvs(root).size.toLong,
       ManifestFileIndex.listRefs(root).size.toLong,
+      ManifestFileIndex.listConstraints(root).size.toLong,
       staged.toLong, mapping, eras))
   }
 }

@@ -2709,6 +2709,27 @@ object LakeIO {
         |SELECT event_id, ts, event_type, value FROM all_rows
         |ORDER BY event_id""".stripMargin),
 
+    // Iceberg-style metadata table, end-to-end through SQL: the per-file
+    // inventory (`cat.t.files`, a manifest-backed LocalScan — zero data
+    // files opened) aggregated per partition must agree with the DATA
+    // itself — the oracle recomputes per-hour row counts from the rows,
+    // so the hash match proves the manifest's footer counts are the
+    // truth, partition for partition.
+    Op("lake_files_sql",
+      (s, d) => {
+        val path = ensureLake(s, d)
+        val wh = new java.io.File(path).getParent
+        s.conf.set("spark.sql.catalog.graft_mfx",
+          "org.apache.spark.sql.graft.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mfx.warehouse", wh)
+        s.sql("""SELECT `partition`, CAST(SUM(num_rows) AS BIGINT) AS n_rows
+                FROM graft_mfx.events.files
+                GROUP BY `partition` ORDER BY `partition`""")
+      },
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS partition,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Column rename via field-history mapping, end-to-end through SQL:
     // pre-rename files carry `value`, post-rename files `amount`, and
     // the read resolves both generations into one column — hash-exact

@@ -97,9 +97,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def load(ident: Identifier, version: Option[String]): Table = {
     import scala.jdk.CollectionConverters._
     val path = tablePath(ident)
-    if (!isLakeTable(new java.io.File(path)))
+    if (!isLakeTable(new java.io.File(path))) {
+      // Iceberg-style metadata tables: `cat.ns.t.files` parses as
+      // namespace [ns, t] + name "files" — when the namespace tail IS a
+      // lake table and the name is a metadata-table name, serve the
+      // manifest-backed LocalScan table (zero data files opened). A real
+      // table always shadows: this branch only runs when `path` is not
+      // one.
+      if (ident.namespace.nonEmpty &&
+          GraftMetaTables.Names.contains(ident.name.toLowerCase(java.util.Locale.ROOT))) {
+        val parent = (warehouse +: ident.namespace.toSeq).mkString("/")
+        if (isLakeTable(new java.io.File(parent)))
+          return GraftMetaTables.table(parent,
+            ident.name.toLowerCase(java.util.Locale.ROOT), version)
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace.toSeq :+ ident.name).toSeq)
+    }
     val opts = Map("path" -> path) ++ version.map("versionAsOf" -> _)
     new GraftLakeSource().getTable(new CaseInsensitiveStringMap(opts.asJava))
   }

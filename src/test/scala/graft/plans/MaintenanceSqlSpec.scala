@@ -123,21 +123,24 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(row.getLong(2) === 1L)
     assert(row.getString(3) === "ts_hour")
     assert(row.getLong(4) >= 1L && row.getLong(6) > 0L)
-    // fresh table: no deletion vectors, tags, or staged snapshots
-    assert(row.getLong(7) === 0L && row.getLong(8) === 0L && row.getLong(9) === 0L)
+    // fresh table: no deletion vectors, tags, constraints, or staged
+    assert(row.getLong(7) === 0L && row.getLong(8) === 0L &&
+      row.getLong(9) === 0L && row.getLong(10) === 0L)
     // the counters go live with the features
     LakeIO.deleteWhereMoR(spark, path,
       org.apache.spark.sql.functions.col("v") === "a")
     LakeIO.tagSnapshot(path, "det-tag")
+    LakeIO.addConstraint(spark, path, "id_pos", "id > 0")
     val row2 = spark.sql("DESCRIBE DETAIL mcat.default.det").collect().head
-    assert(row2.getLong(7) === 1L && row2.getLong(8) === 1L)
+    assert(row2.getLong(7) === 1L && row2.getLong(8) === 1L &&
+      row2.getLong(9) === 1L)
     // never renamed, single era
-    assert(row2.isNullAt(10) && row2.getString(11) === "ts_hour")
+    assert(row2.isNullAt(11) && row2.getString(12) === "ts_hour")
     // a rename surfaces its name history in column_mapping
     LakeIO.compactDeletes(spark, path)
     LakeIO.renameColumn(path, "v", "val2")
     val row3 = spark.sql("DESCRIBE DETAIL mcat.default.det").collect().head
-    assert(row3.getString(10) === "v -> val2")
+    assert(row3.getString(11) === "v -> val2")
   }
 
   test("SHOW PARTITIONS lists the manifest inventory with row/byte accounting") {
