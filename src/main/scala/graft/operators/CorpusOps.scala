@@ -94,6 +94,21 @@ object CorpusOps {
   def bpeTrain(s: SparkSession, d: String, k: Int = 6): (Seq[(String, String, Long)], Long) =
     bpeTrainOn(docs(s, d), k)
 
+  /** APPLY a learned merge table to a symbolized word (space-joined char
+    * string + `_`): the k merges unroll statically into k nested
+    * codegen'd `regexp_replace`s — tokenization is a map-only pass with
+    * the vocabulary embedded in the plan (the broadcast-literal shape; a
+    * 50k-merge production vocabulary would ship as a broadcast trie UDF
+    * instead, same map-only contract).
+    */
+  def bpeApply(merges: Seq[(String, String)], sym: Column): Column =
+    merges.foldLeft(sym) { case (c, (l, r)) =>
+      regexp_replace(c,
+        "(?<=^| )" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?= |$)",
+        java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+
   /** Native bloom-filter aggregate over `xxhash64(c)` — the Catalyst
     * expression Spark's InjectRuntimeFilter uses, exposed as a Column.
     * `numBits = 10×items` ≈ 1% false-positive rate.
@@ -307,6 +322,50 @@ object CorpusOps {
         |       a.n AS alphabet_size, CAST(6 AS BIGINT) AS n_merges,
         |       TRUE AS merges_ok
         |FROM top1 t, alpha a""".stripMargin),
+
+    // BPE tokenization APPLIED per document: train 6 merges, then one
+    // map-only pass counts each document's BPE tokens (merges unrolled
+    // as codegen'd replaces — no join, no shuffle beyond the final
+    // order). The oracle recomputes the PRE-merge token count exactly
+    // (symbols = letters + one end-of-word mark per word, pure SQL) and
+    // bounds the trained side: BPE can only shrink a token stream, and
+    // 6 merges on real text must actually compress (both booleans TRUE).
+    Op("tokenize_bpe",
+      (s, d) => {
+        val (merges, _) = bpeTrain(s, d, k = 6)
+        val pairs = merges.map(m => (m._1, m._2))
+        val perDoc = docs(s, d)
+          .select($"doc_id",
+            explode(split(regexp_replace(lower($"text"), "[^a-z ]", " "), " +")).as("w"))
+          .where($"w" =!= "")
+          .select($"doc_id",
+            concat_ws(" ", concat(split($"w", ""), array(lit("_")))).as("sym"))
+          .select($"doc_id",
+            size(split($"sym", " ")).cast("long").as("n_base"),
+            size(split(bpeApply(pairs, $"sym"), " ")).cast("long").as("n_bpe"))
+          .groupBy($"doc_id")
+          .agg(sum($"n_base").as("nb"), sum($"n_bpe").as("np"))
+        // corpus-level compression claim (a single short doc may contain
+        // no merged pair; the corpus as a whole must shrink)
+        val tot = perDoc.agg(sum($"nb").as("tb"), sum($"np").as("tp"))
+        // left join from the base table: a doc with zero letter-words
+        // still gets its (exact) zero base count
+        docs(s, d).select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"doc_id",
+            coalesce($"nb", lit(0L)).as("n_tokens_base"),
+            coalesce($"np" <= $"nb", lit(true)).as("bpe_le_base"),
+            ($"tp" < $"tb").as("bpe_compresses"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |    + len(list_filter(string_split_regex(
+        |        regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+        |        w -> w <> '')) AS BIGINT) AS n_tokens_base,
+        |  TRUE AS bpe_le_base,
+        |  TRUE AS bpe_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Token-window chunking: window 64, stride 48 (16-token overlap).
     // The oracle re-derives every window by list slicing, so the hash

@@ -41,6 +41,20 @@ class BpeSpec extends AnyFunSuite {
     assert(alphabet == 2L) // {a, _}
   }
 
+  test("bpeApply tokenizes an unseen word with learned merges: lowest -> low est_") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val (merges, _) = CorpusOps.bpeTrainOn(Seq(text).toDF("text"), 5)
+    val pairs = merges.map(m => (m._1, m._2))
+    val got = Seq("l o w e s t _").toDF("sym")
+      .select(CorpusOps.bpeApply(pairs,
+        org.apache.spark.sql.functions.col("sym")).as("t"))
+      .head().getString(0)
+    // the textbook BPE outcome: es -> est -> est_ fuse the suffix, lo ->
+    // low fuse the stem, and the unseen word splits into two subwords
+    assert(got == "low est_")
+  }
+
   test("training is deterministic across runs on real data") {
     val d = "/root/testdata/sf0.001"
     val r1 = CorpusOps.bpeTrain(spark, d, k = 3)
