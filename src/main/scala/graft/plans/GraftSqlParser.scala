@@ -66,6 +66,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val ShowTags =
     """(?is)\s*SHOW\s+TAGS\s+(?:IN|FOR)\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val ShowBranches =
+    """(?is)\s*SHOW\s+BRANCHES\s+(?:IN|FOR)\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val PublishBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+PUBLISH\s+BRANCH\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
+  private val DropBranch =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+BRANCH\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`'/-]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -116,6 +122,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftShowPartitionsCommand(lakeRoot(ident))
     case ShowTags(ident) =>
       GraftShowTagsCommand(lakeRoot(ident))
+    case ShowBranches(ident) =>
+      GraftShowBranchesCommand(lakeRoot(ident))
+    case PublishBranch(ident, name) =>
+      GraftBranchCommand(lakeRoot(ident), name, publish = true)
+    case DropBranch(ident, name) =>
+      GraftBranchCommand(lakeRoot(ident), name, publish = false)
     case Restore(ident, version) =>
       GraftRestoreCommand(lakeRoot(ident), version.toInt)
     case _ => delegate.parsePlan(sqlText)
@@ -346,6 +358,39 @@ case class GraftShowConstraintsCommand(root: String)
     AttributeReference("expr", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     ManifestFileIndex.listConstraints(root).map { case (n, e) => Row(n, e) }
+}
+
+/** `SHOW BRANCHES IN t`: every open branch, its staged-append count and
+  * the main snapshot it is based on.
+  */
+case class GraftShowBranchesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("n_appends", LongType, nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.sources.LakeIO.listBranches(root).map {
+      case (n, k, base) => Row(n, k.toLong, base.toLong)
+    }
+}
+
+/** `ALTER TABLE t PUBLISH BRANCH b` — one squashed OCC delta commit of
+  * every branch append, rebased over anything committed on main since the
+  * branch base; `DROP BRANCH b` abandons the branch's never-live files.
+  */
+case class GraftBranchCommand(root: String, name: String, publish: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("published_version", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    if (publish) {
+      val v = graft.sources.LakeIO.publishBranch(root, name)
+      Seq(Row(name, v.toLong))
+    } else {
+      graft.sources.LakeIO.dropBranch(root, name)
+      Seq(Row(name, null))
+    }
 }
 
 /** `SHOW TAGS IN t`: every named ref and the version it pins. */

@@ -67,6 +67,7 @@ object MetadataOnlyCount extends Rule[LogicalPlan] {
             r.table match {
               case t: GraftLakeTable if t.lakeRoot.isDefined &&
                   !r.options.containsKey("stagedAsOf") &&
+                  !r.options.containsKey("branch") && // staged-read sugar
                   !r.options.containsKey("changesFrom") =>
                 tryRewrite(grouping, aggExprs, filters, r, t).getOrElse(agg)
               case _ => agg

@@ -424,6 +424,34 @@ object LakeIO {
       case None => sys.error(s"no branch '$name' under $path")
     }
 
+  /** The stage id carrying the branch's CURRENT state (cumulative delta),
+    * or None when no such branch exists — the resolution seam behind the
+    * V2 reader's `.option("branch", name)`.
+    */
+  def lastBranchStage(path: String, name: String): Option[String] =
+    branchStages(path, name).lastOption
+
+  /** Every open branch: name → (stage count, base snapshot version). */
+  def listBranches(path: String): Seq[(String, Int, Int)] = {
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val snapDir = new java.io.File(path, ManifestFileIndex.SnapshotDir)
+    Option(snapDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("staged-b-") && n.endsWith(".tsv"))
+      .flatMap { n =>
+        val core = n.stripPrefix("staged-b-").stripSuffix(".tsv")
+        val cut = core.lastIndexOf('-') // branch names may contain '-'
+        if (cut <= 0) None
+        else core.substring(cut + 1).toIntOption.map(_ => core.substring(0, cut))
+      }
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (name, ks) =>
+        val base = lastBranchStage(path, name)
+          .flatMap(ManifestFileIndex.readStagedDelta(path, _)).map(_._1).getOrElse(-1)
+        (name, ks.length, base)
+      }
+  }
+
   /** Publish the branch: ONE squashed delta commit of every branch
     * append, rebased over anything committed on main since the branch
     * base (pure adds — never conflicts); branch markers are consumed.

@@ -163,7 +163,25 @@ class GraftLakeTable(inner: ParquetTable,
     caps
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(rawOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // `.option("branch", name)` reads the branch's CURRENT state (base
+    // snapshot + every staged branch append) — sugar that resolves to
+    // the branch's latest cumulative stage and rides the stagedAsOf
+    // path, so branch reads get every staged-read rule for free
+    val options = Option(rawOptions.get("branch")).map(_.trim) match {
+      case Some(name) =>
+        require(rootDir.isDefined, "graft-lake branch read requires a lake path")
+        require(rawOptions.get("stagedAsOf") == null &&
+          rawOptions.get("versionAsOf") == null,
+          "branch cannot combine with stagedAsOf/versionAsOf")
+        val stage = graft.sources.LakeIO.lastBranchStage(rootDir.get, name)
+          .getOrElse(sys.error(s"no branch '$name' under ${rootDir.get}"))
+        val m = new java.util.HashMap[String, String](rawOptions.asCaseSensitiveMap())
+        m.remove("branch")
+        m.put("stagedAsOf", stage)
+        new CaseInsensitiveStringMap(m)
+      case None => rawOptions
+    }
     // A RENAMED table must read through the column-mapping rewrite
     // ([[graft.plans.ApplyDeletionVectors]]) — the delegated parquet scan
     // resolves columns by NAME and would silently null-fill the renamed

@@ -49,6 +49,39 @@ class LakeBranchSpec extends AnyFunSuite {
     intercept[Exception] { LakeIO.readBranch(spark, root, "exp") }
   }
 
+  test("branch reader option + SQL surface: SHOW/PUBLISH/DROP BRANCH") {
+    val wh = "/tmp/graft_lake_test/branch_sql"
+    rm(new java.io.File(wh))
+    val root = s"$wh/default/items"
+    LakeIO.writeLake(df("orig", 1L, 2L), root)
+    LakeIO.appendToBranch(df("b1", 10L), root, "exp-run-2")
+    LakeIO.appendToBranch(df("b2", 11L), root, "exp-run-2")
+    LakeIO.appendToBranch(df("c1", 20L), root, "other")
+
+    // .option("branch", name) reads base + branch appends; main untouched
+    val br = spark.read.format("graft-lake").option("branch", "exp-run-2").load(root)
+    assert(br.count() == 4L)
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+    intercept[Exception] {
+      spark.read.format("graft-lake").option("branch", "nope").load(root).count()
+    }
+
+    spark.conf.set("spark.sql.catalog.graft_br",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_br.warehouse", wh)
+    val shown = spark.sql("SHOW BRANCHES IN graft_br.default.items").collect()
+    assert(shown.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("exp-run-2", 2L, 1L), ("other", 1L, 1L)))
+
+    val pub = spark.sql(
+      "ALTER TABLE graft_br.default.items PUBLISH BRANCH 'exp-run-2'").collect()
+    assert(pub.head.getLong(1) == 2L)
+    assert(spark.read.format("graft-lake").load(root).count() == 4L)
+
+    spark.sql("ALTER TABLE graft_br.default.items DROP BRANCH other")
+    assert(spark.sql("SHOW BRANCHES IN graft_br.default.items").collect().isEmpty)
+  }
+
   test("dropBranch abandons every staged append without touching the table") {
     val root = "/tmp/graft_lake_test/branch_spec_drop/items"
     rm(new java.io.File(root))
