@@ -45,7 +45,7 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // anchored full-match patterns — `Regex.unapplySeq` on a String matches
   // the WHOLE statement, so partial hits can't shadow real SQL
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`'/-]+?)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`'/-]+?)(?:\s+RETAIN\s+(\d+)\s+(SNAPSHOTS|HOURS))?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([\w.`'/-]+?)(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
   private val History =
@@ -93,8 +93,9 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(ident, retain) =>
-      GraftVacuumCommand(lakeRoot(ident), Option(retain).map(_.toInt))
+    case Vacuum(ident, retain, unit) =>
+      GraftVacuumCommand(lakeRoot(ident), Option(retain).map(_.toInt),
+        Option(unit).map(_.toUpperCase(java.util.Locale.ROOT)))
     case Optimize(ident, null, null) =>
       GraftOptimizeCommand(lakeRoot(ident), None)
     case Optimize(ident, colA, colB) =>
@@ -157,14 +158,20 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * referenced. Returns the file accounting. Metadata-scan only — never
   * reads table data.
   */
-case class GraftVacuumCommand(root: String, retainSnapshots: Option[Int])
-    extends LeafRunnableCommand {
+case class GraftVacuumCommand(root: String, retain: Option[Int],
+    unit: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("expired_data_files", LongType, nullable = false)(),
     AttributeReference("orphan_files_removed", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
-    val expired = retainSnapshots
-      .map(k => ManifestFileIndex.expireSnapshots(root, k)).getOrElse(0)
+    val expired = (retain, unit) match {
+      case (Some(n), Some("HOURS")) =>
+        // Delta-shaped retention: age-based, head + tags always survive
+        ManifestFileIndex.expireSnapshotsOlderThan(root,
+          System.currentTimeMillis() - n * 3600L * 1000L)
+      case (Some(k), _) => ManifestFileIndex.expireSnapshots(root, k)
+      case _            => 0
+    }
     val orphans = ManifestFileIndex.removeOrphanFiles(root)
     Seq(Row(expired.toLong, orphans.toLong))
   }

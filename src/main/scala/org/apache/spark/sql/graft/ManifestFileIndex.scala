@@ -1701,7 +1701,27 @@ object ManifestFileIndex {
     */
   def expireSnapshots(rootDir: String, keepLast: Int): Int = {
     val head = headVersion(rootDir).getOrElse(return 0)
-    val cutoff = head - keepLast + 1
+    expireBelow(rootDir, head, head - keepLast + 1)
+  }
+
+  /** AGE-based expiry (`VACUUM … RETAIN n HOURS`, the Delta retention
+    * shape): expire every snapshot whose manifest was written before the
+    * cutoff, except the head (always kept — a quiet table must stay
+    * readable) and tagged releases. Commit times are manifest file
+    * mtimes, the same clock `versionAt`/`TIMESTAMP AS OF` read.
+    */
+  def expireSnapshotsOlderThan(rootDir: String, cutoffMillis: Long): Int = {
+    val head = headVersion(rootDir).getOrElse(return 0)
+    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    // first version young enough to keep; everything below expires
+    val firstKept = (1 to head).find { v =>
+      val f = new java.io.File(snapDir, s"manifest-$v.tsv")
+      f.exists() && f.lastModified() >= cutoffMillis
+    }.getOrElse(head)
+    expireBelow(rootDir, head, firstKept min head)
+  }
+
+  private def expireBelow(rootDir: String, head: Int, cutoff: Int): Int = {
     // TAGGED snapshots are pinned releases ("the corpus run 7 trained
     // on") — they survive expiration along with every file they
     // reference, regardless of age

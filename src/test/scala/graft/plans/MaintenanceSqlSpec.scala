@@ -89,6 +89,37 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("VACUUM RETAIN n HOURS expires by age; head and tagged survive") {
+    attach()
+    val path = s"$wh/default/vac_age"
+    LakeIO.writeLake(df(1L -> "a"), path)          // v1
+    LakeIO.overwriteLake(spark, path, df(2L -> "b")) // v2 (v1 parked)
+    LakeIO.overwriteLake(spark, path, df(3L -> "c")) // v3 (v2 parked)
+    LakeIO.tagSnapshot(path, "age-keep", Some(2))
+    import org.apache.spark.sql.graft.ManifestFileIndex
+    val snapDir = new java.io.File(path, ManifestFileIndex.SnapshotDir)
+    // backdate v1+v2 commits to two hours ago; v3 (head) stays fresh
+    val old = System.currentTimeMillis() - 2L * 3600L * 1000L
+    Seq(1, 2).foreach { v =>
+      assert(new java.io.File(snapDir, s"manifest-$v.tsv").setLastModified(old))
+    }
+    val out = spark.sql("VACUUM mcat.default.vac_age RETAIN 1 HOURS").collect().head
+    assert(out.getLong(0) >= 1L, "v1's parked file must be reclaimed")
+    // v1 expired: no longer travelable; v2 survives via its tag; head intact
+    assert(ManifestFileIndex.read(path, Some(1)).isEmpty)
+    assert(spark.read.format("graft-lake").option("versionAsOf", "age-keep")
+      .load(path).select($"v").head().getString(0) == "b")
+    assert(spark.read.format("graft-lake").load(path)
+      .select($"v").head().getString(0) == "c")
+    // a quiet table is never emptied: everything old but head kept
+    val path2 = s"$wh/default/vac_age2"
+    LakeIO.writeLake(df(9L -> "z"), path2)
+    assert(new java.io.File(s"$path2/${ManifestFileIndex.SnapshotDir}",
+      "manifest-1.tsv").setLastModified(old))
+    spark.sql("VACUUM mcat.default.vac_age2 RETAIN 1 HOURS")
+    assert(spark.read.format("graft-lake").load(path2).count() == 1L)
+  }
+
   test("plain VACUUM only sweeps aged orphans, never live or parked data") {
     attach()
     val path = s"$wh/default/keep"
