@@ -124,6 +124,21 @@ class LakeConstraintSpec extends AnyFunSuite {
     intercept[Exception] { LakeIO.dropConstraint(root, "value_nonneg") }
   }
 
+  test("branch staging enforces constraints at STAGE time, not publish time") {
+    val root = fresh("branch", 1L -> Double.box(5.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val e = intercept[RuntimeException] {
+      LakeIO.appendToBranch(df(2L -> Double.box(-1.0)), root, "exp")
+    }
+    assert(e.getMessage.contains("value_nonneg"))
+    // the refusal fired before any stage marker was written: no branch
+    intercept[Exception] { LakeIO.readBranch(spark, root, "exp") }
+    // a valid branch append stages and publishes cleanly
+    LakeIO.appendToBranch(df(3L -> Double.box(4.0)), root, "exp")
+    LakeIO.publishBranch(root, "exp")
+    assert(spark.read.format("graft-lake").load(root).count() == 2L)
+  }
+
   test("exactly-once streaming append enforces constraints per micro-batch") {
     val root = fresh("stream", 1L -> Double.box(5.0))
     LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
