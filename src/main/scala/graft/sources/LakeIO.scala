@@ -2758,6 +2758,36 @@ object LakeIO {
         |       CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // The commit-log metadata table anchored to DATA truth: on the
+    // two-commit incremental lake, each snapshot's file count equals the
+    // distinct hours of the slice that commit landed (the writers
+    // cluster one file per hour), so the oracle derives the whole
+    // version history from the rows alone.
+    Op("lake_snapshots_sql",
+      (s, d) => {
+        val path = incrLake(s, d)
+        val wh = new java.io.File(path).getParent
+        s.conf.set("spark.sql.catalog.graft_sfx",
+          "org.apache.spark.sql.graft.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_sfx.warehouse", wh)
+        s.sql("""SELECT version, n_files, n_partitions
+                FROM graft_sfx.events.snapshots ORDER BY version""")
+      },
+      """WITH h1 AS (
+        |  SELECT COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')) AS n
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+        |h2 AS (
+        |  SELECT COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H')) AS n
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(h1.n AS BIGINT) AS n_files,
+        |       CAST(h1.n AS BIGINT) AS n_partitions
+        |FROM h1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(h1.n + h2.n AS BIGINT),
+        |       CAST(h1.n + h2.n AS BIGINT)
+        |FROM h1, h2
+        |ORDER BY version""".stripMargin),
+
     // Column rename via field-history mapping, end-to-end through SQL:
     // pre-rename files carry `value`, post-rename files `amount`, and
     // the read resolves both generations into one column — hash-exact
