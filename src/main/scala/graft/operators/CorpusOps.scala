@@ -63,8 +63,9 @@ object CorpusOps {
     val cached = scala.collection.mutable.ArrayBuffer(words0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var it = 0
-    while (it < k) {
-      val top = words
+    var exhausted = false
+    while (it < k && !exhausted) {
+      val tops = words
         .select($"f", split($"s", " ").as("a"))
         .where(size($"a") >= 2)
         .select($"f", explode(transform(sequence(lit(0), size($"a") - 2),
@@ -72,7 +73,10 @@ object CorpusOps {
             element_at($"a", i + 2).as("r")))).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"f").as("cnt"))
         .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-        .limit(1).head()
+        .limit(1).collect()
+      if (tops.isEmpty) { exhausted = true } // every word fully merged:
+      else {                                 // fewer than k merges exist
+      val top = tops.head
       val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((l, r, c))
       it += 1
@@ -85,6 +89,7 @@ object CorpusOps {
           .persist(lvl)
         cached += next
         words = next
+      }
       }
     }
     cached.foreach { c => c.unpersist(); () }

@@ -55,6 +55,64 @@ class BpeSpec extends AnyFunSuite {
     assert(got == "low est_")
   }
 
+  /** Independent in-memory reference BPE: same symbolization, same
+    * left-to-right non-overlapping merge, same (count desc, left, right)
+    * tie-break — written against the algorithm, not the Spark code.
+    */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var ws: Map[List[String], Long] = words
+      .map { case (w, f) => (w.split("").toList :+ "_") -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.size < k && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- ws; pair <- syms.sliding(2) if pair.size == 2)
+        counts((pair.head, pair(1))) += f
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, c))
+        val m = l + r
+        ws = ws.toSeq.map { case (syms, f) =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              buf += m; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.toList, f)
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("differential: Spark trainer == in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val vocabSize = 8 + rnd.nextInt(20)
+      val words = (1 to vocabSize).map { _ =>
+        val len = 1 + rnd.nextInt(4)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(20))).toMap
+      val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+        .mkString(" ")
+      val k = 2 + rnd.nextInt(5)
+      val (got, _) = CorpusOps.bpeTrainOn(Seq(text).toDF("text"), k)
+      val want = refBpe(words, k)
+      assert(got == want, s"trial $trial (k=$k, vocab=${words.size})")
+    }
+  }
+
+  test("merge exhaustion stops early instead of throwing") {
+    // one word, one char: symbols "a _" — exactly ONE merge possible
+    val (merges, alphabet) = CorpusOps.bpeTrainOn(Seq("a a a").toDF("text"), 5)
+    assert(merges == Seq(("a", "_", 3L)))
+    assert(alphabet == 2L)
+  }
+
   test("training is deterministic across runs on real data") {
     val d = "/root/testdata/sf0.001"
     val r1 = CorpusOps.bpeTrain(spark, d, k = 3)
