@@ -12,11 +12,20 @@ import graft.syntax._
   * joins are absent from the reference and enter via the north-star
   * extension surface; the testdata star schema is the correctness vehicle).
   *
-  * Scale design: dimension tables (region/nation/supplier, and customer at
-  * any realistic ratio) are broadcast — no shuffle of the fact side;
-  * fact-fact joins (lineitem⋈orders) shuffle on the join key once, and
-  * AQE handles skew at the 100 TB end. Money aggregates go through
-  * DECIMAL so partial/final aggregation is order-exact.
+  * Scale design: hard `broadcast()` hints appear ONLY on sides whose
+  * cardinality is bounded regardless of SF — region/nation (fixed
+  * 5/25-row TPC-H dimensions, and frames derived from them) and 1-row
+  * scalar aggregates. SF-scaling tables (customer, part, supplier — all
+  * grow linearly with the fact side; at sf100k customer is ~15 B rows)
+  * carry NO hint: Catalyst's size-based selection broadcasts them at
+  * bench scale (plans identical — PlanShapeSpec pins it) and falls back
+  * to shuffled hash / sort-merge at cluster scale, where a compulsory
+  * broadcast would OOM the driver. A predicate on an SF-scaling table
+  * (p_size <= 5, p_brand = X) keeps a constant FRACTION, not a constant
+  * COUNT — it does not make the side broadcast-safe. Fact-fact joins
+  * (lineitem⋈orders) shuffle on the join key once, and AQE handles skew
+  * at the 100 TB end. Money aggregates go through DECIMAL so
+  * partial/final aggregation is order-exact.
   */
 object RelationalOps {
 
@@ -82,7 +91,7 @@ object RelationalOps {
     // Broadcast-dimension join: orders⋈customer⋈nation, revenue per nation.
     Op("join_rev_nation",
       (s, d) => Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(count(lit(1)).as("num_orders"),
@@ -96,11 +105,11 @@ object RelationalOps {
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
 
     // Five-way join down the region→nation→customer→orders→lineitem spine
-    // (TPC-H Q5 shape): broadcast the dimension chain, shuffle facts once.
+    // (TPC-H Q5 shape): size-based broadcasts on the dimension chain, one fact shuffle.
     Op("q5_region_rev",
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .where($"r_name" === "ASIA")
@@ -121,10 +130,10 @@ object RelationalOps {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
 
     // Hierarchical rollup: revenue by (region, nation) with subtotals —
-    // GROUPING SETS exercise over the broadcast dimension chain.
+    // GROUPING SETS exercise over the size-broadcast dimension chain.
     Op("rollup_revenue",
       (s, d) => Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
@@ -316,7 +325,7 @@ object RelationalOps {
     // order ("late" = shipped after a cutoff; this lineitem has no
     // commit/receipt dates). The semi ("another supplier exists") and
     // anti ("no OTHER supplier was late") correlations both become
-    // shuffle joins on l_orderkey; the supplier dimension broadcasts.
+    // shuffle joins on l_orderkey; the supplier join is size-broadcast at bench scale.
     // Three passes over lineitem, each pruned to 3 columns — the plan a
     // 100 TB run wants (no cartesian, no driver loop, one join key).
     Op("q21_sole_late_supplier",
@@ -336,7 +345,7 @@ object RelationalOps {
           .withColumn("n_late_supp",
             size(collect_set(when(late, $"l_suppkey")).over(w)))
           .where(late && $"n_supp" >= 2 && $"n_late_supp" === 1)
-          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy($"numwait".desc, $"s_name")
@@ -355,7 +364,7 @@ object RelationalOps {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
 
     // TPC-H Q14 shape: promo revenue share over one ship window — the
-    // date predicate pushes to the scan, part broadcasts, and both the
+    // date predicate pushes to the scan, part joins size-based, and both the
     // numerator and denominator aggregate through DECIMAL so the final
     // percentage is a single double division on bit-identical operands.
     Op("q14_promo_rev",
@@ -365,7 +374,7 @@ object RelationalOps {
         Tables.lineitem(s, d)
           .where($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
             && $"l_shipdate" < to_timestamp(lit("1997-03-01 00:00:00")))
-          .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+          .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
           .agg(
             sum(when($"p_type" === "PROMO", disc).otherwise(zero))
               .cast(DecimalType(24, 4)).cast("double").as("promo_rev"),
@@ -386,8 +395,8 @@ object RelationalOps {
 
     // TPC-H Q18 shape: large-volume orders — the HAVING subquery is the
     // same aggregation the output needs, so it is computed ONCE (group
-    // lineitem by order, filter, join back to orders + broadcast
-    // customer) instead of the literal semi-join-then-reaggregate a naive
+    // lineitem by order, filter, join back to orders + customer) instead
+    // of the literal semi-join-then-reaggregate a naive
     // translation would run. One fact shuffle on l_orderkey.
     Op("q18_large_orders",
       (s, d) => {
@@ -395,7 +404,7 @@ object RelationalOps {
           .agg(moneySum($"l_quantity").as("sum_qty"))
           .where($"sum_qty" > 150.0)
         big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
           .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
             $"o_totalprice", $"sum_qty")
           .orderBy($"o_totalprice".desc, $"o_orderkey")
@@ -413,7 +422,7 @@ object RelationalOps {
     // TPC-H Q10 shape: returned-item revenue per customer in one order
     // quarter — fact⋈fact shuffle on the order key with BOTH sides
     // pre-filtered (returnflag on lineitem, the date window on orders,
-    // each pushed to its scan), then broadcast customer/nation.
+    // each pushed to its scan), then the customer/nation dim joins.
     Op("q10_returned_rev",
       (s, d) => Tables.lineitem(s, d)
         .where($"l_returnflag" === "R")
@@ -421,7 +430,7 @@ object RelationalOps {
           .where($"o_orderdate" >= to_timestamp(lit("1997-01-01 00:00:00"))
             && $"o_orderdate" < to_timestamp(lit("1997-07-01 00:00:00"))),
           $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
         .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8)))
@@ -444,7 +453,7 @@ object RelationalOps {
 
     // TPC-H Q8 shape: national market share by year — the full 6-table
     // snowflake (fact ⋈ orders shuffle once; part/customer/nation/region/
-    // supplier all broadcast, nation twice under different roles). The
+    // supplier joined size-based, nation twice under different roles). The
     // share is a conditional-sum ratio through DECIMAL, divided once.
     Op("q8_market_share",
       (s, d) => {
@@ -455,14 +464,14 @@ object RelationalOps {
         val suppNation = Tables.nation(s, d)
           .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).where($"p_type" === "PROMO")
-            .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+          .join(Tables.part(s, d).where($"p_type" === "PROMO")
+            .select($"p_partkey"), $"l_partkey" === $"p_partkey")
           .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
           .join(broadcast(custNation), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(Tables.region(s, d).where($"r_name" === "ASIA")),
             $"n_regionkey" === $"r_regionkey")
-          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
           .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
           .groupBy(year($"o_orderdate").cast("long").as("o_year"))
           .agg(
@@ -494,7 +503,7 @@ object RelationalOps {
 
     // Bidirectional nation-pair trade volume (TPC-H Q7 shape): the OR of
     // the two (supp_nation, cust_nation) orientations survives into one
-    // fact pass — both nation lookups broadcast, one shuffle for the agg.
+    // fact pass — both nation lookups hint-broadcast (bounded), one shuffle for the agg.
     Op("q7_volume_shipping",
       (s, d) => {
         val vol = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
@@ -506,8 +515,8 @@ object RelationalOps {
           .where($"l_shipdate" >= to_timestamp(lit("1996-01-01 00:00:00"))
             && $"l_shipdate" < to_timestamp(lit("1998-01-01 00:00:00")))
           .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
-          .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
           .join(broadcast(suppNation), $"s_nationkey" === $"sn_key")
           .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
           .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_8")
@@ -562,13 +571,14 @@ object RelationalOps {
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin),
 
-    // Disjunctive multi-attribute predicate over a broadcast dimension
-    // join (TPC-H Q19 shape): the OR-of-ANDs references both sides, so
-    // it evaluates post-join — the plan to want is broadcast-hash-join
-    // with the residual filter fused into the probe, one fact pass.
+    // Disjunctive multi-attribute predicate over a dimension join
+    // (TPC-H Q19 shape): the OR-of-ANDs references both sides, so
+    // it evaluates post-join — the plan to want is a hash join (broadcast at
+    // bench scale via size estimation) with the residual filter fused into
+    // the probe, one fact pass.
     Op("q19_disjunctive_rev",
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), $"p_partkey" === $"l_partkey")
+        .join(Tables.part(s, d), $"p_partkey" === $"l_partkey")
         .where(($"p_brand" === "Brand#12" && $"p_size".between(1, 15)
             && $"l_quantity" >= 1 && $"l_quantity" <= 21)
           || ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
@@ -607,9 +617,9 @@ object RelationalOps {
         val bestW = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
         cost.withColumn("best_cost", min($"unit_cost").over(bestW))
           .where($"unit_cost" === $"best_cost")
-          .join(broadcast(Tables.part(s, d).where($"p_size" <= 5)),
+          .join(Tables.part(s, d).where($"p_size" <= 5),
             $"p_partkey" === $"l_partkey")
-          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+          .join(Tables.supplier(s, d), $"s_suppkey" === $"l_suppkey")
           .select($"p_partkey", $"p_brand", $"s_suppkey", $"s_name", $"s_acctbal",
             $"unit_cost".cast("double").as("unit_cost"))
           .orderBy($"s_acctbal".desc, $"p_partkey", $"s_suppkey")
@@ -638,9 +648,9 @@ object RelationalOps {
         val revenue = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 8))
         val cost = ($"p_retailprice" * $"l_quantity" * lit(0.6)).cast(DecimalType(18, 8))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).where($"p_name".contains("gear"))),
+          .join(Tables.part(s, d).where($"p_name".contains("gear")),
             $"p_partkey" === $"l_partkey")
-          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+          .join(Tables.supplier(s, d), $"s_suppkey" === $"l_suppkey")
           .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
           .join(Tables.orders(s, d), $"o_orderkey" === $"l_orderkey")
           .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
@@ -684,17 +694,17 @@ object RelationalOps {
         |ORDER BY part_value DESC, p_key""".stripMargin),
 
     // Supplier diversity per part attribute with a NOT-IN exclusion
-    // (TPC-H Q16 shape): the complaint-supplier set becomes a broadcast
-    // anti join; count(DISTINCT) shuffles once on the group keys.
+    // (TPC-H Q16 shape): the complaint-supplier set becomes an
+    // anti join (size-broadcast at bench scale); count(DISTINCT) shuffles once on the group keys.
     Op("q16_supplier_count",
       (s, d) => {
         val excluded = Tables.supplier(s, d).where($"s_acctbal" < 0)
           .select($"s_suppkey".as("x_key"))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)
-            .where($"p_type" =!= "PROMO" && $"p_size".isin(1, 9, 14, 19, 23, 36, 45, 49))),
+          .join(Tables.part(s, d)
+            .where($"p_type" =!= "PROMO" && $"p_size".isin(1, 9, 14, 19, 23, 36, 45, 49)),
             $"p_partkey" === $"l_partkey")
-          .join(broadcast(excluded), $"l_suppkey" === $"x_key", "left_anti")
+          .join(excluded, $"l_suppkey" === $"x_key", "left_anti")
           .groupBy($"p_brand", $"p_size")
           .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
           .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
@@ -723,9 +733,9 @@ object RelationalOps {
           .agg(sum($"l_quantity".cast("long")).as("qty"))
         val wp = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
         sq.withColumn("tqty", sum($"qty").over(wp))
-          .join(broadcast(Tables.part(s, d).where($"p_brand" === "Brand#12")),
+          .join(Tables.part(s, d).where($"p_brand" === "Brand#12"),
             $"p_partkey" === $"pk")
-          .join(broadcast(Tables.supplier(s, d)), $"s_suppkey" === $"sk")
+          .join(Tables.supplier(s, d), $"s_suppkey" === $"sk")
           .where($"qty" * 10 > $"tqty" * 3)
           .select($"s_suppkey", $"s_name").distinct()
           .orderBy($"s_suppkey")
@@ -746,7 +756,7 @@ object RelationalOps {
     // Wealthy-but-dormant customers per nation (TPC-H Q22 shape, adapted:
     // no orders since 1999 — every customer has SOME order in this data).
     // The above-average test is exact integer cents × count (no double
-    // average at the cut); the dormant set is a broadcast anti join.
+    // average at the cut); the dormant set is an anti join.
     Op("q22_no_order_customers",
       (s, d) => {
         val cents = (($"c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")

@@ -63,6 +63,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "lm_score_bigram join degraded to a product:\n" + plan.take(800))
   }
 
+  test("SF-scaling TPC-H dims broadcast via size estimation, never a hint") {
+    // customer/part/supplier grow linearly with SF (at sf100k customer is
+    // ~15 B rows): a hard broadcast() hint on them is a compulsory
+    // multi-TB broadcast at the 100 TB design point. The contract is
+    // two-sided: (1) no query hints an SF-scaling table — Catalyst's
+    // size-based selection must be what picks the strategy; (2) at bench
+    // scale that selection still yields BroadcastHashJoin, so removing
+    // the hints provably did not change the measured plans. (r10 verdict.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    Seq("q18_large_orders", "q14_promo_rev", "q16_supplier_count",
+        "q5_region_rev", "q9_profit_by_nation", "q2_min_cost_supplier")
+      .foreach { k =>
+        val df = SparkEntry.queries(k)(spark, sf)
+        val badHints = df.queryExecution.analyzed.collect {
+          case h: ResolvedHint => h.child.toString
+        }.filter(c => c.contains("customer.parquet") ||
+          c.contains("part.parquet") || c.contains("supplier.parquet"))
+        assert(badHints.isEmpty,
+          s"$k hints an SF-scaling table:\n" + badHints.mkString("\n").take(600))
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$k lost its size-based dim broadcast at bench scale:\n" + plan.take(800))
+      }
+  }
+
   test("no keyed query collects to the driver mid-plan") {
     // structural: every registered op returns a DataFrame whose plan is
     // pure Catalyst (a .collect() inside a query function would surface
