@@ -44,10 +44,13 @@ object CorpusOps {
     * marker (disjoint from the a-z alphabet by construction). Returns the
     * merge table [(left, right, pairCount)] and the base alphabet size.
     */
-  def bpeTrainOn(corpus: DataFrame, k: Int): (Seq[(String, String, Long)], Long) = {
+  /** The (symbolized word, corpus frequency) table both trainers start
+    * from: ONE corpus tokenize + groupBy, then every iteration scales
+    * with vocabulary, not corpus bytes.
+    */
+  private def symbolWordFreq(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val words0 = corpus
+    corpus
       // parallelize the CPU-heavy tokenize: a single local input split
       // would run it one-threaded (the contamination_ngram lesson); at
       // 100 TB the scan already has thousands of splits and this is noise
@@ -56,11 +59,15 @@ object CorpusOps {
       .where($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("f"))
       .select(concat_ws(" ", concat(split($"w", ""), array(lit("_")))).as("s"), $"f")
-      .persist(lvl)
+  }
+
+  def bpeTrainOn(corpus: DataFrame, k: Int): (Seq[(String, String, Long)], Long) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words0 = symbolWordFreq(corpus).persist(lvl)
     val alphabet = words0.select(explode(split($"s", " ")).as("sym"))
       .agg(countDistinct($"sym")).head().getLong(0)
     var words = words0
-    val cached = scala.collection.mutable.ArrayBuffer(words0)
+    var parent: Option[DataFrame] = None // cached parent of `words`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var it = 0
     var exhausted = false
@@ -74,6 +81,12 @@ object CorpusOps {
         .groupBy($"p.l", $"p.r").agg(sum($"f").as("cnt"))
         .orderBy($"cnt".desc, $"l".asc, $"r".asc)
         .limit(1).collect()
+      // `tops` just forced `words` into cache, and every generation
+      // derives only from its parent — the grandparent can never be read
+      // again. Release it here so at most TWO generations are cached at
+      // once: O(vocab) memory at any k, not O(k × vocab). (ADVICE r10.)
+      parent.foreach { p => p.unpersist(); () }
+      parent = None
       if (tops.isEmpty) { exhausted = true } // every word fully merged:
       else {                                 // fewer than k merges exist
       val top = tops.head
@@ -87,12 +100,13 @@ object CorpusOps {
           regexp_replace($"s", pat,
             java.util.regex.Matcher.quoteReplacement(l + r)).as("s"), $"f")
           .persist(lvl)
-        cached += next
+        parent = Some(words) // stays cached until `next` is materialized
         words = next
       }
       }
     }
-    cached.foreach { c => c.unpersist(); () }
+    parent.foreach { p => p.unpersist(); () }
+    words.unpersist()
     (merges.toSeq, alphabet)
   }
 
@@ -113,6 +127,139 @@ object CorpusOps {
           java.util.regex.Pattern.quote(r) + "(?= |$)",
         java.util.regex.Matcher.quoteReplacement(l + r))
     }
+
+  /** Greedy BPE encode of one space-joined symbol string: repeatedly
+    * merge the LEFTMOST occurrence of the LOWEST-RANK adjacent pair until
+    * none applies — the exact encode loop of production BPE tokenizers
+    * (GPT-2's encoder shape). Equivalent to applying each rank's merge
+    * globally in rank order, and strictly more complete than a single
+    * sequential regexp pass when a later merge re-creates an earlier
+    * merge's pair.
+    */
+  private[operators] def bpeEncode(rank: Map[(String, String), Int],
+      sym: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.from(sym.split(' '))
+    var go = parts.length >= 2
+    while (go) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = rank.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) go = false
+      else {
+        parts(best) = parts(best) + parts(best + 1)
+        parts.remove(best + 1)
+        go = parts.length >= 2
+      }
+    }
+    parts.mkString(" ")
+  }
+
+  /** PRODUCTION-tier BPE apply: the k-unrolled regexp chain of
+    * [[bpeApply]] is demo-tier (a 32–50k-merge vocabulary would unroll
+    * 50k codegen'd regex passes per row); this ships the merge table as
+    * ONE broadcast rank map and encodes each word with the greedy
+    * lowest-rank loop — map-only over the corpus at any vocabulary size,
+    * zero shuffle, zero join, O(vocab) broadcast bytes once per job.
+    */
+  def bpeApplyVocab(s: SparkSession, merges: Seq[(String, String)]): Column => Column = {
+    val rank = merges.iterator.zipWithIndex
+      .map { case ((l, r), i) => (l, r) -> i }.toMap
+    val bc = s.sparkContext.broadcast(rank)
+    val enc = udf((sym: String) =>
+      if (sym == null) null else bpeEncode(bc.value, sym))
+    (c: Column) => enc(c)
+  }
+
+  /** Batched BPE training for PRODUCTION vocabulary sizes: learns up to
+    * `k` merges in rounds of at most `m` mutually-DISJOINT merges — ONE
+    * pair-count aggregate (one driver round-trip of ≤ 4m metadata-sized
+    * rows) per round instead of one per merge, so a 32k-merge vocabulary
+    * costs ~k/m aggregates over the vocab table. "Disjoint" means no
+    * picked pair shares a symbol with another (nor is any pair's merged
+    * token a side of another), so applying a round's merges
+    * simultaneously is order-independent and exactly equals applying
+    * them sequentially against the round-start counts; cross-round count
+    * staleness is the standard batched-trainer approximation — with
+    * m = 1 this IS the sequential trainer (differential-tested). Merge
+    * ranks follow pick order (count desc within a round).
+    */
+  def bpeTrainBatchedOn(corpus: DataFrame, k: Int, m: Int = 128)
+    : (Seq[(String, String, Long)], Long) = {
+    require(m >= 1, "bpeTrainBatchedOn: batch size m must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words0 = symbolWordFreq(corpus).persist(lvl)
+    val alphabet = words0.select(explode(split($"s", " ")).as("sym"))
+      .agg(countDistinct($"sym")).head().getLong(0)
+    var words = words0
+    var parent: Option[DataFrame] = None // cached parent of `words`
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
+      val want = math.min(m, k - merges.size)
+      // over-fetch 4×: the disjointness filter rejects conflicting pairs;
+      // rejected ones come back next round with fresh counts
+      val tops = words
+        .select($"f", split($"s", " ").as("a"))
+        .where(size($"a") >= 2)
+        .select($"f", explode(transform(sequence(lit(0), size($"a") - 2),
+          i => struct(element_at($"a", i + 1).as("l"),
+            element_at($"a", i + 2).as("r")))).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"f").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(want * 4).collect()
+      // two-generation cache discipline, same as the sequential trainer
+      parent.foreach { p => p.unpersist(); () }
+      parent = None
+      if (tops.isEmpty) exhausted = true
+      else {
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val seen = scala.collection.mutable.Set.empty[String]
+        tops.foreach { row =>
+          if (picked.size < want) {
+            val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            if (!seen(l) && !seen(r) && !seen(l + r)) {
+              picked += ((l, r, c))
+              seen += l; seen += r; seen += (l + r)
+            }
+          }
+        }
+        merges ++= picked
+        if (merges.size < k) {
+          // the round's pairs are disjoint: the greedy encoder applies
+          // them in one vocab-table pass (rank map ≤ m entries — closure-
+          // shipped, no broadcast needed at this size)
+          val roundRank = picked.iterator.zipWithIndex
+            .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+          val enc = udf((sym: String) => bpeEncode(roundRank, sym))
+          val applied = words.select(enc($"s").as("s"), $"f")
+          // BREAK LINEAGE each round (the iterative-trainer invariant):
+          // persist alone keeps the logical plan, and a chain of cached
+          // AQE subplans makes every explain/plan-update superlinear in
+          // round count — at ~10+ rounds the driver OOMs just
+          // STRINGIFYING the plan. A fresh LogicalRDD over the
+          // materialized rows keeps round j's SQL plan flat; the rows
+          // recompute (if evicted) from the parent's cache, not from
+          // round 1.
+          val next = corpus.sparkSession
+            .createDataFrame(applied.rdd, applied.schema).persist(lvl)
+          parent = Some(words)
+          words = next
+        }
+      }
+    }
+    parent.foreach { p => p.unpersist(); () }
+    words.unpersist()
+    (merges.toSeq, alphabet)
+  }
+
+  def bpeTrainBatched(s: SparkSession, d: String, k: Int, m: Int = 128)
+    : (Seq[(String, String, Long)], Long) =
+    bpeTrainBatchedOn(docs(s, d), k, m)
 
   /** Native bloom-filter aggregate over `xxhash64(c)` — the Catalyst
     * expression Spark's InjectRuntimeFilter uses, exposed as a Column.
@@ -370,6 +517,57 @@ object CorpusOps {
         |        w -> w <> '')) AS BIGINT) AS n_tokens_base,
         |  TRUE AS bpe_le_base,
         |  TRUE AS bpe_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // PRODUCTION-vocabulary BPE end-to-end: train up to 1024 merges with
+    // the BATCHED trainer (one driver round-trip per 128 merges), then
+    // tokenize every document through the broadcast rank-map greedy
+    // encoder — the apply path that scales to 50k merges where the
+    // regexp chain stops. Oracle: exact per-doc base token counts (pure
+    // SQL) + the compression invariants (BPE can only shrink a stream;
+    // a 1k vocabulary must compress the corpus strictly MORE than the
+    // 6-merge demo tier) + trainer sanity (distinct pairs, positive
+    // counts) — all reduced to oracle-checkable booleans.
+    Op("tokenize_bpe_vocab",
+      (s, d) => {
+        val (merges, _) = bpeTrainBatched(s, d, k = 1024, m = 128)
+        val pairs = merges.map(mm => (mm._1, mm._2))
+        val trainerOk = merges.nonEmpty &&
+          pairs.distinct.size == pairs.size && merges.forall(_._3 > 0L)
+        val smallPairs = pairs.take(6)
+        val enc = bpeApplyVocab(s, pairs)
+        val perDoc = docs(s, d)
+          .select($"doc_id",
+            explode(split(regexp_replace(lower($"text"), "[^a-z ]", " "), " +")).as("w"))
+          .where($"w" =!= "")
+          .select($"doc_id",
+            concat_ws(" ", concat(split($"w", ""), array(lit("_")))).as("sym"))
+          .select($"doc_id",
+            size(split($"sym", " ")).cast("long").as("n_base"),
+            size(split(enc($"sym"), " ")).cast("long").as("n_vocab"),
+            size(split(bpeApply(smallPairs, $"sym"), " ")).cast("long").as("n_small"))
+          .groupBy($"doc_id")
+          .agg(sum($"n_base").as("nb"), sum($"n_vocab").as("nv"),
+            sum($"n_small").as("ns"))
+        val tot = perDoc.agg(sum($"nb").as("tb"), sum($"nv").as("tv"),
+          sum($"ns").as("ts_"))
+        docs(s, d).select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"doc_id",
+            coalesce($"nb", lit(0L)).as("n_tokens_base"),
+            coalesce($"nv" <= $"nb", lit(true)).as("bpe_le_base"),
+            ($"tv" < $"ts_" && $"ts_" < $"tb").as("vocab_beats_demo"),
+            lit(trainerOk).as("trainer_ok"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |    + len(list_filter(string_split_regex(
+        |        regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +'),
+        |        w -> w <> '')) AS BIGINT) AS n_tokens_base,
+        |  TRUE AS bpe_le_base,
+        |  TRUE AS vocab_beats_demo,
+        |  TRUE AS trainer_ok
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Token-window chunking: window 64, stride 48 (16-token overlap).

@@ -35,16 +35,75 @@ object LakeIO {
     */
   def writeLake(df: DataFrame, path: String): Unit = {
     val withHour = hourPartitioned(df)
-    // validate BEFORE the overwrite-mode write: a constraint violation
-    // must abort while the existing data is still intact
-    enforceConstraints(path, withHour, "writeLake")
-    withHour
-      .repartition(col("ts_hour"))
-      .write.mode("overwrite")
-      .partitionBy("ts_hour")
-      .option("compression", "zstd")
-      .parquet(path)
+    replaceViaStage(path, "ts_hour", withHour, "writeLake")
     commitMetadata(path, withHour.schema)
+  }
+
+  /** Full replace through a stage directory. Two contracts a naive
+    * `mode("overwrite").parquet(path)` breaks:
+    *
+    * 1. What gets VALIDATED is the staged parquet BYTES — the exact rows
+    *    that will live in the table. Validating the input plan pre-write
+    *    computes the lineage twice and lets a nondeterministic source
+    *    pass validation yet write different (violating) rows.
+    * 2. Table metadata SURVIVES: Spark's overwrite deletes the whole
+    *    directory, which silently dropped every CHECK constraint, ref
+    *    and snapshot file (probed r11 — constraints vanished after a
+    *    writeLake on a constrained table). Here only data is replaced:
+    *    partition dirs are swapped, `_graft*` metadata is untouched, and
+    *    the follow-up commit records the replacement as a NEW snapshot.
+    *
+    * Still the destructive v1 baseline: replaced data files are gone, so
+    * prior snapshots become unreadable — [[overwriteLake]] is the
+    * history-preserving full replace.
+    */
+  private def replaceViaStage(path: String, partCol: String, df: DataFrame,
+      what: String): Unit = {
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val stage = path + s"_stage_w$token"
+    df.repartition(col(partCol))
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .option("compression", "zstd")
+      .parquet(stage)
+    // a violation aborts BEFORE the swap: existing data stays intact
+    try stagedRows(stage).foreach(r => enforceConstraints(path, r, what))
+    catch { case e: Throwable => rmDir(stage); throw e }
+    val root = new java.io.File(path)
+    root.mkdirs()
+    // drop every prior-era partition dir (any partCol — the table may
+    // have evolved ts_day→ts_hour) and stray root-level data files
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.contains("=")) rmDir(f.getPath)
+      else if (f.isFile &&
+        (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")) f.delete()
+    }
+    // reset per-snapshot state: this IS the destructive v1 full replace —
+    // the replaced data files are gone, so manifests/refs/rename history
+    // that reference them would advertise an unreadable version chain
+    // (and a /tmp fixture root reused across JVMs would inherit a dead
+    // one). Only CURRENT-STATE metadata survives: CHECK constraints
+    // govern writes from the moment they're added, through any replace
+    // (Delta overwrite semantics). History-preserving full replace is
+    // [[overwriteLake]].
+    locally {
+      import org.apache.spark.sql.graft.ManifestFileIndex
+      val snapDir = new java.io.File(root, ManifestFileIndex.SnapshotDir)
+      Option(snapDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName != ManifestFileIndex.ConstraintsName) rmDir(f.getPath)
+      }
+      Seq(ManifestFileIndex.ManifestName, "_graft_schema.json",
+        "_graft_columns.tsv", "_graft_txn_merge")
+        .foreach { n => new java.io.File(root, n).delete(); () }
+      rmDir(new java.io.File(root, "_graft_dv").getPath)
+    }
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partCol + "="))
+      .foreach { d =>
+        java.nio.file.Files.move(d.toPath,
+          new java.io.File(root, d.getName).toPath)
+      }
+    rmDir(stage)
   }
 
   /** Write `df` DAY-partitioned (hidden day(ts)) — the coarse layout a
@@ -53,13 +112,7 @@ object LakeIO {
     */
   def writeLakeDay(df: DataFrame, path: String): Unit = {
     val withDay = dayPartitioned(df)
-    enforceConstraints(path, withDay, "writeLakeDay")
-    withDay
-      .repartition(col("ts_day"))
-      .write.mode("overwrite")
-      .partitionBy("ts_day")
-      .option("compression", "zstd")
-      .parquet(path)
+    replaceViaStage(path, "ts_day", withDay, "writeLakeDay")
     writeSchemaFile(path, withDay.schema)
     org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_day")
   }
@@ -342,6 +395,22 @@ object LakeIO {
       val addedSet = addedPaths.toSet
       val added = ManifestFileIndex.parseStagedFile(consumed).get._2
         .filter(e => addedSet(e.relPath))
+      // constraints added AFTER the stage was written never saw its rows
+      // (stage-time validation checked the constraint set of that moment;
+      // addConstraint's head scan cannot see not-yet-live files) — so the
+      // publish re-validates the exact staged parquet against the CURRENT
+      // set. O(delta), not O(table); a violation restores the stage
+      // marker (catch below), so the branch/stage survives for triage.
+      if (added.nonEmpty &&
+          org.apache.spark.sql.graft.ManifestFileIndex.listConstraints(path).nonEmpty) {
+        val files = added.map(e => new java.io.File(path, e.relPath).getPath)
+        val reader = SparkSession.active.read.option("basePath", path)
+        val staged = tableSchema(path) match {
+          case Some(schema) => reader.schema(schema).parquet(files: _*)
+          case None         => reader.parquet(files: _*)
+        }
+        enforceConstraints(path, staged, s"publish of stage '$stageId'")
+      }
       val v = ManifestFileIndex.commitDelta(path, "ts_hour", baseV, added, Set.empty)
       consumed.delete()
       v
@@ -539,6 +608,23 @@ object LakeIO {
     }
   }
 
+  /** The staged parquet bytes as a DataFrame, or None when the stage
+    * holds no part-files. An EMPTY batch (update-mode triggers emit them;
+    * an all-filtered append does too) stages only a `_SUCCESS` marker —
+    * `read.parquet` on that throws 'Unable to infer schema', which would
+    * kill a streaming query on a constrained table for a batch that is a
+    * semantic no-op. Zero rows satisfy every CHECK vacuously: skip.
+    */
+  private def stagedRows(stage: String): Option[DataFrame] = {
+    def hasParquet(f: java.io.File): Boolean =
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory &&
+          Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet))
+    if (hasParquet(new java.io.File(stage)))
+      Some(SparkSession.active.read.parquet(stage))
+    else None
+  }
+
   /** Move every staged partition file into the live tree under
     * `prefix`-unique names and return its manifest entries (footer stats
     * included). Shared by the CoW tail and the append path; the staged
@@ -555,8 +641,7 @@ object LakeIO {
       Seq[org.apache.spark.sql.graft.ManifestFileIndex.Entry] = {
     import org.apache.spark.sql.graft.ManifestFileIndex
     if (validate) {
-      try enforceConstraints(path,
-        SparkSession.active.read.parquet(stage), "write")
+      try stagedRows(stage).foreach(r => enforceConstraints(path, r, "write"))
       catch { case e: Throwable => rmDir(stage); throw e }
     }
     val stageDir = new java.io.File(stage)
@@ -1385,9 +1470,11 @@ object LakeIO {
       .option("compression", "zstd").parquet(stage)
     // streaming batches obey table CHECK constraints like any append; a
     // violating micro-batch fails the query before anything moves or
-    // commits (foreachBatch surfaces the error; the table is untouched)
-    try enforceConstraints(path,
-      SparkSession.active.read.parquet(stage), "appendExactlyOnce")
+    // commits (foreachBatch surfaces the error; the table is untouched).
+    // stagedRows is None for an EMPTY micro-batch — update-mode triggers
+    // emit them routinely; validation must not kill the stream on a no-op
+    try stagedRows(stage).foreach(r =>
+      enforceConstraints(path, r, "appendExactlyOnce"))
     catch { case e: Throwable => rmDir(stage); throw e }
     val stageDir = new java.io.File(stage)
     val newEntries = Seq.newBuilder[ManifestFileIndex.Entry]
@@ -2757,6 +2844,30 @@ object LakeIO {
       """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS partition,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Same inventory-vs-data proof through the DISTRIBUTED metadata
+    // path: the sharded fixture's `files` table plans one input
+    // partition per immutable shard TSV (parsed on executors, never a
+    // driver array — MetaTableSpec pins the plan shape), and its
+    // per-partition footer-count sums must still match the rows exactly.
+    Op("lake_files_sharded_sql",
+      (s, d) => {
+        val path = shardedLake(s, d)
+        val wh = new java.io.File(path).getParent
+        s.conf.set("spark.sql.catalog.graft_shfx",
+          "org.apache.spark.sql.graft.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_shfx.warehouse", wh)
+        s.sql("""SELECT `partition`, CAST(SUM(num_rows) AS BIGINT) AS n_rows
+                FROM graft_shfx.events.files
+                GROUP BY `partition` ORDER BY `partition`""")
+      },
+      """WITH all_rows AS (
+        |  SELECT ts FROM events
+        |  UNION ALL
+        |  SELECT ts FROM events WHERE event_id % 7 = 0)
+        |SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS partition,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // The commit-log metadata table anchored to DATA truth: on the
     // two-commit incremental lake, each snapshot's file count equals the

@@ -171,9 +171,19 @@ class GraftLakeTable(inner: ParquetTable,
     val options = Option(rawOptions.get("branch")).map(_.trim) match {
       case Some(name) =>
         require(rootDir.isDefined, "graft-lake branch read requires a lake path")
+        // every OTHER row-set-selecting option must refuse to compose:
+        // branch resolves to a stagedAsOf read of the branch's latest
+        // cumulative stage, so a co-passed timestampAsOf/changesFrom
+        // would silently win or lose depending on which the downstream
+        // scan prefers (the r10 invariant: options that change WHICH
+        // ROWS a scan sees compose explicitly or not at all)
         require(rawOptions.get("stagedAsOf") == null &&
-          rawOptions.get("versionAsOf") == null,
-          "branch cannot combine with stagedAsOf/versionAsOf")
+          rawOptions.get("versionAsOf") == null &&
+          rawOptions.get("timestampAsOf") == null &&
+          rawOptions.get("changesFrom") == null &&
+          rawOptions.get("changesTo") == null,
+          "branch cannot combine with stagedAsOf/versionAsOf/" +
+            "timestampAsOf/changesFrom/changesTo")
         val stage = graft.sources.LakeIO.lastBranchStage(rootDir.get, name)
           .getOrElse(sys.error(s"no branch '$name' under ${rootDir.get}"))
         val m = new java.util.HashMap[String, String](rawOptions.asCaseSensitiveMap())
@@ -520,6 +530,19 @@ case class GraftLakeScan(
     }
     val partCol = idx.partitionSchema.headOption.map(_.name).getOrElse("ts_hour")
     val opts = initial.options
+    // Row-set-selecting reader options (r10 invariant) pin a FIXED row
+    // set; the version-offset stream plans from HEAD manifest diffs and
+    // would silently ignore them — a `.option("branch", …)` readStream
+    // (branch resolves to stagedAsOf upstream) would stream MAIN's
+    // commits while claiming to read the branch. Refuse loudly.
+    Seq("stagedAsOf", "versionAsOf", "timestampAsOf",
+        "changesFrom", "changesTo").foreach { o =>
+      require(opts.get(o) == null,
+        s"graft-lake streaming: reader option '$o' (or 'branch', which " +
+          "resolves to stagedAsOf) selects a fixed row set and cannot " +
+          "drive a version-offset stream; stream the table head, or " +
+          "publish the branch first")
+    }
     new GraftLakeMicroBatchStream(initial, idx.rootPaths.head.toString, partCol,
       skipChangeCommits = Option(opts.get("skipChangeCommits")).exists(_.trim.toBoolean),
       maxFilesPerTrigger = Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt))

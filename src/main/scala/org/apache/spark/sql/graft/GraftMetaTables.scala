@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,11 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   cat.ns.t.tags         — named refs → pinned version
   *   cat.ns.t.constraints  — CHECK constraints in force
   *
-  * Each is a [[LocalScan]]: the rows come straight from the manifest at
-  * planning time and execute as a LocalTableScan — ZERO data files
-  * opened, exactly like the SHOW/DESCRIBE commands these tables make
-  * composable (joins, aggregates, WHERE over file inventories — the ops
-  * queries a 400k-file table's maintenance cron actually runs). Rows are
+  * snapshots/tags/constraints are genuinely metadata-sized and plan as
+  * [[LocalScan]]s (rows straight from the manifest at planning time,
+  * LocalTableScan execution — ZERO data files opened). `files` is only
+  * metadata-sized while the manifest is INLINE; once sharded it plans as
+  * a distributed scan over the shard TSVs (see [[filesTable]]). Rows are
   * computed fresh per scan build, so a query always sees the current
   * metadata state.
   */
@@ -38,22 +39,7 @@ object GraftMetaTables {
     val version = versionSpec.map(raw =>
       ManifestFileIndex.resolveVersionSpec(root, raw.trim))
     kind match {
-      case "files" =>
-        val schema = StructType(Seq(
-          StructField("file", StringType, nullable = false),
-          StructField("partition", StringType, nullable = false),
-          StructField("num_rows", LongType, nullable = true),
-          StructField("size_bytes", LongType, nullable = false)))
-        meta(s"$root#files", schema, () => {
-          val entries = ManifestFileIndex.read(root, version).map(_._2)
-            .getOrElse(sys.error(s"no committed manifest under $root"))
-          entries.sortBy(_.relPath).map { e =>
-            InternalRow(UTF8String.fromString(e.relPath),
-              UTF8String.fromString(e.partValue),
-              if (e.rowCount >= 0L) e.rowCount else null,
-              e.size)
-          }.toArray
-        })
+      case "files" => filesTable(root, version)
       case "snapshots" =>
         requireNoTravel(kind, version)
         val schema = StructType(Seq(
@@ -70,9 +56,9 @@ object GraftMetaTables {
               InternalRow(v.toLong, t * 1000L, nf, np, bytes)
             }.orElse {
               ManifestFileIndex.read(root, Some(v)).map { case (_, es) =>
-                val snap = new java.io.File(
-                  s"$root/${ManifestFileIndex.SnapshotDir}", s"manifest-$v.tsv")
-                InternalRow(v.toLong, snap.lastModified() * 1000L,
+                val ms = ManifestFileIndex.snapshotCommitMs(root, v)
+                  .getOrElse(0L) // commitMsOf falls back to mtime itself
+                InternalRow(v.toLong, ms * 1000L,
                   es.size.toLong,
                   es.iterator.map(_.partValue).toSet.size.toLong,
                   es.iterator.map(_.size).sum)
@@ -99,6 +85,106 @@ object GraftMetaTables {
             InternalRow(UTF8String.fromString(n), UTF8String.fromString(e))
           }.toArray)
       case other => sys.error(s"unknown metadata table '$other'")
+    }
+  }
+
+  private val FilesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("num_rows", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  private def fileRow(relPath: String, partValue: String,
+      rowCount: Long, size: Long): InternalRow =
+    InternalRow(UTF8String.fromString(relPath), UTF8String.fromString(partValue),
+      if (rowCount >= 0L) rowCount else null, size)
+
+  /** The `files` inventory. An INLINE manifest plans as a LocalScan
+    * (driver-held rows, LocalTableScan execution — metadata-sized by the
+    * shard threshold's own definition). A SHARDED manifest plans as a
+    * DISTRIBUTED scan: one input partition per immutable shard file,
+    * parsed on the executors — the driver holds only the shard-ref list
+    * (O(#shards)). A table shards precisely when its inventory outgrew
+    * single-process metadata, and `t.files` must not defeat that by
+    * re-materializing the whole inventory as a driver array (r10
+    * verdict: fine at 400k files ≈ 40 MB, a driver bottleneck at
+    * multi-million-file tables).
+    */
+  private def filesTable(root: String, travel: Option[Int]): Table =
+    new Table with SupportsRead {
+      override def name(): String = s"$root#files"
+      override def schema(): StructType = FilesSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = {
+            // resolved at build time: every query sees current metadata
+            val (_, inline, refs) = ManifestFileIndex.readList(root, travel)
+              .getOrElse(sys.error(s"no committed manifest under $root"))
+            if (refs.isEmpty)
+              new LocalScan {
+                private val data = inline.sortBy(_.relPath)
+                  .map(e => fileRow(e.relPath, e.partValue, e.rowCount, e.size))
+                  .toArray
+                override def rows(): Array[InternalRow] = data
+                override def readSchema(): StructType = FilesSchema
+              }
+            else new FilesShardScan(root, inline, refs)
+          }
+        }
+    }
+
+  /** Distributed `files` scan over a sharded manifest (see above). */
+  private class FilesShardScan(root: String,
+      inline: Seq[ManifestFileIndex.Entry],
+      refs: Seq[ManifestFileIndex.ShardRef]) extends Scan with Batch {
+    override def readSchema(): StructType = FilesSchema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val shardParts = refs.map(r => FilesShardPartition(
+        root, r.name, r.minDir, r.maxDir, r.nEntries, r.nParts, r.nBytes)
+        : InputPartition).toArray
+      if (inline.isEmpty) shardParts
+      else shardParts :+ (FilesInlinePartition(inline.map(e =>
+        (e.relPath, e.partValue, e.rowCount, e.size)).toArray): InputPartition)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FilesReaderFactory
+  }
+
+  /** One immutable shard file, re-read (and LRU-cached) where the reader
+    * runs. Shard files live on the same shared storage as the data files
+    * — an executor that can open the parquet can open the shard TSV.
+    */
+  private case class FilesShardPartition(root: String, name: String,
+      minDir: String, maxDir: String, nEntries: Long, nParts: Long,
+      nBytes: Long) extends InputPartition
+
+  /** The manifest list's inline entries (recent small commits not yet
+    * folded into a shard) — already metadata-sized, shipped as values.
+    */
+  private case class FilesInlinePartition(
+      rows: Array[(String, String, Long, Long)]) extends InputPartition
+
+  private class FilesReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val it: Iterator[InternalRow] = p match {
+        case FilesShardPartition(root, name, minDir, maxDir, ne, np, nb) =>
+          ManifestFileIndex.readShardEntries(root,
+            ManifestFileIndex.ShardRef(name, minDir, maxDir, ne, np, nb))
+            .iterator.map(e => fileRow(e.relPath, e.partValue, e.rowCount, e.size))
+        case FilesInlinePartition(rows) =>
+          rows.iterator.map { case (rp, pv, rc, sz) => fileRow(rp, pv, rc, sz) }
+        case other => sys.error(s"unexpected partition $other")
+      }
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
     }
   }
 

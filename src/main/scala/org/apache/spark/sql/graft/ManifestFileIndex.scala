@@ -927,6 +927,11 @@ object ManifestFileIndex {
       dvs: Seq[String]): StringBuilder = {
     val sb = new StringBuilder(s"#partcol\t$partCol\n")
     sb.append("#parkedv\t1\n")
+    // commit wall-clock INSIDE the snapshot content: file mtimes do not
+    // survive a directory copy/restore (rsync without -t, object-store
+    // migration), which would silently shift every historical
+    // `timestampAsOf` resolution. Old parsers skip unknown '#' lines.
+    sb.append("#ts\t").append(System.currentTimeMillis()).append('\n')
     parked.toSeq.sorted.foreach(p => sb.append("#parked\t").append(p).append('\n'))
     dvs.distinct.sorted.foreach(d => sb.append("#dv\t").append(d).append('\n'))
     sb
@@ -1055,6 +1060,13 @@ object ManifestFileIndex {
     * Returns false when another writer holds `v` (caller re-reads and
     * retries at the next version).
     */
+  /** Ops counter: CAS claim attempts that LOST the race (another writer
+    * held the version). Monotonic, process-wide — the commit-throughput
+    * measurement (SCALE.md) divides by successful commits for the
+    * conflict-retry rate; never read it for correctness decisions.
+    */
+  val casContentions = new java.util.concurrent.atomic.AtomicLong()
+
   private def tryClaim(rootDir: String, v: Int, content: String): Boolean = {
     val snapDir = new java.io.File(rootDir, SnapshotDir)
     snapDir.mkdirs()
@@ -1065,7 +1077,11 @@ object ManifestFileIndex {
         java.nio.file.Files.createLink(
           new java.io.File(snapDir, s"manifest-$v.tsv").toPath, tmp.toPath)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          casContentions.incrementAndGet()
+          false
+      }
     } finally { tmp.delete(); () }
   }
 
@@ -1705,18 +1721,18 @@ object ManifestFileIndex {
   }
 
   /** AGE-based expiry (`VACUUM … RETAIN n HOURS`, the Delta retention
-    * shape): expire every snapshot whose manifest was written before the
-    * cutoff, except the head (always kept — a quiet table must stay
-    * readable) and tagged releases. Commit times are manifest file
-    * mtimes, the same clock `versionAt`/`TIMESTAMP AS OF` read.
+    * shape): expire every snapshot committed before the cutoff, except
+    * the head (always kept — a quiet table must stay readable) and
+    * tagged releases. Commit times resolve via [[snapshotCommitMs]] —
+    * the SAME clock `versionAt`/`TIMESTAMP AS OF` read, so retention and
+    * travel can never disagree about a snapshot's age.
     */
   def expireSnapshotsOlderThan(rootDir: String, cutoffMillis: Long): Int = {
     val head = headVersion(rootDir).getOrElse(return 0)
-    val snapDir = new java.io.File(rootDir, SnapshotDir)
+    val ledger = readHistoryLedger(rootDir)
     // first version young enough to keep; everything below expires
     val firstKept = (1 to head).find { v =>
-      val f = new java.io.File(snapDir, s"manifest-$v.tsv")
-      f.exists() && f.lastModified() >= cutoffMillis
+      commitMsOf(rootDir, v, ledger).exists(_ >= cutoffMillis)
     }.getOrElse(head)
     expireBelow(rootDir, head, firstKept min head)
   }
@@ -1855,16 +1871,50 @@ object ManifestFileIndex {
     ).toOption
   }
 
+  /** Commit wall-clock of snapshot `v` (epoch millis), by preference:
+    * the `#ts` header recorded INSIDE the snapshot at claim time (r11+
+    * format — survives directory copies/migrations that reset mtimes),
+    * else the history ledger's publish time (also copy-safe), else the
+    * snapshot file's mtime (pre-#ts manifests on their original disk).
+    */
+  def snapshotCommitMs(rootDir: String, v: Int): Option[Long] =
+    commitMsOf(rootDir, v, readHistoryLedger(rootDir))
+
+  private def commitMsOf(rootDir: String, v: Int,
+      ledger: Map[Int, (Long, Long, Long, Long)]): Option[Long] = {
+    val f = new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
+    if (!f.exists()) return None
+    val fromHeader: Option[Long] = {
+      val br = new java.io.BufferedReader(new java.io.FileReader(f))
+      try {
+        var line = br.readLine()
+        var found: Option[Long] = None
+        // `#ts` sits in the leading '#' header block — stop at the body
+        while (line != null && line.startsWith("#") && found.isEmpty) {
+          if (line.startsWith("#ts\t"))
+            found = line.substring(4).trim.toLongOption
+          line = br.readLine()
+        }
+        found
+      } finally br.close()
+    }
+    fromHeader
+      .orElse(ledger.get(v).map(_._1))
+      .orElse(Some(f.lastModified()))
+  }
+
   /** Latest snapshot committed at or before `cutoffMs` (epoch millis) —
-    * commit times are the snapshot manifests' write times, the convention
-    * Iceberg's snapshot log records explicitly. Backs both the catalog's
-    * SQL `TIMESTAMP AS OF` and the reader's `timestampAsOf` option.
+    * commit times resolve via [[snapshotCommitMs]] (in-file `#ts`, the
+    * convention Iceberg's snapshot log records explicitly; ledger/mtime
+    * fallbacks for pre-#ts manifests). Backs both the catalog's SQL
+    * `TIMESTAMP AS OF` and the reader's `timestampAsOf` option.
     */
   def versionAt(rootDir: String, cutoffMs: Long): Option[Int] = {
     val head = headVersion(rootDir).getOrElse(0)
+    if (head == 0) return None
+    val ledger = readHistoryLedger(rootDir)
     (1 to head).filter { v =>
-      val f = new java.io.File(s"$rootDir/$SnapshotDir", s"manifest-$v.tsv")
-      f.exists() && f.lastModified() <= cutoffMs
+      commitMsOf(rootDir, v, ledger).exists(_ <= cutoffMs)
     }.lastOption
   }
 

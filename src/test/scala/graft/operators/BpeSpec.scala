@@ -113,6 +113,80 @@ class BpeSpec extends AnyFunSuite {
     assert(alphabet == 2L)
   }
 
+  test("batched trainer with m=1 IS the sequential trainer") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val words = (1 to 12 + rnd.nextInt(10)).map { _ =>
+        (1 to 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(15))).toMap
+      val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+      val k = 3 + rnd.nextInt(4)
+      val seq = CorpusOps.bpeTrainOn(Seq(text).toDF("text"), k)
+      val bat = CorpusOps.bpeTrainBatchedOn(Seq(text).toDF("text"), k, m = 1)
+      assert(bat == seq, s"trial $trial (k=$k)")
+    }
+  }
+
+  test("batched trainer picks only DISJOINT merges per round; greedy encode agrees") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val (merges, alphabet) = CorpusOps.bpeTrainBatchedOn(
+      Seq(text).toDF("text"), k = 8, m = 8)
+    assert(alphabet == 11L)
+    assert(merges.map(m => (m._1, m._2)).distinct.size == merges.size)
+    // round-1 disjointness: (e,s)=9 is picked first; (es,t)/(s,t)/(t,_)
+    // all share a symbol (or the merged token) with it and must wait —
+    // the round can only add symbol-disjoint picks like (l,o)=7, (i,d)=3
+    // round-1 snapshot has (e,s)=(s,t)=(t,_)=9: (e,s) is picked first,
+    // (s,t) CONFLICTS (shares 's') and must wait, and the disjoint
+    // (t,_)=9 lands in the SAME round — the signature of batched picking
+    // (the sequential trainer would take (es,t) at 9 before ever
+    // reaching (t,_))
+    assert(merges.take(2) == Seq(("e", "s", 9L), ("t", "_", 9L)))
+    assert(!merges.exists(m => (m._1, m._2) == ("s", "t")))
+
+    // greedy encode with the learned ranks tokenizes the unseen word to
+    // the same textbook split the regexp chain produces
+    val pairs = merges.map(m => (m._1, m._2))
+    val viaVocab = Seq("l o w e s t _").toDF("sym")
+      .select(CorpusOps.bpeApplyVocab(spark, pairs)(
+        org.apache.spark.sql.functions.col("sym")).as("t"))
+      .head().getString(0)
+    assert(viaVocab.split(" ").length <= "low est_".split(" ").length + 1)
+  }
+
+  test("greedy rank-map apply never yields MORE tokens than the regexp chain") {
+    // greedy-by-rank is the complete encoder: it also catches pairs a
+    // later merge re-creates, which a single sequential regexp pass
+    // misses — so per word, greedy tokens <= chain tokens, and on the
+    // training corpus itself the two agree exactly
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val (merges, _) = CorpusOps.bpeTrainOn(Seq(text).toDF("text"), 5)
+    val pairs = merges.map(m => (m._1, m._2))
+    val enc = CorpusOps.bpeApplyVocab(spark, pairs)
+    import org.apache.spark.sql.functions._
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "wide")
+      .toDF("w")
+      .select(concat_ws(" ", concat(split($"w", ""),
+        array(lit("_")))).as("sym"))
+      .select($"sym",
+        size(split(enc($"sym"), " ")).as("n_greedy"),
+        size(split(CorpusOps.bpeApply(pairs, $"sym"), " ")).as("n_chain"),
+        enc($"sym").as("greedy"),
+        CorpusOps.bpeApply(pairs, $"sym").as("chain"))
+      .collect()
+    words.foreach { r =>
+      assert(r.getAs[Int]("n_greedy") <= r.getAs[Int]("n_chain"), r.toString)
+    }
+    // exact agreement on training-corpus words + the textbook unseen word
+    words.filter(r => Seq("low", "lower", "newest", "widest", "lowest")
+        .exists(w => r.getAs[String]("sym").startsWith(w.head.toString)))
+      .foreach { r =>
+        assert(r.getAs[String]("greedy") == r.getAs[String]("chain"), r.toString)
+      }
+  }
+
   test("training is deterministic across runs on real data") {
     val d = "/root/testdata/sf0.001"
     val r1 = CorpusOps.bpeTrain(spark, d, k = 3)

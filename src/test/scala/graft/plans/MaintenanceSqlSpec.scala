@@ -26,6 +26,22 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     rows.toDF("id", "v")
       .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
 
+  /** Backdate snapshot `v`'s commit clock: rewrite the in-file `#ts`
+    * header (what snapshotCommitMs/versionAt/age-VACUUM read) and keep
+    * the mtime fallback in sync.
+    */
+  private def backdateSnapshot(path: String, v: Int, toMs: Long): Unit = {
+    val f = new java.io.File(
+      s"$path/${org.apache.spark.sql.graft.ManifestFileIndex.SnapshotDir}",
+      s"manifest-$v.tsv")
+    val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator
+      .map(l => if (l.startsWith("#ts\t")) s"#ts\t$toMs" else l)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    assert(f.setLastModified(toMs))
+  }
+
   /** A table whose single hour partition holds MULTIPLE files: one
     * writeLake plus one evolveAppend into the same hour.
     */
@@ -98,11 +114,11 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     LakeIO.tagSnapshot(path, "age-keep", Some(2))
     import org.apache.spark.sql.graft.ManifestFileIndex
     val snapDir = new java.io.File(path, ManifestFileIndex.SnapshotDir)
-    // backdate v1+v2 commits to two hours ago; v3 (head) stays fresh
+    // backdate v1+v2 commits to two hours ago; v3 (head) stays fresh.
+    // Age is the in-file `#ts` commit clock (the one versionAt reads),
+    // so backdating rewrites that header, not the file mtime.
     val old = System.currentTimeMillis() - 2L * 3600L * 1000L
-    Seq(1, 2).foreach { v =>
-      assert(new java.io.File(snapDir, s"manifest-$v.tsv").setLastModified(old))
-    }
+    Seq(1, 2).foreach(v => backdateSnapshot(path, v, old))
     val out = spark.sql("VACUUM mcat.default.vac_age RETAIN 1 HOURS").collect().head
     assert(out.getLong(0) >= 1L, "v1's parked file must be reclaimed")
     // v1 expired: no longer travelable; v2 survives via its tag; head intact
@@ -114,8 +130,7 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     // a quiet table is never emptied: everything old but head kept
     val path2 = s"$wh/default/vac_age2"
     LakeIO.writeLake(df(9L -> "z"), path2)
-    assert(new java.io.File(s"$path2/${ManifestFileIndex.SnapshotDir}",
-      "manifest-1.tsv").setLastModified(old))
+    backdateSnapshot(path2, 1, old)
     spark.sql("VACUUM mcat.default.vac_age2 RETAIN 1 HOURS")
     assert(spark.read.format("graft-lake").load(path2).count() == 1L)
   }

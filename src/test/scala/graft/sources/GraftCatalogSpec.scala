@@ -62,10 +62,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     val upd = Seq((1L, "A2")).toDF("id", "v")
       .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
     LakeIO.mergeInto(spark, table, upd, "id")
-    // pin deterministic commit times: v1 at 10:00, v2 at 11:00 UTC
+    // pin deterministic commit times: v1 at 10:00, v2 at 11:00 UTC —
+    // the commit clock is the in-file `#ts` header (survives dir
+    // copies), so pinning rewrites it; mtime stays in sync as the
+    // pre-#ts fallback
     val snapDir = s"$table/_graft_snapshots"
-    def pin(v: Int, t: String): Unit = assert(new java.io.File(snapDir, s"manifest-$v.tsv")
-      .setLastModified(java.time.Instant.parse(t).toEpochMilli))
+    def pin(v: Int, t: String): Unit = {
+      val ms = java.time.Instant.parse(t).toEpochMilli
+      val f = new java.io.File(snapDir, s"manifest-$v.tsv")
+      val content = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator
+        .map(l => if (l.startsWith("#ts\t")) s"#ts\t$ms" else l)
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      assert(f.setLastModified(ms))
+    }
     pin(1, "2026-01-01T10:00:00Z"); pin(2, "2026-01-01T11:00:00Z")
     def at(t: String) = spark.sql(
       s"SELECT v FROM gcat.default.items TIMESTAMP AS OF '$t' WHERE id = 1")

@@ -82,6 +82,33 @@ class LakeBranchSpec extends AnyFunSuite {
     assert(spark.sql("SHOW BRANCHES IN graft_br.default.items").collect().isEmpty)
   }
 
+  test("branch refuses to combine with other row-set-selecting options") {
+    // the r10 invariant: reader options that change WHICH ROWS a scan
+    // sees compose explicitly or refuse. branch resolves to a stagedAsOf
+    // read, so a co-passed travel/changefeed option would silently win
+    // or lose depending on which the downstream scan prefers.
+    val root = "/tmp/graft_lake_test/branch_spec/combine"
+    rm(new java.io.File(root))
+    LakeIO.writeLake(df("orig", 1L), root)
+    LakeIO.appendToBranch(df("b1", 10L), root, "exp")
+    Seq(
+      "versionAsOf" -> "1",
+      "stagedAsOf" -> "b-exp-0",
+      "timestampAsOf" -> "2099-01-01 00:00:00",
+      "changesFrom" -> "0",
+      "changesTo" -> "1").foreach { case (opt, v) =>
+      val e = intercept[Exception] {
+        spark.read.format("graft-lake")
+          .option("branch", "exp").option(opt, v).load(root).count()
+      }
+      assert(e.getMessage.contains("branch cannot combine"),
+        s"option $opt must refuse alongside branch: ${e.getMessage}")
+    }
+    // and the plain branch read still works
+    assert(spark.read.format("graft-lake")
+      .option("branch", "exp").load(root).count() == 2L)
+  }
+
   test("dropBranch abandons every staged append without touching the table") {
     val root = "/tmp/graft_lake_test/branch_spec_drop/items"
     rm(new java.io.File(root))

@@ -124,6 +124,79 @@ class LakeConstraintSpec extends AnyFunSuite {
     intercept[Exception] { LakeIO.dropConstraint(root, "value_nonneg") }
   }
 
+  test("publish re-validates against constraints added AFTER staging") {
+    // adversarial ordering (r10 ADVICE): rows staged on an open branch
+    // are invisible to addConstraint's head scan, so the constraint adds
+    // cleanly over violating staged rows — the PUBLISH must be what
+    // refuses, or the whole-table-invariant contract silently breaks.
+    val root = fresh("postconstraint", 1L -> Double.box(5.0))
+    LakeIO.appendToBranch(df(2L -> Double.box(-1.0)), root, "exp")
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val e = intercept[RuntimeException] { LakeIO.publishBranch(root, "exp") }
+    assert(e.getMessage.contains("value_nonneg"))
+    // refused atomically: no commit landed, and the stage marker was
+    // restored — the branch survives for triage, then drops cleanly
+    assert(ManifestFileIndex.headVersion(root).get == v0)
+    assert(LakeIO.readBranch(spark, root, "exp").count() == 2L)
+    LakeIO.dropBranch(root, "exp")
+    assert(spark.read.format("graft-lake").load(root).count() == 1L)
+
+    // same ordering through the single-stage WAP flow
+    LakeIO.stageAppend(df(3L -> Double.box(0.5)), root, "audit1")
+    LakeIO.addConstraint(spark, root, "value_big", "value >= 1")
+    val e2 = intercept[RuntimeException] { LakeIO.publishStaged(root, "audit1") }
+    assert(e2.getMessage.contains("value_big"))
+    LakeIO.dropStagedAppend(root, "audit1")
+    assert(spark.read.format("graft-lake").load(root).count() == 1L)
+  }
+
+  test("empty micro-batch / append on a constrained table is a no-op, not a crash") {
+    // an empty batch stages only _SUCCESS — no part-files. Validation
+    // must skip (zero rows satisfy every CHECK vacuously) instead of
+    // throwing 'Unable to infer schema' and killing the stream. (r10
+    // ADVICE medium: update-mode triggers emit empty batches routinely.)
+    val root = fresh("emptybatch", 1L -> Double.box(5.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+    val v0 = ManifestFileIndex.headVersion(root).get
+
+    val empty = LakeIO.hourPartitioned(df(2L -> Double.box(1.0))).where(lit(false))
+    LakeIO.appendExactlyOnce(root, empty, batchId = 7L)
+    assert(spark.read.format("graft-lake").load(root).count() == 1L)
+
+    LakeIO.appendTxn(df(), root)
+    assert(spark.read.format("graft-lake").load(root).count() == 1L)
+    assert(ManifestFileIndex.headVersion(root).get >= v0)
+  }
+
+  test("writeLake full replace keeps constraints; history resets to a fresh chain") {
+    // mode("overwrite") used to delete the whole directory — constraints
+    // silently vanished with it (probed r11). The staged replace keeps
+    // CURRENT-STATE metadata (constraints govern writes through any
+    // replace, Delta semantics) while per-snapshot history resets: the
+    // replaced files are gone, so a surviving version chain would
+    // advertise unreadable snapshots. A violating replacement aborts
+    // with the table intact; a valid one starts a fresh v1.
+    val root = fresh("replace", 1L -> Double.box(5.0))
+    LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")
+
+    val e = intercept[RuntimeException] {
+      LakeIO.writeLake(df(2L -> Double.box(-3.0)), root)
+    }
+    assert(e.getMessage.contains("value_nonneg"))
+    assert(spark.read.format("graft-lake").load(root).count() == 1L)
+
+    LakeIO.writeLake(df(3L -> Double.box(2.0)), root)
+    assert(LakeIO.constraints(root).map(_._1) == Seq("value_nonneg"))
+    assert(ManifestFileIndex.headVersion(root).contains(1))
+    assert(spark.read.format("graft-lake").load(root)
+      .select($"id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[RuntimeException] {
+      LakeIO.appendTxn(df(4L -> Double.box(-1.0)), root)
+    }
+  }
+
   test("branch staging enforces constraints at STAGE time, not publish time") {
     val root = fresh("branch", 1L -> Double.box(5.0))
     LakeIO.addConstraint(spark, root, "value_nonneg", "value >= 0")

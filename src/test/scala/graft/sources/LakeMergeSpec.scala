@@ -330,6 +330,38 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(same.isEmpty)
   }
 
+  test("timestampAsOf survives a directory copy that resets every mtime (#ts header)") {
+    // rsync without -t / an object-store migration rewrites mtimes; the
+    // commit clock must come from INSIDE the snapshot files or every
+    // historical timestamp query silently shifts to the copy time.
+    freshLake()                                                    // v1
+    Thread.sleep(60)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(60)
+    LakeIO.mergeInto(spark, root, upd, "event_id")                 // v2
+    val v1Rows = readLake(Some(1)).count()
+    assert(v1Rows !== readLake().count())
+
+    val copy = root + "_mtime_copy"
+    rm(new java.io.File(copy))
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        assert(dst.setLastModified(System.currentTimeMillis()))
+      }
+    }
+    cp(new java.io.File(root), new java.io.File(copy))
+
+    val atV1 = spark.read.format("graft-lake")
+      .option("timestampAsOf", betweenMs.toString).load(copy)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    assert(atV1.count() === v1Rows)
+  }
+
   test("timestampAsOf reader option resolves to the last snapshot at or before the cutoff") {
     freshLake()                                                    // v1
     val snap1 = new java.io.File(s"$root/${ManifestFileIndex.SnapshotDir}", "manifest-1.tsv")

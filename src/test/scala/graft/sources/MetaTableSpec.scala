@@ -63,6 +63,45 @@ class MetaTableSpec extends AnyFunSuite {
     assert(!plan.contains("FileScan"), plan)
   }
 
+  test("sharded manifest: files plans DISTRIBUTED (one partition per shard), never a driver array") {
+    // a table shards when its inventory outgrows single-process metadata
+    // — the files table must scan the immutable shard TSVs on executors
+    // (r10 verdict: a LocalScan of a multi-million-file inventory is a
+    // driver bottleneck and defeats the sharding)
+    val whS = "/tmp/graft_lake_test/meta_spec_sharded"
+    val rootS = s"$whS/default/items"
+    rm(new java.io.File(whS))
+    ManifestFileIndex.withShardTarget(4) {
+      LakeIO.writeLake(
+        (0L until 40L).toDF("id")
+          .withColumn("ts", to_timestamp(
+            concat(lit("2024-01-01 "), format_string("%02d", $"id" % 24), lit(":00:01"))))
+          .withColumn("value", $"id" * 1.5), rootS)
+    }
+    val refs = ManifestFileIndex.readRefs(rootS)
+    assert(refs.size >= 2, s"fixture must shard (got ${refs.size} refs)")
+
+    spark.conf.set("spark.sql.catalog.graft_meta_sh",
+      "org.apache.spark.sql.graft.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_meta_sh.warehouse", whS)
+    val q = spark.sql("SELECT file, `partition`, num_rows, size_bytes " +
+      "FROM graft_meta_sh.default.items.files")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "sharded files table must not materialize on the driver:\n" + plan)
+    assert(plan.contains("BatchScan"), plan)
+    // the distributed partitioning is shard-per-partition (+1 inline)
+    val parts = q.rdd.getNumPartitions
+    assert(parts >= refs.size, s"expected >= ${refs.size} partitions, got $parts")
+    // and the rows are exactly the manifest's resolved inventory
+    val (_, entries) = ManifestFileIndex.read(rootS, None).get
+    val got = q.collect()
+    assert(got.map(_.getString(0)).sorted.toSeq ==
+      entries.map(_.relPath).sorted)
+    assert(got.map(_.getLong(2)).sum ==
+      spark.read.format("graft-lake").load(rootS).count())
+  }
+
   test("snapshots is the commit log; tags and constraints reflect current state") {
     setup()
     val snaps = spark.sql(

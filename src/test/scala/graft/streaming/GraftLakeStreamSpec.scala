@@ -122,6 +122,38 @@ class GraftLakeStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("branch / row-set-selecting reader options refuse to stream") {
+    // The version-offset stream plans from HEAD manifest diffs; a
+    // `.option("branch", …)` readStream (branch resolves to stagedAsOf)
+    // would silently stream MAIN's commits while claiming to read the
+    // branch — the r10 invariant applied to the streaming source.
+    val root2 = "/tmp/graft_lake_test/stream_src/branch_refuse"
+    rm(root2)
+    LakeIO.writeLake(batch(0, 10), root2)
+    LakeIO.appendToBranch(batch(10, 5), root2, "exp")
+    Seq("branch" -> "exp", "stagedAsOf" -> "b-exp-0",
+        "versionAsOf" -> "1").foreach { case (opt, v) =>
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft-lake-stream")
+          .option(opt, v).load(root2)
+          .writeStream.format("noop").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+          .contains("selects a fixed row set"),
+        s"option $opt must refuse to stream: ${e.getMessage}")
+    }
+    // the plain head stream on the same table still runs
+    val q = spark.readStream.format("graft-lake-stream").load(root2)
+      .writeStream.format("noop").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
   test("readStream.schema() must match the committed schema or fail loudly") {
     rm(root)
     LakeIO.writeLake(batch(0, 10), root)
