@@ -72,6 +72,39 @@ class LakeOccSpec extends AnyFunSuite {
     assert(counts == counts.sorted)
   }
 
+  test("sustained contention: 8 writers x 10 rapid metadata commits, zero lost") {
+    // the r11 throughput measurement caught starvation here: without
+    // jittered backoff, lockstep retries exhausted commitDelta's attempt
+    // budget at 8 writers and ~1/3 of commits THREW — lost work. This
+    // pins the fix: every commit lands, head advances by exactly the
+    // commit count. Synthetic entries: the protocol's cost (and its
+    // contention) is manifest I/O, not parquet bytes.
+    val root = s"$base/hot_commits"
+    rm(new java.io.File(root))
+    def entry(t: Int, k: Int) = ManifestFileIndex.Entry(
+      f"2024-01-01-${t % 24}%02d",
+      f"ts_hour=2024-01-01-${t % 24}%02d/part-$t%02d-$k%04d.parquet",
+      1L, 0L, Map.empty, Map.empty, Map.empty, 1L)
+    ManifestFileIndex.commitEntries(root, "ts_hour", Seq(entry(23, 9999)))
+    val v0 = ManifestFileIndex.headVersion(root).get
+    val (nWriters, perWriter) = (8, 10)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nWriters).map { t =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { k =>
+          val b = ManifestFileIndex.claimedVersion(root)
+          ManifestFileIndex.commitDelta(root, "ts_hour", b,
+            Seq(entry(t, k)), Set.empty)
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(errors.isEmpty, s"lost commit: ${Option(errors.peek()).map(_.toString)}")
+    assert(ManifestFileIndex.headVersion(root).get == v0 + nWriters * perWriter)
+    val (_, entries) = ManifestFileIndex.read(root).get
+    assert(entries.size == 1 + nWriters * perWriter)
+  }
+
   test("write-write conflict: two deltas removing the same file — one wins, one aborts") {
     val root = s"$base/conflict"
     rm(new java.io.File(root))
