@@ -196,7 +196,6 @@ object CorpusOps {
     val alphabet = words0.select(explode(split($"s", " ")).as("sym"))
       .agg(countDistinct($"sym")).head().getLong(0)
     var words = words0
-    var parent: Option[DataFrame] = None // cached parent of `words`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (merges.size < k && !exhausted) {
@@ -212,9 +211,6 @@ object CorpusOps {
         .groupBy($"p.l", $"p.r").agg(sum($"f").as("cnt"))
         .orderBy($"cnt".desc, $"l".asc, $"r".asc)
         .limit(want * 4).collect()
-      // two-generation cache discipline, same as the sequential trainer
-      parent.foreach { p => p.unpersist(); () }
-      parent = None
       if (tops.isEmpty) exhausted = true
       else {
         val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -236,24 +232,24 @@ object CorpusOps {
           val roundRank = picked.iterator.zipWithIndex
             .map { case ((l, r, _), i) => (l, r) -> i }.toMap
           val enc = udf((sym: String) => bpeEncode(roundRank, sym))
-          val applied = words.select(enc($"s").as("s"), $"f")
-          // BREAK LINEAGE each round (the iterative-trainer invariant):
-          // persist alone keeps the logical plan, and a chain of cached
-          // AQE subplans makes every explain/plan-update superlinear in
-          // round count — at ~10+ rounds the driver OOMs just
-          // STRINGIFYING the plan. A fresh LogicalRDD over the
-          // materialized rows keeps round j's SQL plan flat; the rows
-          // recompute (if evicted) from the parent's cache, not from
-          // round 1.
-          val next = corpus.sparkSession
-            .createDataFrame(applied.rdd, applied.schema).persist(lvl)
-          parent = Some(words)
+          // BREAK LINEAGE each round (the iterative-trainer invariant,
+          // both layers of it): persist alone keeps the logical plan —
+          // nested cached-AQE subplans make every plan stringification
+          // superlinear in round count (driver OOM at ~10 rounds), and a
+          // LogicalRDD wrap alone still chains RDD lineage (executor
+          // StackOverflow at ~60 rounds, hit at 1M docs × 1024 merges).
+          // localCheckpoint(eager) truncates BOTH: round j's plan and
+          // DAG are flat, blocks live in the block manager, and the
+          // ContextCleaner reclaims generation j-1 when its reference
+          // drops below. (Local checkpoints don't survive executor loss;
+          // a k-round trainer is one retryable job, not a pipeline.)
+          val next = words.select(enc($"s").as("s"), $"f").localCheckpoint()
+          if (words eq words0) words0.unpersist()
           words = next
         }
       }
     }
-    parent.foreach { p => p.unpersist(); () }
-    words.unpersist()
+    if (words eq words0) words0.unpersist()
     (merges.toSeq, alphabet)
   }
 
