@@ -618,6 +618,73 @@ object Similarity {
       .select($"vec_id", $"c_id".as("cell"))
   }
 
+  /** INCREMENTAL IVF index maintenance: a NEW batch of vectors is
+    * assigned to the FROZEN centroids and APPENDED to the
+    * cell-partitioned index — no retrain, no rebuild, and existing
+    * cells' files are never rewritten (a parquet append lands new files
+    * inside the touched cell directories only). Because assignment is a
+    * pure function of (vector, frozen centroids), the incrementally
+    * grown index is ROW-IDENTICAL to a full rebuild over the union —
+    * exactly what the oracle certifies (`similarity_ivf_append` reuses
+    * the full-build trained query's SQL verbatim). This is the serving
+    * story for a growing corpus at 100 TB: each ingest batch appends
+    * O(batch) index rows; retraining centroids is a separate, explicit
+    * new-index-generation event, never an implicit side effect.
+    * Fixture split: base = vec_id % 5 != 0, delta = the rest.
+    */
+  def incrementalCells(s: SparkSession, d: String): DataFrame = {
+    val path = annDir(d) + "/cells_incr"
+    val marker = new java.io.File(path, "_graft_incr_done")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(path))
+      val cents = annCentroids(s, d)
+      ivfAssign(emb(s, d).where($"vec_id" % 5 =!= 0), cents)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+      ivfAssign(emb(s, d).where($"vec_id" % 5 === 0), cents)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(path)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    s.read.parquet(path).withColumn("cell", $"cell".cast("long"))
+  }
+
+  /** Trained-IVF top-k where the corpus assignment comes from a stored
+    * cells artifact (the serving shape: only the QUERY vectors are
+    * scored against centroids at query time; the corpus side reads its
+    * cell from the index and ships floats only for probed cells).
+    */
+  def ivfTopKOverCells(embDf: DataFrame, centroids: DataFrame,
+      cells: DataFrame, numQueries: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val v = withNorm(embDf.select($"vec_id", asDouble($"embedding").as("e")))
+    val q = broadcast(v.where($"vec_id" < numQueries)
+      .join(cents)
+      .select($"vec_id", $"e", $"nrm", $"c_id",
+        (dot($"e", $"ce") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")))
+      .where($"rk" <= nprobe)
+      .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
+        $"c_id".as("cell")))
+    q.join(v.join(cells, Seq("vec_id")), Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"cell", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   /** SEMANTIC DEDUP (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): cluster the embedding space, then search for
@@ -718,6 +785,27 @@ object Similarity {
     "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
 
   private def dd(a: String, b: String): String = sqlDot.format(a, b)
+
+  /** Oracle for the trained-IVF query — shared verbatim by
+    * `similarity_ivf_trained` (full build) and `similarity_ivf_append`
+    * (incremental build): the two must be row-identical by construction.
+    */
+  private lazy val ivfTrainedSql: String =
+    s"""$kmeansSqlCte,
+       |scored AS (SELECT n.vec_id, n.e, n.nrm, c.c_id,
+       |             row_number() OVER (PARTITION BY n.vec_id
+       |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
+       |           FROM n, cents c),
+       |asg AS (SELECT vec_id, e, nrm, c_id AS cell FROM scored WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS cell
+       |      FROM scored WHERE vec_id < 5 AND rk <= 2),
+       |p2 AS (SELECT q_id, q.cell AS cell, c.vec_id AS vec_id,
+       |         round(${dd("qe", "c.e")}/(qn*c.nrm), 6) AS cos
+       |       FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.q_id)
+       |SELECT q_id, cell, vec_id, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM p2)
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   /** Lloyd's k-means UNROLLED to its fixed iteration count (k=8, iters=2
     * — [[annCentroids]]): because assignment ties break on c_id, means
@@ -902,21 +990,20 @@ object Similarity {
     Op("similarity_ivf_trained",
       (s, d) => ivfTopKTrained(emb(s, d), annCentroids(s, d),
         numQueries = 5, k = 10),
-      s"""$kmeansSqlCte,
-         |scored AS (SELECT n.vec_id, n.e, n.nrm, c.c_id,
-         |             row_number() OVER (PARTITION BY n.vec_id
-         |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
-         |           FROM n, cents c),
-         |asg AS (SELECT vec_id, e, nrm, c_id AS cell FROM scored WHERE rk = 1),
-         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, c_id AS cell
-         |      FROM scored WHERE vec_id < 5 AND rk <= 2),
-         |p2 AS (SELECT q_id, q.cell AS cell, c.vec_id AS vec_id,
-         |         round(${dd("qe", "c.e")}/(qn*c.nrm), 6) AS cos
-         |       FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.q_id)
-         |SELECT q_id, cell, vec_id, cos, rn FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-         |  FROM p2)
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+      ivfTrainedSql),
+
+    // INCREMENTAL index maintenance, certified by identity: the corpus
+    // is indexed in two batches (base build + append of the delta into
+    // the cell-partitioned artifact, frozen centroids, no rebuild) and
+    // the trained-IVF query over the grown index must match the SAME
+    // oracle as the full-build query — assignment is a pure function of
+    // (vector, frozen centroids), so arrival order cannot matter, and
+    // the hash match proves the append path wrote exactly the rows a
+    // rebuild would have.
+    Op("similarity_ivf_append",
+      (s, d) => ivfTopKOverCells(emb(s, d), annCentroids(s, d),
+        incrementalCells(s, d), numQueries = 5, k = 10),
+      ivfTrainedSql),
     // The PQ BUILD step (frozen per-subspace codebook artifact); oracle =
     // the unrolled per-subspace k-means.
     Op("pq_train", (s, d) => annCodebook(s, d),

@@ -46,6 +46,40 @@ class AnnArtifactSpec extends AnyFunSuite {
     assert(codes.count() == n && cells.count() == n)
   }
 
+  test("incremental IVF append: identical to full rebuild, base files untouched") {
+    // build the incremental index (base batch + appended delta batch)
+    val incr = Similarity.incrementalCells(spark, sf)
+    // capture the on-disk file set, then re-read: append must have added
+    // files inside cell dirs without rewriting the base batch's files
+    val dir = new java.io.File(
+      "/tmp/graft_lake/v6_ann_" + sf.replaceAll("[^A-Za-z0-9.]", "_"),
+      "cells_incr")
+    def parquets(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        c => if (c.isDirectory) parquets(c)
+             else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+      }
+    val files = parquets(dir)
+    assert(files.size > Similarity.dedupK(0L),
+      "append must add files beyond one per cell dir")
+
+    // row-identical to the full single-shot assignment: cell choice is a
+    // pure function of (vector, frozen centroids) — arrival order is
+    // invisible in the index
+    val full = Similarity.annCells(spark, sf)
+    assert(incr.count() == full.count())
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
+
+    // and the served query over the grown index equals the trained query
+    val viaIncr = Similarity.ivfTopKOverCells(
+      graft.sources.Tables.embeddings(spark, sf),
+      Similarity.annCentroids(spark, sf), incr, numQueries = 5, k = 10)
+    val viaFull = Similarity.ivfTopKTrained(
+      graft.sources.Tables.embeddings(spark, sf),
+      Similarity.annCentroids(spark, sf), numQueries = 5, k = 10)
+    assert(viaIncr.collect().toSeq == viaFull.collect().toSeq)
+  }
+
   test("cell sizes stay bounded: Σ|cell|² is a real reduction from n²") {
     val cells = Similarity.annCells(spark, sf)
     val n = cells.count()
