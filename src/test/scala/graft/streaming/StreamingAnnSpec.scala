@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark.{spark, sf}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Streaming ANN index maintenance: micro-batches of embeddings append
+  * into the cell-partitioned index exactly once; at every batch boundary
+  * the index equals a full rebuild (frozen-centroid assignment is a pure
+  * function), and batch-id replays are no-ops that clean crashed
+  * attempts' orphans.
+  */
+class StreamingAnnSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+  }
+
+  test("stream equals rebuild; replays are no-ops; orphan cleanup on recovery") {
+    val base = "/tmp/graft_lake_test/stream_ann"
+    val dir = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    rm(new java.io.File(base))
+
+    val cents = Similarity.annCentroids(spark, sf)
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val rows = all.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.start(
+      ms.toDF().toDF("vec_id", "embedding"), cents, dir, ckpt)
+    try {
+      ms.addData(first.toSeq)
+      q.processAllAvailable()
+      // mid-stream: the index already serves everything ingested so far
+      assert(StreamingAnn.readIndex(spark, dir).count() == first.length.toLong)
+      ms.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // row-identical to the single-shot assignment over the full corpus
+    val idx = StreamingAnn.readIndex(spark, dir).select($"vec_id", $"cell")
+    val full = Similarity.ivfAssign(all, cents)
+    assert(idx.count() == rows.length.toLong)
+    assert(idx.except(full).isEmpty && full.except(idx).isEmpty)
+
+    // a replayed, ALREADY-LEDGERED batch id is a pure no-op (foreachBatch
+    // is at-least-once; the ledger is the idempotency commit point)
+    val n0 = idx.count()
+    StreamingAnn.indexBatch(cents, dir)(
+      all.limit(5), batchId = 0L)
+    assert(StreamingAnn.readIndex(spark, dir).count() == n0)
+
+    // crash recovery: a b77- orphan (failed attempt's visible file) is
+    // deleted when batch 77 replays — here with an empty batch, so the
+    // index returns exactly to its pre-crash state
+    val cellDir = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val donor = cellDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(cellDir, "b77-orphan.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    assert(StreamingAnn.readIndex(spark, dir).count() > n0) // orphan visible
+    StreamingAnn.indexBatch(cents, dir)(all.limit(0), batchId = 77L)
+    assert(!orphan.exists())
+    assert(StreamingAnn.readIndex(spark, dir).count() == n0)
+  }
+}
