@@ -652,6 +652,38 @@ object Similarity {
     s.read.parquet(path).withColumn("cell", $"cell".cast("long"))
   }
 
+  /** Incremental PQ-encoded corpus — [[incrementalCells]]'s companion
+    * for the full IVF-PQ serving index: each batch is PQ-encoded against
+    * the FROZEN codebook and assigned against the FROZEN centroids, then
+    * appended into the cell-partitioned codes artifact. Both encode and
+    * assignment are pure per-row functions of frozen artifacts, so the
+    * grown codes table is row-identical to a full re-encode — certified
+    * by `similarity_ivfpq_append` reusing the full-build oracle verbatim.
+    */
+  def incrementalCodes(s: SparkSession, d: String): DataFrame = {
+    val path = annDir(d) + "/codes_incr"
+    val marker = new java.io.File(path, "_graft_incr_done")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(path))
+      val cents = annCentroids(s, d)
+      val book = annCodebook(s, d)
+      def batchCodes(batch: DataFrame): DataFrame =
+        pqEncode(batch, book)
+          .join(ivfAssign(batch, cents), Seq("vec_id"))
+      batchCodes(emb(s, d).where($"vec_id" % 5 =!= 0))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+      batchCodes(emb(s, d).where($"vec_id" % 5 === 0))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(path)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    s.read.parquet(path).withColumn("cell", $"cell".cast("long"))
+  }
+
   /** Trained-IVF top-k where the corpus assignment comes from a stored
     * cells artifact (the serving shape: only the QUERY vectors are
     * scored against centroids at query time; the corpus side reads its
@@ -785,6 +817,49 @@ object Similarity {
     "list_sum(list_transform(list_zip(%s, %s), z -> z[1] * z[2]))"
 
   private def dd(a: String, b: String): String = sqlDot.format(a, b)
+
+  /** Oracle for the IVF-PQ ADC query — shared verbatim by
+    * `similarity_ivfpq` (full build) and `similarity_ivfpq_append`
+    * (incremental build): row-identical by construction.
+    */
+  private lazy val ivfPqSql: String =
+    s"""$kmeansSqlCte,
+       |$pqSqlCteBody,
+       |scored AS (SELECT n.vec_id, c.c_id,
+       |             row_number() OVER (PARTITION BY n.vec_id
+       |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
+       |           FROM n, cents c),
+       |asg AS (SELECT vec_id, c_id AS cell FROM scored WHERE rk = 1),
+       |qcells AS (SELECT vec_id AS q_id, c_id AS cell
+       |           FROM scored WHERE vec_id < 5 AND rk <= 2),
+       |encr AS (SELECT s.vec_id, s.sub, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |             ORDER BY ${dd("c.ce", "c.ce")} - 2*${dd("s.sv", "c.ce")} ASC, c.code) AS rk
+       |         FROM sv s JOIN cb c ON s.sub = c.sub),
+       |enc AS (SELECT vec_id, sub, code FROM encr WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+       |qsv AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv WHERE vec_id < 5),
+       |cand AS (SELECT qc.q_id, a.vec_id FROM qcells qc
+       |         JOIN asg a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
+       |part AS (SELECT cd.q_id, cd.vec_id, en.sub, ${dd("qs.qsv", "c.ce")} AS val
+       |         FROM cand cd
+       |         JOIN qsv qs ON qs.q_id = cd.q_id
+       |         JOIN enc en ON en.vec_id = cd.vec_id AND en.sub = qs.sub
+       |         JOIN cb c ON c.sub = en.sub AND c.code = en.code),
+       |adc AS (SELECT q_id, vec_id, list_sum(list(val ORDER BY sub)) AS adot
+       |        FROM part GROUP BY q_id, vec_id),
+       |appr AS (SELECT a.q_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY a.q_id
+       |             ORDER BY a.adot/(q.qn*n2.nrm) DESC, a.vec_id) AS ark
+       |         FROM adc a JOIN q ON q.q_id = a.q_id JOIN n n2 ON n2.vec_id = a.vec_id),
+       |short AS (SELECT q_id, vec_id FROM appr WHERE ark <= 40),
+       |rer AS (SELECT s.q_id, s.vec_id,
+       |          round(${dd("q.qe", "n3.e")}/(sqrt(${dd("q.qe", "q.qe")})*sqrt(${dd("n3.e", "n3.e")})), 6) AS cos
+       |        FROM short s JOIN n n3 ON n3.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM rer)
+       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   /** Oracle for the trained-IVF query — shared verbatim by
     * `similarity_ivf_trained` (full build) and `similarity_ivf_append`
@@ -1057,43 +1132,18 @@ object Similarity {
       (s, d) => ivfPqTopK(emb(s, d), annCentroids(s, d), annCells(s, d),
         annCodes(s, d), annCodebook(s, d), numQueries = 5, k = 10,
         nprobe = 2, rerank = 4),
-      s"""$kmeansSqlCte,
-         |$pqSqlCteBody,
-         |scored AS (SELECT n.vec_id, c.c_id,
-         |             row_number() OVER (PARTITION BY n.vec_id
-         |               ORDER BY ${dd("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
-         |           FROM n, cents c),
-         |asg AS (SELECT vec_id, c_id AS cell FROM scored WHERE rk = 1),
-         |qcells AS (SELECT vec_id AS q_id, c_id AS cell
-         |           FROM scored WHERE vec_id < 5 AND rk <= 2),
-         |encr AS (SELECT s.vec_id, s.sub, c.code,
-         |           row_number() OVER (PARTITION BY s.vec_id, s.sub
-         |             ORDER BY ${dd("c.ce", "c.ce")} - 2*${dd("s.sv", "c.ce")} ASC, c.code) AS rk
-         |         FROM sv s JOIN cb c ON s.sub = c.sub),
-         |enc AS (SELECT vec_id, sub, code FROM encr WHERE rk = 1),
-         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
-         |qsv AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv WHERE vec_id < 5),
-         |cand AS (SELECT qc.q_id, a.vec_id FROM qcells qc
-         |         JOIN asg a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
-         |part AS (SELECT cd.q_id, cd.vec_id, en.sub, ${dd("qs.qsv", "c.ce")} AS val
-         |         FROM cand cd
-         |         JOIN qsv qs ON qs.q_id = cd.q_id
-         |         JOIN enc en ON en.vec_id = cd.vec_id AND en.sub = qs.sub
-         |         JOIN cb c ON c.sub = en.sub AND c.code = en.code),
-         |adc AS (SELECT q_id, vec_id, list_sum(list(val ORDER BY sub)) AS adot
-         |        FROM part GROUP BY q_id, vec_id),
-         |appr AS (SELECT a.q_id, a.vec_id,
-         |           row_number() OVER (PARTITION BY a.q_id
-         |             ORDER BY a.adot/(q.qn*n2.nrm) DESC, a.vec_id) AS ark
-         |         FROM adc a JOIN q ON q.q_id = a.q_id JOIN n n2 ON n2.vec_id = a.vec_id),
-         |short AS (SELECT q_id, vec_id FROM appr WHERE ark <= 40),
-         |rer AS (SELECT s.q_id, s.vec_id,
-         |          round(${dd("q.qe", "n3.e")}/(sqrt(${dd("q.qe", "q.qe")})*sqrt(${dd("n3.e", "n3.e")})), 6) AS cos
-         |        FROM short s JOIN n n3 ON n3.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id)
-         |SELECT q_id, vec_id, cos, rn FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
-         |  FROM rer)
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+      ivfPqSql),
+
+    // The FULL serving index grown incrementally: codes AND cells both
+    // appended batch-wise against frozen codebook/centroids, then the
+    // IVF-PQ ADC query over the grown artifacts must match the full
+    // build's oracle verbatim — encode and assignment are pure per-row
+    // functions, so arrival order is invisible in the index.
+    Op("similarity_ivfpq_append",
+      (s, d) => ivfPqTopK(emb(s, d), annCentroids(s, d),
+        incrementalCells(s, d), incrementalCodes(s, d), annCodebook(s, d),
+        numQueries = 5, k = 10, nprobe = 2, rerank = 4),
+      ivfPqSql),
     // RETRIEVAL-QUALITY oracle for the ANN tiers: hash-exactness (the
     // keys above) proves determinism — that the frozen artifacts and the
     // declared computation agree bit-for-bit — but says nothing about

@@ -70,6 +70,15 @@ class AnnArtifactSpec extends AnyFunSuite {
     assert(incr.count() == full.count())
     assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
 
+    // the PQ codes artifact grows the same way (frozen codebook): the
+    // incremental codes table is row-identical to the full encode
+    val codesIncr = Similarity.incrementalCodes(spark, sf)
+    val codesFull = Similarity.annCodes(spark, sf)
+      .select(codesIncr.columns.map(col): _*)
+    assert(codesIncr.count() == codesFull.count())
+    assert(codesIncr.except(codesFull).isEmpty &&
+      codesFull.except(codesIncr).isEmpty)
+
     // and the served query over the grown index equals the trained query
     val viaIncr = Similarity.ivfTopKOverCells(
       graft.sources.Tables.embeddings(spark, sf),
