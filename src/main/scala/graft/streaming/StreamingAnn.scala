@@ -111,4 +111,68 @@ object StreamingAnn {
   /** The live index (vec_id → cell), for [[Similarity.ivfTopKOverCells]]. */
   def readIndex(s: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
     s.read.parquet(indexDir).withColumn("cell", col("cell").cast("long"))
+
+  /** Compact the index: per-batch appends accrue one file per touched
+    * cell per micro-batch (the same small-files arithmetic as any
+    * streaming sink); this rewrites every cell to ~one file. MAINTENANCE
+    * contract: run with the maintenance stream STOPPED (single-writer,
+    * like the ledger) — compaction folds all committed batches into a
+    * `c<gen>-` generation file per cell, deletes the folded `b*`/older
+    * `c*` files, and RESETS the batch ledger to a compaction watermark
+    * line so replayed pre-compaction batch ids stay no-ops after the
+    * files they wrote are gone. Returns (filesBefore, filesAfter).
+    */
+  def compactIndex(s: org.apache.spark.sql.SparkSession, indexDir: String): (Int, Int) = {
+    val root = new java.io.File(indexDir)
+    def dataFiles(): Seq[java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")))
+    // sweep orphans of UNCOMMITTED batches first: an orphan folded into
+    // the compacted generation would become permanent, and the restarted
+    // stream's replay of that batch id would then append it AGAIN —
+    // duplicates. Orphan = a b<id>- file whose id is not in the ledger.
+    val committed = committedBatches(indexDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            f.getName.startsWith("b") && f.getName.contains("-") &&
+              f.getName.substring(1, f.getName.indexOf('-')).toLongOption
+                .exists(id => !committed.contains(id))
+          }
+          .foreach(_.delete())
+      }
+    val before = dataFiles()
+    if (before.isEmpty) return (0, 0)
+    val gen = System.currentTimeMillis()
+    val stage = indexDir + s"_compact_$gen"
+    readIndex(s, indexDir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(stage)
+    // swap: move compacted files in under the c<gen>- prefix, THEN delete
+    // the folded originals — a crash between the two leaves duplicates
+    // (visible, detectable by the c<gen>- prefix), never data loss; the
+    // maintenance re-run folds them away.
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .foreach { d =>
+        val dest = new java.io.File(root, d.getName)
+        dest.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dest, s"c$gen-" + f.getName).toPath)
+          }
+      }
+    rm(new java.io.File(stage))
+    before.foreach(_.delete())
+    // watermark: committed ids stay recorded so their replays remain
+    // no-ops (their rows now live in the c<gen>- generation)
+    recordBatch(indexDir, -1L * gen) // negative marker line, ledger keeps ids
+    (before.size, dataFiles().size)
+  }
 }

@@ -71,4 +71,42 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(!orphan.exists())
     assert(StreamingAnn.readIndex(spark, dir).count() == n0)
   }
+
+  test("compaction folds per-batch files; committed replays stay no-ops; orphans excluded") {
+    val dir = "/tmp/graft_lake_test/stream_ann_compact/index"
+    rm(new java.io.File(dir).getParentFile)
+    val cents = Similarity.annCentroids(spark, sf)
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    (0 until 3).foreach { b =>
+      StreamingAnn.indexBatch(cents, dir)(
+        all.where($"vec_id" % 3 === b), batchId = b.toLong)
+    }
+    val n0 = StreamingAnn.readIndex(spark, dir).count()
+    assert(n0 == all.count())
+
+    // plant an orphan of an UNCOMMITTED batch (id 9 not in the ledger):
+    // compaction must NOT fold it — a replay of batch 9 would double it
+    val cellDir = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val donor = cellDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(cellDir, "b9-orphan.parquet").toPath)
+
+    val (bef, aft) = StreamingAnn.compactIndex(spark, dir)
+    assert(aft < bef, s"compaction must shrink files ($bef -> $aft)")
+    assert(StreamingAnn.readIndex(spark, dir).count() == n0,
+      "orphan rows must not survive compaction")
+    // every remaining data file is a compacted-generation file
+    val leftover = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(leftover.forall(_.getName.startsWith("c")), leftover.mkString(","))
+
+    // a committed id's replay is STILL a no-op after its files were folded
+    StreamingAnn.indexBatch(cents, dir)(all.limit(7), batchId = 1L)
+    assert(StreamingAnn.readIndex(spark, dir).count() == n0)
+    // the orphan's (never-committed) id lands exactly once when it replays
+    StreamingAnn.indexBatch(cents, dir)(all.limit(4), batchId = 9L)
+    assert(StreamingAnn.readIndex(spark, dir).count() == n0 + 4)
+  }
 }
