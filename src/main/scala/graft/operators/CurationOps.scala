@@ -20,6 +20,37 @@ object CurationOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** DSIR-style importance top-100 over an arbitrary (doc_id, lang, text)
+    * corpus — see the `sample_importance` op comment for the math and the
+    * 100 TB shape. Public so the scale harness drives it at 1M docs.
+    */
+  def importanceTopK(corpus: DataFrame, k: Int = 100): DataFrame = {
+    val t = corpus
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), " ")).as("term"))
+      .where(length($"term") > 0)
+      .select($"doc_id", $"lang", substring(md5($"term"), 1, 2).as("b"))
+    val cr = t.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val ct = t.where($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
+    val tot = t.agg(count(lit(1)).as("tr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+    val ratio = round(
+      ((coalesce($"ct", lit(0L)) + lit(1.0)) * ($"tr" + lit(256.0))) /
+        (($"cr" + lit(1.0)) * ($"tt" + lit(256.0))), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val ratios = cr.join(ct, Seq("b"), "left").crossJoin(tot)
+      .select($"b", ratio.as("ratio"))
+    val w = t.join(broadcast(ratios), "b")
+      .groupBy($"doc_id").agg(sum($"ratio").as("wt"))
+    val top = RetrievalOps.topKRanked(
+      w.select(($"wt" * 1000000).cast("long").as("score"), $"doc_id".as("id")),
+      k, "doc_id", "rk")
+    corpus.join(broadcast(top), "doc_id")
+      .select($"doc_id", $"lang",
+        ($"score".cast("double") / 1e6).as("weight"), $"rk")
+      .orderBy($"rk")
+  }
+
   /** Raw word n-grams (NOT distinct — repetition analysis needs counts). */
   private def ngrams(t: Column, n: Int): Column =
     transform(sequence(lit(0), size(t) - n),
@@ -419,6 +450,56 @@ object CurationOps {
         |  CAST(SUM(CASE WHEN length(text) > 300 AND lang = 'en'
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  TRUE AS acc_ok
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by its affinity to a TARGET domain (here lang='en', the
+    // quality_classifier_lr label family) under hashed bag-of-features
+    // distributions, and keep the top-100. Features are term occurrences
+    // hashed into 256 md5 buckets (the engine's cross-engine hash, same
+    // as split_hash_assign); the per-bucket importance ratio is the
+    // add-1-smoothed target/raw probability ratio
+    //   ((ct+1)·(Tr+256)) / ((cr+1)·(Tt+256))
+    // — exact integer operands under one double division, rounded at
+    // 6 dp into DECIMAL(18,6) (the engine-wide log-free recipe: DSIR
+    // sums log-ratios, which would pin ranking to libm ulps; summing
+    // the rounded ratios keeps the same monotone target-affinity signal
+    // and is bit-identical across engines). A doc's weight sums its
+    // occurrences' bucket ratios, so frequent target-domain vocabulary
+    // lifts it — at sf0.01 the top-100 is ~all-English, certified by the
+    // oracle re-deriving the identical ranking.
+    //
+    // 100 TB: the ratio table is ≤256 rows (BROADCAST — two bucket
+    // aggregates build it, each one map-side-combined shuffle of 256
+    // keys); per-doc weights are one fact shuffle on doc_id; ranking is
+    // the bounded-heap top-k, never a corpus window; the final
+    // attribute join-back broadcasts 100 ids against the corpus.
+    // Implementation in [[importanceTopK]] (the scale harness's seam).
+    Op("sample_importance",
+      (s, d) => importanceTopK(docs(s, d)),
+      """WITH t0 AS (SELECT doc_id, lang,
+        |              unnest(string_split(lower(text), ' ')) AS term
+        |            FROM documents),
+        |t AS (SELECT doc_id, lang, substr(md5(term), 1, 2) AS b
+        |      FROM t0 WHERE length(term) > 0),
+        |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM t GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM t
+        |       WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+        |          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        |        FROM t),
+        |r AS (SELECT b, CAST(round(((COALESCE(ct, 0) + 1.0) * (tr + 256.0)) /
+        |                           ((cr + 1.0) * (tt + 256.0)), 6)
+        |             AS DECIMAL(18,6)) AS ratio
+        |      FROM cr LEFT JOIN ct USING (b), tot),
+        |w AS (SELECT doc_id, sum(ratio) AS wt
+        |      FROM t JOIN r USING (b) GROUP BY doc_id),
+        |rk AS (SELECT doc_id, wt,
+        |         CAST(row_number() OVER (ORDER BY wt DESC, doc_id) AS BIGINT) AS rk
+        |       FROM w)
+        |SELECT doc_id, lang, CAST(wt AS DOUBLE) AS weight, rk
+        |FROM rk JOIN documents USING (doc_id)
+        |WHERE rk <= 100 ORDER BY rk""".stripMargin)
   )
 }
