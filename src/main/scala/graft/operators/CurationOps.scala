@@ -24,24 +24,56 @@ object CurationOps {
     * corpus — see the `sample_importance` op comment for the math and the
     * 100 TB shape. Public so the scale harness drives it at 1M docs.
     */
-  def importanceTopK(corpus: DataFrame, k: Int = 100): DataFrame = {
+  def importanceTopK(corpus: DataFrame, k: Int = 100,
+      portableHash: Boolean = true): DataFrame = {
+    // Bucket hash is a knob: md5/substr is the CROSS-ENGINE hash the
+    // DuckDB oracle can mirror (the keyed op's contract); xxhash64 is
+    // the production choice — measured 2.6× faster end-to-end at 1M
+    // docs (25–29 s vs 68–75 s, SCALE.md) because it skips the hex
+    // string round-trip per token. Same algorithm either way; only the
+    // (arbitrary) bucket assignment differs.
+    val bucket: Column =
+      if (portableHash) substring(md5($"term"), 1, 2)
+      else pmod(xxhash64($"term"), lit(256L))
     val t = corpus
       .select($"doc_id", $"lang",
         explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
-      .select($"doc_id", $"lang", substring(md5($"term"), 1, 2).as("b"))
-    val cr = t.groupBy($"b").agg(count(lit(1)).as("cr"))
-    val ct = t.where($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("ct"))
-    val tot = t.agg(count(lit(1)).as("tr"),
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+      .select($"doc_id", $"lang", bucket.as("b"))
+    // ONE pass over the exploded corpus builds both distributions (raw
+    // count + target count per bucket, map-side-combined into ≤256
+    // keys); the rows come to the DRIVER (metadata-sized, the LR-trainer
+    // collect pattern) so corpus totals and the ratio table derive
+    // locally — referencing the bucket aggregate from two plan branches
+    // re-ran its corpus explode (no exchange reuse across the
+    // tot/ratios branches; measured at 1M docs). Total corpus passes: 2
+    // (distributions + scoring), the information-theoretic floor.
+    val bucketsAgg = t.groupBy($"b").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val bucketRows = bucketsAgg.collect()
+    val tr = bucketRows.map(_.getLong(1)).sum
+    val tt = bucketRows.map(_.getLong(2)).sum
+    val s = corpus.sparkSession
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(bucketRows: _*), bucketsAgg.schema)
+    // (tr + 256.0) folds on the driver — one IEEE add, bit-identical to
+    // the executor-side column form the oracle mirrors
     val ratio = round(
-      ((coalesce($"ct", lit(0L)) + lit(1.0)) * ($"tr" + lit(256.0))) /
-        (($"cr" + lit(1.0)) * ($"tt" + lit(256.0))), 6)
+      (($"ct" + lit(1.0)) * lit(tr + 256.0)) /
+        (($"cr" + lit(1.0)) * lit(tt + 256.0)), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    val ratios = cr.join(ct, Seq("b"), "left").crossJoin(tot)
-      .select($"b", ratio.as("ratio"))
+    val ratios = local.select($"b", ratio.as("ratio"))
+    // Per-token contribution is (ratio − 1), NOT the raw ratio: DSIR
+    // sums log-ratios, which are ZERO-CENTERED — a token from a
+    // domain-neutral bucket (ratio ≈ 1) must contribute ≈ 0, or the
+    // weight degenerates into Σ ratio ≈ length × 1 and the "importance"
+    // ranking just returns the longest documents (caught by the
+    // CurationOpsSpec affinity assertion at sf0.001). (r − 1) is the
+    // first-order expansion of ln(r) around 1 — same sign, same zero,
+    // monotone in r — and stays exact decimal arithmetic end-to-end.
     val w = t.join(broadcast(ratios), "b")
-      .groupBy($"doc_id").agg(sum($"ratio").as("wt"))
+      .groupBy($"doc_id").agg(sum($"ratio" - lit(1)).as("wt"))
     val top = RetrievalOps.topKRanked(
       w.select(($"wt" * 1000000).cast("long").as("score"), $"doc_id".as("id")),
       k, "doc_id", "rk")
@@ -463,16 +495,19 @@ object CurationOps {
     //   ((ct+1)·(Tr+256)) / ((cr+1)·(Tt+256))
     // — exact integer operands under one double division, rounded at
     // 6 dp into DECIMAL(18,6) (the engine-wide log-free recipe: DSIR
-    // sums log-ratios, which would pin ranking to libm ulps; summing
-    // the rounded ratios keeps the same monotone target-affinity signal
-    // and is bit-identical across engines). A doc's weight sums its
-    // occurrences' bucket ratios, so frequent target-domain vocabulary
-    // lifts it — at sf0.01 the top-100 is ~all-English, certified by the
-    // oracle re-deriving the identical ranking.
+    // sums LOG-ratios, which would pin ranking to libm ulps; we sum
+    // (ratio − 1), the first-order expansion of ln(ratio) — same zero,
+    // same sign, monotone, zero-centered like the log so neutral tokens
+    // contribute nothing — and bit-identical across engines). A doc's
+    // weight sums its occurrences' centered bucket ratios, so
+    // target-domain vocabulary lifts it and neutral length does not —
+    // certified by the oracle re-deriving the identical ranking.
     //
-    // 100 TB: the ratio table is ≤256 rows (BROADCAST — two bucket
-    // aggregates build it, each one map-side-combined shuffle of 256
-    // keys); per-doc weights are one fact shuffle on doc_id; ranking is
+    // 100 TB: the ratio table is ≤256 rows (BROADCAST — ONE bucket
+    // aggregate over the exploded corpus builds both distributions,
+    // map-side-combined into 256 keys; totals are sums of those rows,
+    // never a second corpus pass); per-doc weights are one fact shuffle
+    // on doc_id (the only other corpus pass); ranking is
     // the bounded-heap top-k, never a corpus window; the final
     // attribute join-back broadcasts 100 ids against the corpus.
     // Implementation in [[importanceTopK]] (the scale harness's seam).
@@ -493,7 +528,7 @@ object CurationOps {
         |                           ((cr + 1.0) * (tt + 256.0)), 6)
         |             AS DECIMAL(18,6)) AS ratio
         |      FROM cr LEFT JOIN ct USING (b), tot),
-        |w AS (SELECT doc_id, sum(ratio) AS wt
+        |w AS (SELECT doc_id, sum(ratio - 1) AS wt
         |      FROM t JOIN r USING (b) GROUP BY doc_id),
         |rk AS (SELECT doc_id, wt,
         |         CAST(row_number() OVER (ORDER BY wt DESC, doc_id) AS BIGINT) AS rk
