@@ -285,6 +285,61 @@ object RetrievalOps {
       .orderBy($"rk")
   }
 
+  /** Fixed bulk-query workload: the decontamination/eval-mining shape —
+    * many queries answered in ONE index probe. Terms drawn from the
+    * synthetic vocabulary.
+    */
+  val BulkQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("vector", "join"),
+    2L -> Seq("slow", "fast"),
+    3L -> Seq("window", "batch"))
+
+  /** BM25 top-3 PER QUERY for [[BulkQueries]], served from the inverted
+    * index in one batched probe: the postings scan prunes to the UNION
+    * of all queries' term buckets, the (query_id, term) table is a
+    * broadcast literal, per-(query, doc) scores shuffle once, and each
+    * query's ranking is its OWN bounded heap (groupBy query_id + the
+    * TopKByScore partial aggregate — ≤ k rows per query per partition
+    * reach the shuffle). At 100 TB this is how a decontamination pass
+    * runs thousands of eval queries: cost is O(Σ matched postings),
+    * never O(queries × corpus), and no ranking window appears anywhere.
+    */
+  def bm25BulkFromIndex(postings: DataFrame, stats: DataFrame,
+      queries: Seq[(Long, Seq[String])] = BulkQueries, k: Int = 3): DataFrame = {
+    val s = postings.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct
+    val q = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(queries.flatMap { case (id, ts) =>
+        ts.map(t => org.apache.spark.sql.Row(id, t))
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType)))))
+    val qb = allTerms.map(termBucket).distinct
+    val pruned = postings
+      .where($"bucket".isin(qb: _*) && $"term".isin(allTerms: _*))
+    val dfT = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+    val st = stats.agg(
+      sum($"n_docs").as("n_docs"), sum($"total_len").as("total_len"))
+    val scored = pruned.join(q, "term")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(st))
+      .select($"query_id", $"doc_id", contribCol.as("contrib"))
+      .groupBy($"query_id", $"doc_id").agg(sum($"contrib").as("sd"))
+    val topk = udaf(graft.functions.TopKByScore.agg(k))
+    scored
+      .select($"query_id", ($"sd" * 1000000).cast("long").as("score"),
+        $"doc_id".as("id"))
+      .groupBy($"query_id").agg(topk($"score", $"id").as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "r")))
+      .select($"query_id", $"r.id".as("doc_id"),
+        ($"r.score".cast("double") / 1e6).as("score"),
+        ($"pos" + 1).cast("long").as("rk"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Corpus-scan BM25 top-10 oracle — shared verbatim by the scan op and
     * BOTH index-served ops (same result set is the whole point).
     */
@@ -332,6 +387,46 @@ object RetrievalOps {
         bm25TopKFromIndex(postings, stats)
       },
       bm25TopkSql),
+
+    // Batched multi-query retrieval from the index (top-3 per query for
+    // three 2-term queries) — one probe, per-query bounded heaps.
+    Op("bm25_index_bulk",
+      (s, d) => {
+        val (postings, stats) = invertedIndex(s, d)
+        bm25BulkFromIndex(postings, stats)
+      },
+      """WITH q AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'vector'), (CAST(1 AS BIGINT), 'join'),
+        |    (CAST(2 AS BIGINT), 'slow'),   (CAST(2 AS BIGINT), 'fast'),
+        |    (CAST(3 AS BIGINT), 'window'), (CAST(3 AS BIGINT), 'batch'))
+        |  v(query_id, term)),
+        |t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |       FROM documents),
+        |t AS (SELECT doc_id, term FROM t0 WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('vector','join','slow','fast','window','batch')
+        |       GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM t),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(round(
+        |          ((CAST(n_docs - df AS DOUBLE) * 2.0 + 1.0) / (CAST(df AS DOUBLE) * 2.0 + 1.0))
+        |          * (CAST(tf AS DOUBLE) * 2.2
+        |             / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * ((dl * n_docs) / total_len))))
+        |        , 6) AS DECIMAL(18,6)) AS contrib
+        |      FROM tf JOIN q USING (term) JOIN df USING (term)
+        |           JOIN dl USING (doc_id), n, tl),
+        |sc AS (SELECT query_id, doc_id, sum(contrib) AS sd
+        |       FROM c GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, CAST(sd AS DOUBLE) AS score, rk FROM (
+        |  SELECT query_id, doc_id, sd,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sd DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin),
 
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and a
     // dense cosine ranking against one query vector (vec_id 0, the

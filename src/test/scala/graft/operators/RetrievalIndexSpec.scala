@@ -61,6 +61,22 @@ class RetrievalIndexSpec extends AnyFunSuite {
       s"expected bucket pruning: probe read $probed files vs $total total")
   }
 
+  test("bulk probe: per-query contiguous ranks, descending scores, no window") {
+    val (postings, stats) = RetrievalOps.invertedIndex(spark, sf)
+    val bulk = RetrievalOps.bm25BulkFromIndex(postings, stats)
+    val rws = bulk.collect()
+    val byQ = rws.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // per-query rank comes from the bounded heap, never a ranking window
+    assert(!bulk.queryExecution.executedPlan.toString.contains("Window"),
+      "bulk ranking must not plan a window")
+  }
+
   test("postings layout is bucket-partitioned with denormalized dl") {
     val (postings, _) = RetrievalOps.invertedIndex(spark, sf)
     assert(postings.columns.sorted.toSeq ==
