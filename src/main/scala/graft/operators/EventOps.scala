@@ -772,6 +772,93 @@ object EventOps {
       """SELECT event_type,
         |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
         |       count(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Table profiling — the first query every pipeline runs against an
+    // unfamiliar table: per-column row count, null count, EXACT distinct
+    // count, and min/max (strings in *_str, numerics in *_num — double
+    // formatting is not engine-portable, so numerics never stringify).
+    // ONE aggregate pass computes all measures (the multi-distinct plans
+    // as a single Expand-based aggregate), then `stack` unpivots the
+    // 1-row result into a row per column. `ts` is excluded here (its
+    // profile lives in the metadata path: MetadataOnlyCount answers
+    // min/max/count from manifest bounds without any scan).
+    //
+    // 100 TB: exact COUNT(DISTINCT) is the oracle-exact tier — the
+    // Expand multiplies the scan ×(columns+1), which is the known cost
+    // of exact multi-distinct; at cluster scale the profiling default
+    // is the sketch tier (approx_distinct_kmv / quantile_tdigest ops)
+    // and this exact form is for bounded slices.
+    Op("profile_table",
+      (s, d) => {
+        val e = ev(s, d)
+        def nullsOf(c: String) =
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(c + "_nulls")
+        val agg = e.agg(
+          count(lit(1)).as("n"),
+          nullsOf("event_id"), countDistinct($"event_id").as("event_id_dist"),
+          min($"event_id").cast("double").as("event_id_min"),
+          max($"event_id").cast("double").as("event_id_max"),
+          nullsOf("user_id"), countDistinct($"user_id").as("user_id_dist"),
+          min($"user_id").cast("double").as("user_id_min"),
+          max($"user_id").cast("double").as("user_id_max"),
+          nullsOf("value"), countDistinct($"value").as("value_dist"),
+          min($"value").as("value_min"), max($"value").as("value_max"),
+          nullsOf("event_type"), countDistinct($"event_type").as("event_type_dist"),
+          min($"event_type").as("event_type_min"),
+          max($"event_type").as("event_type_max"),
+          nullsOf("props"), countDistinct($"props").as("props_dist"),
+          min($"props").as("props_min"), max($"props").as("props_max"))
+        agg.select(expr(
+          """stack(5,
+            |'event_id',   n, event_id_nulls,   event_id_dist,
+            |  CAST(NULL AS STRING), CAST(NULL AS STRING), event_id_min, event_id_max,
+            |'event_type', n, event_type_nulls, event_type_dist,
+            |  event_type_min, event_type_max, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            |'props',      n, props_nulls,      props_dist,
+            |  props_min, props_max, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            |'user_id',    n, user_id_nulls,    user_id_dist,
+            |  CAST(NULL AS STRING), CAST(NULL AS STRING), user_id_min, user_id_max,
+            |'value',      n, value_nulls,      value_dist,
+            |  CAST(NULL AS STRING), CAST(NULL AS STRING), value_min, value_max)
+            | AS (col_name, n, n_null, n_distinct, min_str, max_str, min_num, max_num)
+            |""".stripMargin))
+          .orderBy($"col_name")
+      },
+      """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  min(event_type), max(event_type),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT props) AS BIGINT),
+        |  min(props), max(props),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT value) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  min(value), max(value)
+        |FROM events
+        |ORDER BY col_name""".stripMargin)
   )
 }
