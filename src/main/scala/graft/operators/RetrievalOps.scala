@@ -54,16 +54,19 @@ object RetrievalOps {
   /** Shared BM25 CTE prefix for the oracle SQL (terms → tf/dl/df/totals →
     * per-doc decimal score `sd`). Ends with the `sc` relation.
     */
-  private val bm25Cte =
+  /** The BM25 scoring CTE over an arbitrary corpus relation (`rel` must
+    * be a table name or an aliased derived table), ending at `sc`.
+    */
+  private def bm25CteOver(rel: String): String =
     s"""WITH t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-       |            FROM documents),
+       |            FROM $rel),
        |t AS (SELECT doc_id, term FROM t0 WHERE length(term) > 0),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
        |       WHERE term IN ('vector', 'join', 'slow') GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
        |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
-       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM $rel),
        |tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM t),
        |c AS (SELECT tf.doc_id,
        |        CAST(round(
@@ -73,6 +76,8 @@ object RetrievalOps {
        |        , 6) AS DECIMAL(18,6)) AS contrib
        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, tl),
        |sc AS (SELECT doc_id, sum(contrib) AS sd FROM c GROUP BY doc_id)""".stripMargin
+
+  private val bm25Cte = bm25CteOver("documents")
 
   /** Per-term BM25 contribution at 6 dp as DECIMAL(18,6), written as ONE
     * shared expression tree so the corpus-scan path ([[bm25Scored]]) and
@@ -267,13 +272,19 @@ object RetrievalOps {
     * the same bounded-heap top-k as the corpus-scan op. No tokenize, no
     * corpus-sized join, no window — per-query cost is O(matched postings).
     */
-  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame): DataFrame = {
-    val qb = QueryTerms.map(termBucket)
-    val pruned = postings
-      .where($"bucket".isin(qb: _*) && $"term".isin(QueryTerms: _*))
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame): DataFrame =
+    serveTopK(
+      postings.where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
+        $"term".isin(QueryTerms: _*)),
+      stats.agg(sum($"n_docs").as("n_docs"), sum($"total_len").as("total_len")))
+
+  /** Score a pruned postings scan against 1-row corpus totals and rank
+    * top-10 — df is derived from the pruned scan itself (one posting row
+    * per (doc, term) ⇒ its per-term count IS document frequency over
+    * whatever doc set the scan represents).
+    */
+  private def serveTopK(pruned: DataFrame, st: DataFrame): DataFrame = {
     val dfT = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
-    val st = stats.agg(
-      sum($"n_docs").as("n_docs"), sum($"total_len").as("total_len"))
     val scored = pruned.join(broadcast(dfT), "term")
       .crossJoin(broadcast(st))
       .select($"doc_id", contribCol.as("contrib"))
@@ -283,6 +294,62 @@ object RetrievalOps {
       10, "doc_id", "rk")
       .select($"doc_id", ($"score".cast("double") / 1e6).as("score"), $"rk")
       .orderBy($"rk")
+  }
+
+  /** TOMBSTONED serving — exact fresh BM25 over the LIVE corpus from a
+    * STALE index: the lake deleted documents (merge-on-read DVs) after
+    * the index froze, and rather than rebuilding, the probe applies
+    * CHURN-SIZED corrections —
+    *   - membership: anti-join the pruned postings against the deleted
+    *     doc ids (broadcast — bounded by churn, not corpus);
+    *   - df: derived from the anti-joined scan, so it is already the
+    *     live count (postings are one row per (doc, term));
+    *   - corpus totals: deleted docs' text arrives from the CHANGE FEED
+    *     (row-level DV deletes), so n_docs/total_len subtract exactly
+    *     the deleted documents' contributions.
+    * The result is row-identical to querying a freshly rebuilt index —
+    * the oracle scores the live corpus from scratch. At 100 TB this is
+    * the merge-on-read story applied to search serving: deletes cost
+    * O(churn) at query time; the periodic index rebuild (compaction's
+    * analog) resets churn to zero.
+    */
+  def bm25TopKTombstoned(postings: DataFrame, stats: DataFrame,
+      deletedDocs: DataFrame): DataFrame = {
+    val del = deletedDocs.select($"doc_id").distinct()
+    val pruned = postings
+      .where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
+        $"term".isin(QueryTerms: _*))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val delTerms = deletedDocs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .where(length($"term") > 0)
+    val delStats = del.agg(count(lit(1)).as("del_docs"))
+      .crossJoin(delTerms.agg(count(lit(1)).as("del_len")))
+    val st = stats.agg(sum($"n_docs").as("n0"), sum($"total_len").as("tl0"))
+      .crossJoin(broadcast(delStats))
+      .select(($"n0" - $"del_docs").as("n_docs"),
+        ($"tl0" - $"del_len").as("total_len"))
+    serveTopK(pruned, st)
+  }
+
+  /** Lake-backed corpus fixture for the tombstone op: v1 commits the
+    * full documents table (ts synthesized deterministically from
+    * doc_id), then a merge-on-read DV delete of doc_id % 7 == 3 — the
+    * index at [[invertedIndex]] stays frozen at the FULL corpus, i.e.
+    * deliberately stale vs the lake head.
+    */
+  def tombstoneLake(s: SparkSession, d: String): String = {
+    val lake = idxDir(d) + "/docs_lake"
+    val marker = new java.io.File(lake, "_graft_fixture_done")
+    if (!marker.exists()) {
+      rmTree(new java.io.File(lake))
+      val df = docs(s, d)
+        .withColumn("ts", ($"doc_id" + lit(1705017600L)).cast("timestamp"))
+      graft.sources.LakeIO.writeLake(df, lake)
+      graft.sources.LakeIO.deleteWhereMoR(s, lake, $"doc_id" % 7 === 3)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    lake
   }
 
   /** Fixed bulk-query workload: the decontamination/eval-mining shape —
@@ -387,6 +454,28 @@ object RetrievalOps {
         bm25TopKFromIndex(postings, stats)
       },
       bm25TopkSql),
+
+    // Stale index + merge-on-read deletes: the lake DV-deleted
+    // doc_id % 7 == 3 after the index froze; the probe anti-joins the
+    // change feed's deleted rows and corrects corpus totals, answering
+    // EXACTLY what a rebuilt index would (oracle scores the live corpus
+    // from scratch).
+    Op("bm25_index_tombstoned",
+      (s, d) => {
+        val lake = tombstoneLake(s, d)
+        val head = org.apache.spark.sql.graft.ManifestFileIndex.claimedVersion(lake)
+        val deleted = graft.sources.LakeIO.readChanges(s, lake, 1, head)
+          .where($"change" === "delete")
+          .select($"doc_id", $"text")
+        val (postings, stats) = invertedIndex(s, d)
+        bm25TopKTombstoned(postings, stats, deleted)
+      },
+      s"""${bm25CteOver("(SELECT * FROM documents WHERE doc_id % 7 <> 3) AS live")}
+         |SELECT doc_id, CAST(sd AS DOUBLE) AS score, rk FROM (
+         |  SELECT doc_id, sd,
+         |         CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin),
 
     // Batched multi-query retrieval from the index (top-3 per query for
     // three 2-term queries) — one probe, per-query bounded heaps.

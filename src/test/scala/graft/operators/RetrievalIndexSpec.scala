@@ -77,6 +77,21 @@ class RetrievalIndexSpec extends AnyFunSuite {
       "bulk ranking must not plan a window")
   }
 
+  test("tombstoned probe == fresh rebuild over the live corpus") {
+    val out = graft.SparkEntry.queries("bm25_index_tombstoned")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getLong(0) % 7 == 3), "deleted docs must never rank")
+    // ground truth: an index REBUILT over the live corpus answers the same
+    val liveDir = java.nio.file.Files.createTempDirectory("graft_live_idx").toString
+    val live = graft.sources.Tables.documents(spark, sf).where($"doc_id" % 7 =!= 3)
+    RetrievalOps.writeIndex(liveDir, live, "overwrite")
+    val rebuilt = RetrievalOps.bm25TopKFromIndex(
+      spark.read.parquet(liveDir + "/postings"),
+      spark.read.parquet(liveDir + "/stats")).collect()
+    assert(out.map(_.toString).toSeq == rebuilt.map(_.toString).toSeq,
+      "stale index + CDF corrections must equal a fresh rebuild")
+  }
+
   test("postings layout is bucket-partitioned with denormalized dl") {
     val (postings, _) = RetrievalOps.invertedIndex(spark, sf)
     assert(postings.columns.sorted.toSeq ==
