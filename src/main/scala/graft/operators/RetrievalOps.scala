@@ -204,7 +204,7 @@ object RetrievalOps {
     * cost is one shuffle (the doc,term groupBy; dl joins back on the
     * same doc_id key before the bucket repartition).
     */
-  private def batchPostings(batch: DataFrame): DataFrame = {
+  def batchPostings(batch: DataFrame): DataFrame = {
     val terms = batch
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
@@ -218,7 +218,7 @@ object RetrievalOps {
     * every document (token-less docs lengthen nothing but still count
     * toward N, matching the corpus-scan oracle's `FROM documents`).
     */
-  private def batchStats(batch: DataFrame): DataFrame = {
+  def batchStats(batch: DataFrame): DataFrame = {
     val terms = batch
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
