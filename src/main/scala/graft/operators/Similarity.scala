@@ -591,6 +591,28 @@ object Similarity {
       pqEncode(emb(s, d), annCodebook(s, d))
         .join(annCells(s, d), Seq("vec_id")))
 
+  /** Lake-backed embeddings fixture for the tombstone op: v1 commits the
+    * full embeddings table (ts synthesized from vec_id), then a
+    * merge-on-read DV delete of vec_id % 7 == 3 — the frozen ANN
+    * artifacts stay deliberately stale vs the lake head.
+    */
+  def annTombstoneLake(s: SparkSession, d: String): String = {
+    val lake = annDir(d) + "/emb_lake"
+    val marker = new java.io.File(lake, "_graft_fixture_done")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(lake))
+      val df = emb(s, d)
+        .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
+      graft.sources.LakeIO.writeLake(df, lake)
+      graft.sources.LakeIO.deleteWhereMoR(s, lake, $"vec_id" % 7 === 3)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    lake
+  }
+
   /** Frozen IVF cell assignment (vec_id → cell) of `d`. */
   def annCells(s: SparkSession, d: String): DataFrame =
     ensureCorpusArtifact(s, annDir(d) + "/cells")(
@@ -690,7 +712,8 @@ object Similarity {
     * cell from the index and ships floats only for probed cells).
     */
   def ivfTopKOverCells(embDf: DataFrame, centroids: DataFrame,
-      cells: DataFrame, numQueries: Int, k: Int, nprobe: Int = 2): DataFrame = {
+      cells: DataFrame, numQueries: Int, k: Int, nprobe: Int = 2,
+      excluded: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(centroids
       .groupBy($"cluster").agg(
@@ -707,7 +730,14 @@ object Similarity {
       .where($"rk" <= nprobe)
       .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
         $"c_id".as("cell")))
-    q.join(v.join(cells, Seq("vec_id")), Seq("cell"))
+    // tombstones: the CANDIDATE side drops churn-sized deleted ids
+    // (broadcast anti-join); queries, centroids and the cells artifact
+    // stay frozen/full — the stale-index-fresh-membership contract
+    val corpus0 = v.join(cells, Seq("vec_id"))
+    val corpus = excluded.fold(corpus0)(ex =>
+      corpus0.join(broadcast(ex.select($"vec_id").distinct()),
+        Seq("vec_id"), "left_anti"))
+    q.join(corpus, Seq("cell"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"cell", $"vec_id",
         round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
@@ -865,7 +895,12 @@ object Similarity {
     * `similarity_ivf_trained` (full build) and `similarity_ivf_append`
     * (incremental build): the two must be row-identical by construction.
     */
-  private lazy val ivfTrainedSql: String =
+  /** Trained-IVF oracle, with an optional extra CANDIDATE-side predicate
+    * (`extra` is ANDed into the probe join — the tombstoned variant
+    * excludes deleted corpus vectors there while training/assignment
+    * stay over the FULL corpus, exactly like the frozen index).
+    */
+  private def ivfTrainedSqlWhere(extra: String): String =
     s"""$kmeansSqlCte,
        |scored AS (SELECT n.vec_id, n.e, n.nrm, c.c_id,
        |             row_number() OVER (PARTITION BY n.vec_id
@@ -876,11 +911,13 @@ object Similarity {
        |      FROM scored WHERE vec_id < 5 AND rk <= 2),
        |p2 AS (SELECT q_id, q.cell AS cell, c.vec_id AS vec_id,
        |         round(${dd("qe", "c.e")}/(qn*c.nrm), 6) AS cos
-       |       FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.q_id)
+       |       FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.q_id$extra)
        |SELECT q_id, cell, vec_id, cos, rn FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
        |  FROM p2)
        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  private lazy val ivfTrainedSql: String = ivfTrainedSqlWhere("")
 
   /** Lloyd's k-means UNROLLED to its fixed iteration count (k=8, iters=2
     * — [[annCentroids]]): because assignment ties break on c_id, means
@@ -1079,6 +1116,23 @@ object Similarity {
       (s, d) => ivfTopKOverCells(emb(s, d), annCentroids(s, d),
         incrementalCells(s, d), numQueries = 5, k = 10),
       ivfTrainedSql),
+
+    // MERGE-ON-READ deletes composed with the frozen dense index: the
+    // embeddings live in a lake that DV-deleted vec_id % 7 == 3 AFTER
+    // the index froze; the probe anti-joins the change feed's deleted
+    // ids on the candidate side only (centroids/cells stay stale) —
+    // the dense sibling of bm25_index_tombstoned. Oracle: the full
+    // trained-IVF SQL with the live-candidate predicate.
+    Op("similarity_ivf_tombstoned",
+      (s, d) => {
+        val lake = annTombstoneLake(s, d)
+        val head = org.apache.spark.sql.graft.ManifestFileIndex.claimedVersion(lake)
+        val deleted = graft.sources.LakeIO.readChanges(s, lake, 1, head)
+          .where($"change" === "delete").select($"vec_id")
+        ivfTopKOverCells(emb(s, d), annCentroids(s, d), annCells(s, d),
+          numQueries = 5, k = 10, excluded = Some(deleted))
+      },
+      ivfTrainedSqlWhere(" AND c.vec_id % 7 <> 3")),
     // The PQ BUILD step (frozen per-subspace codebook artifact); oracle =
     // the unrolled per-subspace k-means.
     Op("pq_train", (s, d) => annCodebook(s, d),
