@@ -101,16 +101,17 @@ object RetrievalOps {
   /** [[bm25Scored]] over an arbitrary (doc_id, text) corpus — the public
     * seam the scale harness drives at 1M docs.
     */
-  def bm25ScoredOn(corpus: DataFrame): DataFrame = {
+  def bm25ScoredOn(corpus: DataFrame,
+      query: Seq[String] = QueryTerms): DataFrame = {
     val terms = corpus
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
-    val tf = terms.where($"term".isin(QueryTerms: _*))
+    val tf = terms.where($"term".isin(query: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val df = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
-      .where($"term".isin(QueryTerms: _*))
+      .where($"term".isin(query: _*))
     val n  = corpus.agg(count(lit(1)).as("n_docs"))
     val tl = terms.agg(count(lit(1)).as("total_len"))
 
