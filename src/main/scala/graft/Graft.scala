@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.operators.{CorpusOps, Dedup, Similarity, TemporalJoins, TextOps}
+import graft.operators.{CorpusOps, CurationOps, Dedup, RetrievalOps, Similarity, TemporalJoins, TextOps}
 import graft.plans.HourPartitionPruning
 import graft.sources.LakeIO
 import graft.streaming.{StreamingDedup, WeatherPipeline}
@@ -336,6 +336,40 @@ object Graft {
     def winnowSketch(text: Column): Column = TextOps.winnowSketch(text)
     /** English stopword list used by the language-ID heuristic. */
     def stopwords: Seq[String] = TextOps.Stopwords
+  }
+
+  object retrieval {
+    /** Build (or append a batch to) the bucketed inverted-index layout
+      * at `dir`: postings partitioned by term-hash bucket (dl
+      * denormalized per posting) + one corpus-stats row per batch.
+      */
+    def buildIndex(dir: String, corpus: DataFrame,
+        mode: String = "overwrite"): Unit =
+      RetrievalOps.writeIndex(dir, corpus, mode)
+    /** BM25 top-10 for the engine's fixed query, served from an index. */
+    def bm25TopK(postings: DataFrame, stats: DataFrame): DataFrame =
+      RetrievalOps.bm25TopKFromIndex(postings, stats)
+    /** K queries in ONE pruned probe, a bounded heap per query. */
+    def bm25Bulk(postings: DataFrame, stats: DataFrame,
+        queries: Seq[(Long, Seq[String])], k: Int = 10): DataFrame =
+      RetrievalOps.bm25BulkFromIndex(postings, stats, queries, k)
+    /** Exact live-corpus BM25 from a STALE index + churn-sized
+      * tombstones (`deletedDocs`: the change feed's deleted rows,
+      * doc_id + text).
+      */
+    def bm25Tombstoned(postings: DataFrame, stats: DataFrame,
+        deletedDocs: DataFrame): DataFrame =
+      RetrievalOps.bm25TopKTombstoned(postings, stats, deletedDocs)
+    /** DSIR-style importance top-k of a (doc_id, lang, text) corpus
+      * against the target domain; `portableHash=false` swaps the
+      * oracle-portable md5 buckets for xxhash64 (2.6× at 1M docs).
+      */
+    def importanceTopK(corpus: DataFrame, k: Int = 100,
+        portableHash: Boolean = true): DataFrame =
+      CurationOps.importanceTopK(corpus, k, portableHash)
+    /** Streaming index maintenance (exactly-once micro-batch appends). */
+    def streamingPostings: graft.streaming.StreamingPostings.type =
+      graft.streaming.StreamingPostings
   }
 
   object temporal {

@@ -104,6 +104,15 @@ object LakeIO {
           new java.io.File(root, d.getName).toPath)
       }
     rmDir(stage)
+    // re-mark the root committed: a direct spark write used to leave
+    // `_SUCCESS` here and the write-once fixture guards (ensureLake and
+    // friends) key on it — the staged swap's own `_SUCCESS` lives in the
+    // stage root and never moves, so omitting this line made every
+    // marker-guarded fixture rebuild on EVERY access (caught as a
+    // ~100× bench regression on all ensureLake-backed queries)
+    java.nio.file.Files.write(new java.io.File(root, "_SUCCESS").toPath,
+      Array.empty[Byte])
+    ()
   }
 
   /** Write `df` DAY-partitioned (hidden day(ts)) — the coarse layout a

@@ -13,6 +13,23 @@ class LakeIOSpec extends AnyFunSuite {
 
   private lazy val path = LakeIO.ensureLake(spark, sf)
 
+  test("writeLake re-marks the root: ensureLake is write-once, not write-always") {
+    // regression: the staged-swap replace deleted the root _SUCCESS and
+    // never recreated it (the stage's own marker never moves), so every
+    // marker-guarded fixture rebuilt on EVERY access — a ~100× bench
+    // regression on every ensureLake-backed query, invisible to
+    // correctness because rebuilds are deterministic
+    val root = java.nio.file.Files.createTempDirectory("graft_once").toString + "/events"
+    LakeIO.writeLake(Tables.events(spark, sf).limit(50), root)
+    assert(new java.io.File(root, "_SUCCESS").exists(),
+      "writeLake must leave the committed-root marker")
+    val head = org.apache.spark.sql.graft.ManifestFileIndex.claimedVersion(root)
+    // an ensureLake-style guard now skips the rewrite: version must hold
+    if (!new java.io.File(root + "/_SUCCESS").exists())
+      LakeIO.writeLake(Tables.events(spark, sf).limit(50), root)
+    assert(org.apache.spark.sql.graft.ManifestFileIndex.claimedVersion(root) == head)
+  }
+
   test("pruned scan equals full scan + ts filter") {
     val pruned = LakeIO.prunedScan(spark, path,
       "2024-01-05 00:00:00", "2024-01-06 00:00:00")
