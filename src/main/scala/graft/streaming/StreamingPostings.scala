@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.RetrievalOps
+import graft.syntax._
 
 /** STREAMING inverted-index maintenance — [[StreamingAnn]]'s sibling for
   * sparse retrieval: document micro-batches arrive on a stream, each
@@ -52,7 +53,68 @@ object StreamingPostings {
        .withColumn("bucket", col("bucket").cast("int")),
      BatchLedgerIndex.read(s, indexDir, Stats))
 
-  /** Compact both layouts (maintenance, stream STOPPED). */
+  /** Compact all layouts (maintenance, stream STOPPED). Tombstone rows
+    * survive compaction — they are only retired by an explicit index
+    * rebuild over the live corpus (the generation-reset event).
+    */
   def compactIndex(s: SparkSession, indexDir: String): (Int, Int) =
-    BatchLedgerIndex.compact(s, indexDir, Ledger, Seq(Postings, Stats))
+    BatchLedgerIndex.compact(s, indexDir, Ledger,
+      Seq(Postings, Stats, Tombstones))
+
+  private val Tombstones = BatchLedgerIndex.Layout("tombstones", None)
+
+  /** The index FOLLOWS THE LAKE: one maintenance stream over the lake's
+    * change feed (`readStream.format("graft-lake-cdf")`) keeps the index
+    * consistent with every kind of table mutation —
+    *   - net in-batch insert/delete pairs FIRST (a catch-up micro-batch
+    *    unions several commits' diffs; a doc inserted and deleted inside
+    *    the window must touch nothing — the StreamingMv netting rule);
+    *   - surviving inserts append postings + a stats row;
+    *   - surviving deletes append churn-sized TOMBSTONE rows (doc_id +
+    *     text — the text carries the token mass the serving-side stats
+    *     correction needs);
+    * all three layouts under ONE ledger line (exactly-once per batch).
+    * Serving ([[bm25TopK]]) anti-joins the tombstones and corrects
+    * corpus totals — row-identical to an index rebuilt over the live
+    * table at every batch boundary (StreamingPostingsSpec pins it).
+    * Tombstones accrue O(churn); the periodic rebuild resets them.
+    */
+  def followLake(changes: DataFrame, indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docCols = batch.columns
+          .filterNot(Set("change", "_commit_version")).map(col).toSeq
+        val net = batch
+          .withColumn("__w", when($"change" === "insert", 1L).otherwise(-1L))
+          .groupBy(docCols: _*).agg(sum($"__w").as("__net"))
+        val ins = net.where($"__net" > 0L).select($"doc_id", $"text")
+        val del = net.where($"__net" < 0L).select($"doc_id", $"text")
+        BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
+          Postings -> RetrievalOps.batchPostings(ins),
+          Stats -> RetrievalOps.batchStats(ins),
+          Tombstones -> del), id)
+      }
+      .start()
+
+  /** Live tombstone rows (empty-schema-safe before any delete). */
+  def readTombstones(s: SparkSession, indexDir: String): DataFrame = {
+    val base = new java.io.File(indexDir, "tombstones")
+    if (!base.isDirectory ||
+        !base.listFiles().exists(_.getName.endsWith(".parquet"))) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+    } else BatchLedgerIndex.read(s, indexDir, Tombstones)
+  }
+
+  /** Serve BM25 top-10 from the lake-following index: frozen postings,
+    * summed stats, tombstones applied at probe time.
+    */
+  def bm25TopK(s: SparkSession, indexDir: String): DataFrame = {
+    val (p, st) = readIndex(s, indexDir)
+    RetrievalOps.bm25TopKTombstoned(p, st, readTombstones(s, indexDir))
+  }
 }

@@ -76,4 +76,38 @@ class StreamingPostingsSpec extends AnyFunSuite {
     StreamingPostings.indexBatch(dir)(all.limit(3), batchId = 1L)
     assert(served(dir) == full)
   }
+
+  test("followLake: the index tracks lake inserts AND MoR deletes via the CDF") {
+    val base = "/tmp/graft_lake_test/stream_postings_follow"
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+
+    val all = Tables.documents(spark, sf)
+      .withColumn("ts", ($"doc_id" + lit(1705017600L)).cast("timestamp"))
+    graft.sources.LakeIO.writeLake(all.where($"doc_id" < 400), lake)
+
+    val q = StreamingPostings.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), dir, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // boundary 1: index == rebuild over the lake's current rows
+      assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+        == rebuiltOver(Tables.documents(spark, sf).where($"doc_id" < 400)))
+
+      // append more docs + MoR-delete some indexed ones
+      graft.sources.LakeIO.evolveAppend(all.where($"doc_id" >= 400), lake)
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"doc_id" % 7 === 3)
+      q.processAllAvailable()
+
+      val live = Tables.documents(spark, sf).where($"doc_id" % 7 =!= 3)
+      assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+        == rebuiltOver(live),
+        "served answer must equal a rebuild over the live table")
+      // deletes landed as churn-sized tombstones, not a rewrite
+      val tombs = StreamingPostings.readTombstones(spark, dir)
+      assert(tombs.count() > 0)
+      assert(!tombs.collect().exists(_.getLong(0) % 7 != 3))
+    } finally q.stop()
+  }
 }
