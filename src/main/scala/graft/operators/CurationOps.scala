@@ -42,28 +42,26 @@ object CurationOps {
       .select($"doc_id", $"lang", bucket.as("b"))
     // ONE pass over the exploded corpus builds both distributions (raw
     // count + target count per bucket, map-side-combined into ≤256
-    // keys); the rows come to the DRIVER (metadata-sized, the LR-trainer
-    // collect pattern) so corpus totals and the ratio table derive
-    // locally — referencing the bucket aggregate from two plan branches
-    // re-ran its corpus explode (no exchange reuse across the
-    // tot/ratios branches; measured at 1M docs). Total corpus passes: 2
-    // (distributions + scoring), the information-theoretic floor.
-    val bucketsAgg = t.groupBy($"b").agg(
+    // keys); the aggregate is PERSISTED so the totals branch and the
+    // ratio branch both read the 256 cached rows — referencing it
+    // unpersisted re-ran the corpus explode per branch (no exchange
+    // reuse across branches; measured at 1M docs), and an eager
+    // collect() would break the no-collect-in-query-paths rule (the
+    // plan must stay lazy until the caller acts). Total corpus passes:
+    // 2 (distributions + scoring), the information-theoretic floor.
+    // CACHE LIFETIME: same documented contract as hybrid_rrf's fused
+    // persist — ≤256 rows live until spark.catalog.clearCache().
+    val buckets = t.groupBy($"b").agg(
       count(lit(1)).as("cr"),
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
-    val bucketRows = bucketsAgg.collect()
-    val tr = bucketRows.map(_.getLong(1)).sum
-    val tt = bucketRows.map(_.getLong(2)).sum
-    val s = corpus.sparkSession
-    val local = s.createDataFrame(
-      java.util.Arrays.asList(bucketRows: _*), bucketsAgg.schema)
-    // (tr + 256.0) folds on the driver — one IEEE add, bit-identical to
-    // the executor-side column form the oracle mirrors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = buckets.agg(sum($"cr").as("tr"), sum($"ct").as("tt"))
     val ratio = round(
-      (($"ct" + lit(1.0)) * lit(tr + 256.0)) /
-        (($"cr" + lit(1.0)) * lit(tt + 256.0)), 6)
+      (($"ct" + lit(1.0)) * ($"tr" + lit(256.0))) /
+        (($"cr" + lit(1.0)) * ($"tt" + lit(256.0))), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    val ratios = local.select($"b", ratio.as("ratio"))
+    val ratios = buckets.crossJoin(broadcast(tot))
+      .select($"b", ratio.as("ratio"))
     // Per-token contribution is (ratio − 1), NOT the raw ratio: DSIR
     // sums log-ratios, which are ZERO-CENTERED — a token from a
     // domain-neutral bucket (ratio ≈ 1) must contribute ≈ 0, or the

@@ -183,9 +183,8 @@ object RetrievalOps {
   private def idxDir(d: String): String =
     "/tmp/graft_lake/v1_bm25idx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
-  }
+  private def rmTree(f: java.io.File): Unit =
+    graft.sources.LakeIO.rmDir(f.getPath)
 
   /** Driver-side image of `pmod(xxhash64(term), IndexBuckets)` — the
     * probe needs the query terms' buckets as plan-time LITERALS so the
@@ -215,22 +214,29 @@ object RetrievalOps {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(IndexBuckets.toLong)).cast("int"))
   }
 
-  /** One batch's corpus-stats row: (n_docs, total_len). n_docs counts
-    * every document (token-less docs lengthen nothing but still count
-    * toward N, matching the corpus-scan oracle's `FROM documents`).
+  /** One batch's corpus-stats row: (n_docs, total_len), derived FROM the
+    * already-aggregated postings (total_len ≡ Σ tf — re-tokenizing the
+    * batch for two numbers doubled the dominant cost of every index
+    * build). n_docs counts every document of the batch (token-less docs
+    * lengthen nothing but still count toward N, matching the corpus-scan
+    * oracle's `FROM documents`); the batch side is a count-only scan,
+    * never a second explode. Callers persist `postings` so this agg and
+    * the postings write share one tokenize pass.
     */
-  def batchStats(batch: DataFrame): DataFrame = {
-    val terms = batch
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-      .where(length($"term") > 0)
+  def batchStatsFrom(batch: DataFrame, postings: DataFrame): DataFrame =
     batch.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(terms.agg(count(lit(1)).as("total_len")))
-  }
+      .crossJoin(postings.agg(
+        coalesce(sum($"tf"), lit(0L)).as("total_len")))
 
   def writeIndex(dir: String, batch: DataFrame, mode: String): Unit = {
-    batchPostings(batch).repartition(col("bucket"))
-      .write.partitionBy("bucket").mode(mode).parquet(dir + "/postings")
-    batchStats(batch).coalesce(1).write.mode(mode).parquet(dir + "/stats")
+    val p = batchPostings(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(mode).parquet(dir + "/postings")
+      batchStatsFrom(batch, p).coalesce(1)
+        .write.mode(mode).parquet(dir + "/stats")
+    } finally { p.unpersist(); () }
   }
 
   /** Frozen full-corpus inverted index of `d` (marker-guarded write-once,
@@ -331,6 +337,39 @@ object RetrievalOps {
       .select(($"n0" - $"del_docs").as("n_docs"),
         ($"tl0" - $"del_len").as("total_len"))
     serveTopK(pruned, st)
+  }
+
+  /** GENERATION-aware tombstoned serving — the form the lake-following
+    * stream needs ([[graft.streaming.StreamingPostings.followLake]]):
+    * postings and tombstones both carry a `gen` column (the ledger batch
+    * id), and a tombstone kills ONLY postings of EARLIER generations —
+    * an UPDATED or RE-INSERTED document (CDF delete(old) + insert(new):
+    * tombstone and fresh postings land with the same gen, or the
+    * re-insert lands later) keeps its newest postings, where a bare
+    * doc_id anti-join would suppress them forever. Corpus totals: every
+    * insert batch added its stats row and every tombstone subtracts the
+    * token mass its CDF delete row captured (the OLD text) — each event
+    * counted once, no distinct, so totals equal the live table's.
+    */
+  def bm25TopKTombstonedGen(postings: DataFrame, stats: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val pruned0 = postings
+      .where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
+        $"term".isin(QueryTerms: _*))
+    val t = tombstones.select($"doc_id".as("t_doc"), $"gen".as("t_gen"))
+    val pruned = pruned0.join(broadcast(t),
+      pruned0("doc_id") === t("t_doc") && pruned0("gen") < t("t_gen"),
+      "left_anti")
+    val delTerms = tombstones
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .where(length($"term") > 0)
+    val delStats = tombstones.agg(count(lit(1)).as("del_docs"))
+      .crossJoin(delTerms.agg(count(lit(1)).as("del_len")))
+    val st = stats.agg(sum($"n_docs").as("n0"), sum($"total_len").as("tl0"))
+      .crossJoin(broadcast(delStats))
+      .select(($"n0" - $"del_docs").as("n_docs"),
+        ($"tl0" - $"del_len").as("total_len"))
+    serveTopK(pruned.drop("gen"), st)
   }
 
   /** Lake-backed corpus fixture for the tombstone op: v1 commits the

@@ -600,10 +600,7 @@ object Similarity {
     val lake = annDir(d) + "/emb_lake"
     val marker = new java.io.File(lake, "_graft_fixture_done")
     if (!marker.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(lake))
+      graft.sources.LakeIO.rmDir(lake)
       val df = emb(s, d)
         .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
       graft.sources.LakeIO.writeLake(df, lake)
@@ -658,10 +655,7 @@ object Similarity {
     val path = annDir(d) + "/cells_incr"
     val marker = new java.io.File(path, "_graft_incr_done")
     if (!marker.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(path))
+      graft.sources.LakeIO.rmDir(path)
       val cents = annCentroids(s, d)
       ivfAssign(emb(s, d).where($"vec_id" % 5 =!= 0), cents)
         .repartition(col("cell"))
@@ -686,10 +680,7 @@ object Similarity {
     val path = annDir(d) + "/codes_incr"
     val marker = new java.io.File(path, "_graft_incr_done")
     if (!marker.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(path))
+      graft.sources.LakeIO.rmDir(path)
       val cents = annCentroids(s, d)
       val book = annCodebook(s, d)
       def batchCodes(batch: DataFrame): DataFrame =

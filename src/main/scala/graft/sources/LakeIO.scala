@@ -37,6 +37,7 @@ object LakeIO {
     val withHour = hourPartitioned(df)
     replaceViaStage(path, "ts_hour", withHour, "writeLake")
     commitMetadata(path, withHour.schema)
+    markCommitted(path)
   }
 
   /** Full replace through a stage directory. Two contracts a naive
@@ -104,13 +105,22 @@ object LakeIO {
           new java.io.File(root, d.getName).toPath)
       }
     rmDir(stage)
-    // re-mark the root committed: a direct spark write used to leave
-    // `_SUCCESS` here and the write-once fixture guards (ensureLake and
-    // friends) key on it — the staged swap's own `_SUCCESS` lives in the
-    // stage root and never moves, so omitting this line made every
-    // marker-guarded fixture rebuild on EVERY access (caught as a
-    // ~100× bench regression on all ensureLake-backed queries)
-    java.nio.file.Files.write(new java.io.File(root, "_SUCCESS").toPath,
+  }
+
+  /** Re-mark a replaced root committed: a direct spark write used to
+    * leave `_SUCCESS` at the root and the write-once fixture guards
+    * (ensureLake and friends) key on it — the staged swap's own
+    * `_SUCCESS` lives in the stage root and never moves, so omitting
+    * this made every marker-guarded fixture rebuild on EVERY access
+    * (caught as a ~100× bench regression on all ensureLake-backed
+    * queries). Written AFTER the metadata commit, never inside
+    * [[replaceViaStage]]: the swap deletes the old manifest, so a crash
+    * between swap and commit must leave the root UNMARKED (the guard
+    * then rebuilds and self-heals) rather than marked-but-manifestless
+    * (every V2 read fails until manual cleanup).
+    */
+  private def markCommitted(path: String): Unit = {
+    java.nio.file.Files.write(new java.io.File(path, "_SUCCESS").toPath,
       Array.empty[Byte])
     ()
   }
@@ -124,6 +134,7 @@ object LakeIO {
     replaceViaStage(path, "ts_day", withDay, "writeLakeDay")
     writeSchemaFile(path, withDay.schema)
     org.apache.spark.sql.graft.ManifestFileIndex.commit(path, "ts_day")
+    markCommitted(path)
   }
 
   /** Write with data-quality EXPECTATIONS — the ingestion gate a training
@@ -2290,7 +2301,10 @@ object LakeIO {
     ()
   }
 
-  private def rmDir(path: String): Unit = {
+  /** Recursive delete — the ONE shared implementation (fixture resets,
+    * stage cleanup, ledgered-index orphan sweeps all route here).
+    */
+  private[graft] def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }

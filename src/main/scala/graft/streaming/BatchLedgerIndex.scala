@@ -67,9 +67,8 @@ object BatchLedgerIndex {
     ()
   }
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-  }
+  private def rm(f: java.io.File): Unit =
+    graft.sources.LakeIO.rmDir(f.getPath)
 
   /** The layout's data directories: its `partCol=` dirs, or (flat) just
     * its base.
@@ -122,6 +121,7 @@ object BatchLedgerIndex {
     */
   def appendBatch(indexDir: String, ledgerName: String,
       parts: Seq[(Layout, DataFrame)], batchId: Long): Unit = {
+    recoverCompaction(indexDir, parts.map(_._1))
     if (committedBatches(indexDir, ledgerName).contains(batchId)) return
     val prefix = s"b$batchId-"
     parts.foreach { case (l, _) =>
@@ -146,12 +146,54 @@ object BatchLedgerIndex {
   def read(s: SparkSession, indexDir: String, l: Layout): DataFrame =
     s.read.parquet(l.base(indexDir).toString)
 
+  private def markerFile(indexDir: String) =
+    new java.io.File(indexDir, "_graft_compacting")
+
+  private def writeMarker(indexDir: String, content: String): Unit = {
+    val tmp = new java.io.File(indexDir, "._graft_compacting.tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+    tmp.renameTo(markerFile(indexDir))
+    ()
+  }
+
+  private def relOf(indexDir: String, f: java.io.File): String =
+    f.getAbsolutePath.stripPrefix(
+      new java.io.File(indexDir).getAbsolutePath + "/")
+
+  /** Recover a crashed compaction before touching the index. The marker
+    * is two-phase: phase 1 (`gen:<g>` alone) means the crash happened
+    * while the `c<g>-` generation was moving in — ROLL BACK by deleting
+    * that generation's files (the folded originals are all still live).
+    * Phase 2 (`gen:<g>` + the originals' relative paths) means the
+    * generation is fully in and the originals were being deleted — ROLL
+    * FORWARD by finishing those deletes. Either way the index holds
+    * exactly one copy of every row afterwards; without this, a crash
+    * between move-in and original-delete left BOTH copies live and the
+    * next fold made the duplication permanent (doubled tf/df for
+    * postings, doubled candidates for ANN cells).
+    */
+  private def recoverCompaction(indexDir: String, layouts: Seq[Layout]): Unit = {
+    val m = markerFile(indexDir)
+    if (!m.exists()) return
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq
+    val gen = lines.head.stripPrefix("gen:")
+    val olds = lines.drop(1).filter(_.nonEmpty)
+    if (olds.nonEmpty) olds.foreach { r =>
+      new java.io.File(indexDir, r).delete(); ()
+    }
+    else layouts.foreach(l => sweep(indexDir, l)(_.startsWith(s"c$gen-")))
+    m.delete()
+    ()
+  }
+
   /** Compact every layout to ~one `c<gen>-` generation file per
     * partition dir. Maintenance contract: stream STOPPED. Returns
     * (filesBefore, filesAfter) summed over layouts.
     */
   def compact(s: SparkSession, indexDir: String, ledgerName: String,
       layouts: Seq[Layout]): (Int, Int) = {
+    recoverCompaction(indexDir, layouts)
     val committed = committedBatches(indexDir, ledgerName)
     // orphans of UNCOMMITTED batches first: folded orphans become
     // permanent and double when their batch legitimately replays
@@ -163,23 +205,30 @@ object BatchLedgerIndex {
     val before = layouts.map(l => dataFiles(indexDir, l)).reduce(_ ++ _)
     if (before.isEmpty) return (0, 0)
     val gen = System.currentTimeMillis()
-    layouts.foreach { l =>
-      if (dataFiles(indexDir, l).nonEmpty) {
+    // stage EVERY layout first — stage writes read only original files
+    val staged: Seq[(Layout, String)] = layouts.flatMap { l =>
+      if (dataFiles(indexDir, l).isEmpty) None
+      else {
         val stage = indexDir + s"_compact_${l.sub.replace('/', '_')}_$gen"
         val rows = read(s, indexDir, l)
         (l.partCol match {
           case Some(pc) => rows.repartition(col(pc)).write.partitionBy(pc)
           case None     => rows.coalesce(1).write
         }).mode("overwrite").parquet(stage)
-        val olds = dataFiles(indexDir, l)
-        moveIn(stage, indexDir, l, s"c$gen-")
-        rm(new java.io.File(stage))
-        // delete folded originals AFTER the generation is visible — a
-        // crash between the two leaves duplicates (detectable by the
-        // c<gen>- prefix), never loss; the maintenance re-run folds them
-        olds.foreach(_.delete())
+        Some(l -> stage)
       }
     }
+    val olds = staged.flatMap { case (l, _) => dataFiles(indexDir, l) }
+    writeMarker(indexDir, s"gen:$gen") // phase 1: crash ⇒ roll back c<gen>-
+    staged.foreach { case (l, stage) =>
+      moveIn(stage, indexDir, l, s"c$gen-")
+      rm(new java.io.File(stage))
+    }
+    // phase 2: generation fully in — crash ⇒ roll forward (finish deletes)
+    writeMarker(indexDir,
+      (s"gen:$gen" +: olds.map(relOf(indexDir, _))).mkString("\n"))
+    olds.foreach(_.delete())
+    markerFile(indexDir).delete()
     // watermark line: committed ids stay recorded so their replays
     // remain no-ops (their rows now live in the c<gen>- generation)
     recordBatch(indexDir, ledgerName, -1L * gen)

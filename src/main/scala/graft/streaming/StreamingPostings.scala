@@ -27,12 +27,19 @@ object StreamingPostings {
   private val Stats = BatchLedgerIndex.Layout("stats", None)
 
   /** Append one document micro-batch (`doc_id`, `text`) to the index at
-    * `indexDir`, idempotently under batch-id replay.
+    * `indexDir`, idempotently under batch-id replay. Layout order is
+    * STATS FIRST: a reader racing the stream then at worst sees totals
+    * for postings not yet visible (matches understate), never matched
+    * postings scored against last-batch totals.
     */
-  def indexBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit =
-    BatchLedgerIndex.appendBatch(indexDir, Ledger,
-      Seq(Postings -> RetrievalOps.batchPostings(batch),
-        Stats -> RetrievalOps.batchStats(batch)), batchId)
+  def indexBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val p = RetrievalOps.batchPostings(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try BatchLedgerIndex.appendBatch(indexDir, Ledger,
+      Seq(Stats -> RetrievalOps.batchStatsFrom(batch, p),
+        Postings -> p), batchId)
+    finally { p.unpersist(); () }
+  }
 
   /** Run the maintenance stream over a streaming (doc_id, text) frame. */
   def start(stream: DataFrame, indexDir: String,
@@ -69,15 +76,25 @@ object StreamingPostings {
     *   - net in-batch insert/delete pairs FIRST (a catch-up micro-batch
     *    unions several commits' diffs; a doc inserted and deleted inside
     *    the window must touch nothing — the StreamingMv netting rule);
-    *   - surviving inserts append postings + a stats row;
+    *   - surviving inserts append postings (stamped with the batch id as
+    *     their GENERATION) + a stats row;
     *   - surviving deletes append churn-sized TOMBSTONE rows (doc_id +
-    *     text — the text carries the token mass the serving-side stats
-    *     correction needs);
-    * all three layouts under ONE ledger line (exactly-once per batch).
-    * Serving ([[bm25TopK]]) anti-joins the tombstones and corrects
-    * corpus totals — row-identical to an index rebuilt over the live
-    * table at every batch boundary (StreamingPostingsSpec pins it).
+    *     text + generation — the text carries the token mass the
+    *     serving-side stats correction needs);
+    * all three layouts under ONE ledger line (exactly-once per batch),
+    * stats and tombstones moving in BEFORE postings so a racing reader
+    * at worst understates matches. Serving ([[bm25TopK]]) applies
+    * tombstones GENERATION-AWARE (a tombstone kills only earlier-gen
+    * postings, so UPDATEs — CDF delete(old)+insert(new) — and
+    * re-inserts keep their newest postings) — row-identical to an index
+    * rebuilt over the live table at every batch boundary
+    * (StreamingPostingsSpec pins append, MoR delete AND MoR update).
     * Tombstones accrue O(churn); the periodic rebuild resets them.
+    *
+    * CONTRACT: `doc_id` is a key of the followed table's live state
+    * (every retrieval op assumes it — tie-breaks, dedup). Bag
+    * multiplicities beyond the in-batch insert/delete netting are not
+    * reconstructed.
     */
   def followLake(changes: DataFrame, indexDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -90,11 +107,16 @@ object StreamingPostings {
           .withColumn("__w", when($"change" === "insert", 1L).otherwise(-1L))
           .groupBy(docCols: _*).agg(sum($"__w").as("__net"))
         val ins = net.where($"__net" > 0L).select($"doc_id", $"text")
-        val del = net.where($"__net" < 0L).select($"doc_id", $"text")
-        BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
-          Postings -> RetrievalOps.batchPostings(ins),
-          Stats -> RetrievalOps.batchStats(ins),
-          Tombstones -> del), id)
+        val del = net.where($"__net" < 0L)
+          .select($"doc_id", $"text", lit(id).as("gen"))
+        val p = RetrievalOps.batchPostings(ins)
+          .withColumn("gen", lit(id))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
+          Stats -> RetrievalOps.batchStatsFrom(ins, p),
+          Tombstones -> del,
+          Postings -> p), id)
+        finally { p.unpersist(); () }
       }
       .start()
 
@@ -106,15 +128,19 @@ object StreamingPostings {
       import org.apache.spark.sql.types._
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType))))
+          StructField("text", StringType), StructField("gen", LongType))))
     } else BatchLedgerIndex.read(s, indexDir, Tombstones)
   }
 
   /** Serve BM25 top-10 from the lake-following index: frozen postings,
-    * summed stats, tombstones applied at probe time.
+    * summed stats, generation-aware tombstones applied at probe time.
+    * (An [[indexBatch]]-maintained dir has no gen column and no
+    * tombstones — it serves through the plain probe.)
     */
   def bm25TopK(s: SparkSession, indexDir: String): DataFrame = {
     val (p, st) = readIndex(s, indexDir)
-    RetrievalOps.bm25TopKTombstoned(p, st, readTombstones(s, indexDir))
+    if (p.columns.contains("gen"))
+      RetrievalOps.bm25TopKTombstonedGen(p, st, readTombstones(s, indexDir))
+    else RetrievalOps.bm25TopKFromIndex(p, st)
   }
 }

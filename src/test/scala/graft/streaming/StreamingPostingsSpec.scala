@@ -108,6 +108,62 @@ class StreamingPostingsSpec extends AnyFunSuite {
       val tombs = StreamingPostings.readTombstones(spark, dir)
       assert(tombs.count() > 0)
       assert(!tombs.collect().exists(_.getLong(0) % 7 != 3))
+
+      // MoR UPDATE = CDF delete(old)+insert(new): the doc's tombstone
+      // must kill only its OLDER postings — generation-aware serving;
+      // a bare doc_id anti-join would vanish updated docs forever
+      graft.sources.LakeIO.updateWhereMoR(spark, lake,
+        $"doc_id" % 11 === 5,
+        Seq("text" -> concat($"text", lit(" zzznew"))))
+      q.processAllAvailable()
+      val liveUpdated = live.withColumn("text",
+        when($"doc_id" % 11 === 5, concat($"text", lit(" zzznew")))
+          .otherwise($"text"))
+      assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+        == rebuiltOver(liveUpdated),
+        "updated docs must serve their NEW postings")
     } finally q.stop()
+  }
+
+  test("compaction crash recovery: phase-1 rolls back, phase-2 rolls forward") {
+    val dir = "/tmp/graft_lake_test/stream_postings_recover/index"
+    rm(new java.io.File(dir).getParentFile)
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    (0 until 2).foreach { b =>
+      StreamingPostings.indexBatch(dir)(
+        all.where($"doc_id" % 2 === b), batchId = b.toLong)
+    }
+    val full = served(dir)
+    val (bef, aft) = StreamingPostings.compactIndex(spark, dir)
+    assert(aft < bef)
+    assert(served(dir) == full)
+
+    def bucketDir = new java.io.File(dir, "postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket=")).head
+    def donor = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+
+    // PHASE-1 crash: marker `gen:999` alone + a half-moved c999- file —
+    // the next maintenance call must roll the stray generation BACK
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(bucketDir, "c999-dup.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_compacting").toPath,
+      "gen:999\n".getBytes("UTF-8"))
+    StreamingPostings.compactIndex(spark, dir)
+    assert(!bucketDir.listFiles().exists(_.getName.startsWith("c999-")),
+      "phase-1 recovery must delete the half-moved generation")
+    assert(served(dir) == full)
+
+    // PHASE-2 crash: generation fully in, originals half-deleted — a
+    // planted duplicate listed in the marker must be rolled FORWARD
+    val dup = new java.io.File(bucketDir, "b1-dupold.parquet")
+    java.nio.file.Files.copy(donor.toPath, dup.toPath)
+    val rel = "postings/" + bucketDir.getName + "/" + dup.getName
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_compacting").toPath,
+      s"gen:998\n$rel\n".getBytes("UTF-8"))
+    StreamingPostings.indexBatch(dir)(all.limit(0), batchId = 50L)
+    assert(!dup.exists(), "phase-2 recovery must finish the deletes")
+    assert(served(dir) == full)
   }
 }
