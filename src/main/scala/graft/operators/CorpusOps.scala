@@ -701,6 +701,38 @@ object CorpusOps {
         |SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
         |FROM w WHERE copies > 0 ORDER BY doc_id, copy_id""".stripMargin),
 
+    // Temperature-scaled mixture weights (the multilingual/multi-source
+    // rebalancing step: sampling probability ∝ n^α flattens the source
+    // distribution — mBERT/XLM-R exponent-smoothing, Conneau & Lample
+    // 2019). α = 0.5 DELIBERATELY: x^α is libm pow (ulp-divergent across
+    // engines), but sqrt is IEEE-754 CORRECTLY ROUNDED everywhere, so
+    // the smoothed weights stay oracle-exact. w = round(sqrt(n),6) as
+    // decimal (exact sum), share = one final double division. Per-source
+    // counts are one map-side-combined aggregate of |sources| keys;
+    // everything after is broadcast-sized.
+    Op("mixture_temperature",
+      (s, d) => {
+        val n = docs(s, d).groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            round(sqrt($"n_docs".cast("double")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        val tot = n.agg(sum($"w").as("tw"))
+        n.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs", $"w".cast("double").as("w"),
+            round($"w".cast("double") / $"tw".cast("double"), 6).as("share"))
+          .orderBy($"source")
+      },
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |        CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        |      FROM n),
+        |t AS (SELECT sum(w) AS tw FROM w)
+        |SELECT source, n_docs, CAST(w AS DOUBLE) AS w,
+        |       round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share
+        |FROM w, t ORDER BY source""".stripMargin),
+
     // The composed curation pipeline — quality gate, stopword-ratio
     // language gate, exact dedup (min doc_id per normalized fingerprint),
     // token accounting — as ONE declarative plan: scan → map → single
