@@ -192,26 +192,29 @@ object RetrievalOps {
     * static pruning). Equality with the executor-side expression is
     * pinned by RetrievalIndexSpec.
     */
-  def termBucket(t: String): Int = {
+  def termBucket(t: String, buckets: Int = IndexBuckets): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
         t, org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
-    (((h % IndexBuckets) + IndexBuckets) % IndexBuckets).toInt
+    (((h % buckets) + buckets) % buckets).toInt
   }
 
   /** One batch's postings: (doc_id, term, tf, dl, bucket). Build-time
     * cost is one shuffle (the doc,term groupBy; dl joins back on the
-    * same doc_id key before the bucket repartition).
+    * same doc_id key before the bucket repartition). `buckets` is the
+    * index's CURRENT fan-out — streaming appenders read it from the
+    * `_graft_buckets` descriptor so appends after a re-bucketing land
+    * at the evolved modulus.
     */
-  def batchPostings(batch: DataFrame): DataFrame = {
+  def batchPostings(batch: DataFrame, buckets: Int = IndexBuckets): DataFrame = {
     val terms = batch
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     tf.join(dl, "doc_id")
-      .withColumn("bucket", pmod(xxhash64($"term"), lit(IndexBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(buckets.toLong)).cast("int"))
   }
 
   /** One batch's corpus-stats row: (n_docs, total_len), derived FROM the
@@ -253,6 +256,15 @@ object RetrievalOps {
     (s.read.parquet(dir + "/postings"), s.read.parquet(dir + "/stats"))
   }
 
+  /** Build-if-absent frozen full-corpus index of `d`, returning its
+    * DIRECTORY — the SQL serving statement's entry point
+    * ([[graft.plans.GraftBm25Command]]).
+    */
+  def ensureIndex(s: SparkSession, d: String): String = {
+    invertedIndex(s, d)
+    idxDir(d) + "/full"
+  }
+
   /** INCREMENTALLY grown inverted index: base corpus (doc_id % 5 != 0)
     * built first, the remaining batch APPENDED — new posting files land
     * inside touched bucket dirs, one stats row lands per batch, nothing
@@ -279,18 +291,22 @@ object RetrievalOps {
     * the same bounded-heap top-k as the corpus-scan op. No tokenize, no
     * corpus-sized join, no window — per-query cost is O(matched postings).
     */
-  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame): DataFrame =
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
+      terms: Seq[String] = QueryTerms, k: Int = 10,
+      buckets: Int = IndexBuckets): DataFrame =
     serveTopK(
-      postings.where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
-        $"term".isin(QueryTerms: _*)),
-      stats.agg(sum($"n_docs").as("n_docs"), sum($"total_len").as("total_len")))
+      postings.where($"bucket".isin(terms.map(termBucket(_, buckets)): _*) &&
+        $"term".isin(terms: _*)),
+      stats.agg(sum($"n_docs").as("n_docs"), sum($"total_len").as("total_len")),
+      k)
 
   /** Score a pruned postings scan against 1-row corpus totals and rank
-    * top-10 — df is derived from the pruned scan itself (one posting row
+    * top-k — df is derived from the pruned scan itself (one posting row
     * per (doc, term) ⇒ its per-term count IS document frequency over
     * whatever doc set the scan represents).
     */
-  private def serveTopK(pruned: DataFrame, st: DataFrame): DataFrame = {
+  private def serveTopK(pruned: DataFrame, st: DataFrame,
+      k: Int = 10): DataFrame = {
     val dfT = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = pruned.join(broadcast(dfT), "term")
       .crossJoin(broadcast(st))
@@ -298,7 +314,7 @@ object RetrievalOps {
       .groupBy($"doc_id").agg(sum($"contrib").as("sd"))
     topKRanked(
       scored.select(($"sd" * 1000000).cast("long").as("score"), $"doc_id".as("id")),
-      10, "doc_id", "rk")
+      k, "doc_id", "rk")
       .select($"doc_id", ($"score".cast("double") / 1e6).as("score"), $"rk")
       .orderBy($"rk")
   }
@@ -321,13 +337,23 @@ object RetrievalOps {
     * analog) resets churn to zero.
     */
   def bm25TopKTombstoned(postings: DataFrame, stats: DataFrame,
-      deletedDocs: DataFrame): DataFrame = {
-    val del = deletedDocs.select($"doc_id").distinct()
+      deletedDocs: DataFrame, terms: Seq[String] = QueryTerms,
+      k: Int = 10, buckets: Int = IndexBuckets): DataFrame = {
+    // one correction per deleted DOC, not per delete row: duplicate
+    // delete rows in the feed would over-subtract n_docs/total_len and
+    // drift scores from a fresh rebuild (doc_id is a key of the live
+    // table, so all rows of a doc_id carry the same text and any one
+    // representative is exact). Docs deleted AND inserted after the
+    // index froze still must be netted by the caller — the gen-aware
+    // streaming path does; this batch form's contract is "deletes of
+    // frozen-index docs".
+    val delDocs = deletedDocs.dropDuplicates("doc_id")
+    val del = delDocs.select($"doc_id")
     val pruned = postings
-      .where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
-        $"term".isin(QueryTerms: _*))
+      .where($"bucket".isin(terms.map(termBucket(_, buckets)): _*) &&
+        $"term".isin(terms: _*))
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-    val delTerms = deletedDocs
+    val delTerms = delDocs
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
       .where(length($"term") > 0)
     val delStats = del.agg(count(lit(1)).as("del_docs"))
@@ -336,7 +362,43 @@ object RetrievalOps {
       .crossJoin(broadcast(delStats))
       .select(($"n0" - $"del_docs").as("n_docs"),
         ($"tl0" - $"del_len").as("total_len"))
-    serveTopK(pruned, st)
+    serveTopK(pruned, st, k)
+  }
+
+  /** The generation-aware tombstone KILL predicate as a standalone
+    * rewrite: drop every posting row a tombstone kills (same doc,
+    * strictly earlier generation — updates/re-inserts keep their newest
+    * postings). Shared by probe-time serving (churn-sized tombstones
+    * against a PRUNED scan — broadcast) and purging compaction (full
+    * postings, tombstones possibly corpus-fraction-sized — no broadcast
+    * hint; AQE picks the join side).
+    */
+  private[graft] def applyTombstonesGen(postings: DataFrame,
+      tombstones: DataFrame, hintBroadcast: Boolean = true): DataFrame = {
+    val t0 = tombstones.select($"doc_id".as("t_doc"), $"gen".as("t_gen"))
+    val t = if (hintBroadcast) broadcast(t0) else t0
+    postings.join(t,
+      postings("doc_id") === t("t_doc") && postings("gen") < t("t_gen"),
+      "left_anti")
+  }
+
+  /** Fold the per-batch stats rows into ONE row with every tombstone's
+    * token mass subtracted — each CDF event counted once (inserts added
+    * their batch's stats row; each delete's tombstone carries the OLD
+    * text), so the result equals the live corpus totals. Shared by
+    * probe-time serving and purging compaction.
+    */
+  private[graft] def correctedStatsGen(stats: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val delTerms = tombstones
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .where(length($"term") > 0)
+    val delStats = tombstones.agg(count(lit(1)).as("del_docs"))
+      .crossJoin(delTerms.agg(count(lit(1)).as("del_len")))
+    stats.agg(sum($"n_docs").as("n0"), sum($"total_len").as("tl0"))
+      .crossJoin(broadcast(delStats))
+      .select(($"n0" - $"del_docs").as("n_docs"),
+        ($"tl0" - $"del_len").as("total_len"))
   }
 
   /** GENERATION-aware tombstoned serving — the form the lake-following
@@ -352,24 +414,14 @@ object RetrievalOps {
     * counted once, no distinct, so totals equal the live table's.
     */
   def bm25TopKTombstonedGen(postings: DataFrame, stats: DataFrame,
-      tombstones: DataFrame): DataFrame = {
+      tombstones: DataFrame, terms: Seq[String] = QueryTerms,
+      k: Int = 10, buckets: Int = IndexBuckets): DataFrame = {
     val pruned0 = postings
-      .where($"bucket".isin(QueryTerms.map(termBucket): _*) &&
-        $"term".isin(QueryTerms: _*))
-    val t = tombstones.select($"doc_id".as("t_doc"), $"gen".as("t_gen"))
-    val pruned = pruned0.join(broadcast(t),
-      pruned0("doc_id") === t("t_doc") && pruned0("gen") < t("t_gen"),
-      "left_anti")
-    val delTerms = tombstones
-      .select(explode(split(lower($"text"), " ")).as("term"))
-      .where(length($"term") > 0)
-    val delStats = tombstones.agg(count(lit(1)).as("del_docs"))
-      .crossJoin(delTerms.agg(count(lit(1)).as("del_len")))
-    val st = stats.agg(sum($"n_docs").as("n0"), sum($"total_len").as("tl0"))
-      .crossJoin(broadcast(delStats))
-      .select(($"n0" - $"del_docs").as("n_docs"),
-        ($"tl0" - $"del_len").as("total_len"))
-    serveTopK(pruned.drop("gen"), st)
+      .where($"bucket".isin(terms.map(termBucket(_, buckets)): _*) &&
+        $"term".isin(terms: _*))
+    val pruned = applyTombstonesGen(pruned0, tombstones)
+    val st = correctedStatsGen(stats, tombstones)
+    serveTopK(pruned.drop("gen"), st, k)
   }
 
   /** Lake-backed corpus fixture for the tombstone op: v1 commits the
@@ -424,7 +476,7 @@ object RetrievalOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("term",
           org.apache.spark.sql.types.StringType)))))
-    val qb = allTerms.map(termBucket).distinct
+    val qb = allTerms.map(termBucket(_)).distinct
     val pruned = postings
       .where($"bucket".isin(qb: _*) && $"term".isin(allTerms: _*))
     val dfT = pruned.groupBy($"term").agg(count(lit(1)).as("df"))

@@ -117,11 +117,17 @@ object BatchLedgerIndex {
   /** Append one micro-batch across all layouts, idempotently under
     * batch-id replay. `parts` pairs each layout with its (already
     * transformed) rows for this batch; a partitioned layout's DataFrame
-    * must contain its partCol.
+    * must contain its partCol. `recoverAll` lists layouts this index
+    * kind owns beyond the ones this batch writes — phase-1 compaction
+    * rollback must sweep EVERY layout a compaction could have staged
+    * (a crash recovered through a narrower entry point would leave
+    * half-moved `c<gen>-` files of the unswept layout live alongside
+    * their originals, duplicating rows).
     */
   def appendBatch(indexDir: String, ledgerName: String,
-      parts: Seq[(Layout, DataFrame)], batchId: Long): Unit = {
-    recoverCompaction(indexDir, parts.map(_._1))
+      parts: Seq[(Layout, DataFrame)], batchId: Long,
+      recoverAll: Seq[Layout] = Nil): Unit = {
+    recoverCompaction(indexDir, (parts.map(_._1) ++ recoverAll).distinct)
     if (committedBatches(indexDir, ledgerName).contains(batchId)) return
     val prefix = s"b$batchId-"
     parts.foreach { case (l, _) =>
@@ -161,16 +167,21 @@ object BatchLedgerIndex {
       new java.io.File(indexDir).getAbsolutePath + "/")
 
   /** Recover a crashed compaction before touching the index. The marker
-    * is two-phase: phase 1 (`gen:<g>` alone) means the crash happened
-    * while the `c<g>-` generation was moving in — ROLL BACK by deleting
-    * that generation's files (the folded originals are all still live).
-    * Phase 2 (`gen:<g>` + the originals' relative paths) means the
-    * generation is fully in and the originals were being deleted — ROLL
-    * FORWARD by finishing those deletes. Either way the index holds
-    * exactly one copy of every row afterwards; without this, a crash
-    * between move-in and original-delete left BOTH copies live and the
-    * next fold made the duplication permanent (doubled tf/df for
-    * postings, doubled candidates for ANN cells).
+    * is two-phase: phase 1 (`gen:<g>` alone, plus any `meta:` lines)
+    * means the crash happened while the `c<g>-` generation was moving
+    * in — ROLL BACK by deleting that generation's files (the folded
+    * originals are all still live; `meta:` descriptors were NOT applied,
+    * so the old descriptors stay authoritative). Phase 2 (`gen:<g>` +
+    * the originals' relative paths) means the generation is fully in and
+    * the descriptor flip / original deletes were in flight — ROLL
+    * FORWARD by re-applying the `meta:` descriptor files (idempotent
+    * rewrites) and finishing the deletes. Either way the index holds
+    * exactly one copy of every row afterwards AND its descriptors match
+    * its layout; without this, a crash between move-in and
+    * original-delete left BOTH copies live and the next fold made the
+    * duplication permanent (doubled tf/df for postings, doubled
+    * candidates for ANN cells) — and a half-applied re-bucketing would
+    * probe the wrong partition dirs.
     */
   private def recoverCompaction(indexDir: String, layouts: Seq[Layout]): Unit = {
     val m = markerFile(indexDir)
@@ -178,22 +189,67 @@ object BatchLedgerIndex {
     import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files.readAllLines(m.toPath).asScala.toSeq
     val gen = lines.head.stripPrefix("gen:")
-    val olds = lines.drop(1).filter(_.nonEmpty)
-    if (olds.nonEmpty) olds.foreach { r =>
-      new java.io.File(indexDir, r).delete(); ()
+    val metas = lines.drop(1).filter(_.startsWith("meta:"))
+    val olds = lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("meta:"))
+    if (olds.nonEmpty) { // phase 2: roll FORWARD
+      applyMetas(indexDir, metas)
+      olds.foreach { r => new java.io.File(indexDir, r).delete(); () }
     }
     else layouts.foreach(l => sweep(indexDir, l)(_.startsWith(s"c$gen-")))
     m.delete()
     ()
   }
 
+  /** `meta:<name>=<content>` marker lines → single-line descriptor files
+    * committed atomically WITH the compaction (written after the phase-2
+    * marker, re-written by roll-forward recovery — so descriptor and
+    * layout can never disagree across a crash).
+    */
+  private def applyMetas(indexDir: String, metas: Seq[String]): Unit =
+    metas.foreach { line =>
+      val kv = line.stripPrefix("meta:")
+      val (name, content) = kv.splitAt(kv.indexOf('='))
+      val tmp = new java.io.File(indexDir, s".$name.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        (content.stripPrefix("=") + "\n").getBytes("UTF-8"))
+      tmp.renameTo(new java.io.File(indexDir, name))
+      ()
+    }
+
   /** Compact every layout to ~one `c<gen>-` generation file per
     * partition dir. Maintenance contract: stream STOPPED. Returns
     * (filesBefore, filesAfter) summed over layouts.
     */
   def compact(s: SparkSession, indexDir: String, ledgerName: String,
-      layouts: Seq[Layout]): (Int, Int) = {
+      layouts: Seq[Layout]): (Int, Int) =
+    compactWith(s, indexDir, ledgerName, layouts, _ => Map.empty)
+
+  /** [[compact]] with a per-layout REWRITE fold — the seam tombstone
+    * purging and bucket-fan-out evolution run through. `fold` receives
+    * each layout's live rows keyed by `Layout.sub` (only layouts that
+    * currently have files) and returns, per sub it wants to rewrite:
+    *   - `Some(df)` — REPLACE the layout's rows with `df` (purged
+    *     postings, a corrected stats row, re-bucketed postings);
+    *   - `None` — DROP the layout's rows entirely (applied tombstones);
+    *   - an absent key — identity fold (re-clustered as-is).
+    * `metaOnCommit` single-line descriptor files (e.g. the bucket
+    * fan-out) are written AFTER the phase-2 marker and re-applied by
+    * roll-forward recovery, so a descriptor can never disagree with the
+    * layout it describes across a crash: phase-1 rollback restores the
+    * old files and never touches the descriptor; phase-2 roll-forward
+    * rewrites the descriptor before finishing the deletes.
+    *
+    * 100 TB shape: the fold's rewrites are full distributed plans —
+    * partitioned layouts re-cluster via repartition(partCol), never a
+    * single-task funnel; only flat layouts (per-batch stats rows —
+    * metadata-sized by contract) coalesce(1).
+    */
+  def compactWith(s: SparkSession, indexDir: String, ledgerName: String,
+      layouts: Seq[Layout],
+      fold: Map[String, DataFrame] => Map[String, Option[DataFrame]],
+      metaOnCommit: Seq[(String, String)] = Nil): (Int, Int) = {
     recoverCompaction(indexDir, layouts)
+    sweepStaleSiblings(indexDir)
     val committed = committedBatches(indexDir, ledgerName)
     // orphans of UNCOMMITTED batches first: folded orphans become
     // permanent and double when their batch legitimately replays
@@ -204,34 +260,76 @@ object BatchLedgerIndex {
     })
     val before = layouts.map(l => dataFiles(indexDir, l)).reduce(_ ++ _)
     if (before.isEmpty) return (0, 0)
+    val live: Map[String, DataFrame] = layouts
+      .filter(l => dataFiles(indexDir, l).nonEmpty)
+      .map(l => l.sub -> read(s, indexDir, l)).toMap
+    val rewrites = fold(live)
     val gen = System.currentTimeMillis()
     // stage EVERY layout first — stage writes read only original files
     val staged: Seq[(Layout, String)] = layouts.flatMap { l =>
-      if (dataFiles(indexDir, l).isEmpty) None
-      else {
+      val content: Option[DataFrame] =
+        if (!live.contains(l.sub)) None
+        else rewrites.getOrElse(l.sub, Some(live(l.sub)))
+      content.map { rows =>
         val stage = indexDir + s"_compact_${l.sub.replace('/', '_')}_$gen"
-        val rows = read(s, indexDir, l)
         (l.partCol match {
           case Some(pc) => rows.repartition(col(pc)).write.partitionBy(pc)
           case None     => rows.coalesce(1).write
         }).mode("overwrite").parquet(stage)
-        Some(l -> stage)
+        l -> stage
       }
     }
-    val olds = staged.flatMap { case (l, _) => dataFiles(indexDir, l) }
-    writeMarker(indexDir, s"gen:$gen") // phase 1: crash ⇒ roll back c<gen>-
+    // originals of every layout being compacted OR dropped
+    val olds = layouts.filter(l => live.contains(l.sub))
+      .flatMap(l => dataFiles(indexDir, l))
+    val metaLines = metaOnCommit.map { case (n, c) =>
+      require(!n.contains('=') && !c.contains('\n'),
+        s"meta descriptor must be single-line, '='-free name: $n=$c")
+      s"meta:$n=$c"
+    }
+    // phase 1: crash ⇒ roll back c<gen>- (metas NOT applied)
+    writeMarker(indexDir, (s"gen:$gen" +: metaLines).mkString("\n"))
     staged.foreach { case (l, stage) =>
       moveIn(stage, indexDir, l, s"c$gen-")
       rm(new java.io.File(stage))
     }
-    // phase 2: generation fully in — crash ⇒ roll forward (finish deletes)
+    // phase 2: generation fully in — crash ⇒ roll forward (re-apply
+    // metas, finish deletes)
     writeMarker(indexDir,
-      (s"gen:$gen" +: olds.map(relOf(indexDir, _))).mkString("\n"))
+      ((s"gen:$gen" +: metaLines) ++ olds.map(relOf(indexDir, _))).mkString("\n"))
+    applyMetas(indexDir, metaLines)
     olds.foreach(_.delete())
     markerFile(indexDir).delete()
+    // dropped/re-bucketed layouts leave empty partition dirs behind —
+    // prune them so listings stay O(live partitions)
+    layouts.foreach { l =>
+      dataDirs(indexDir, l).foreach { d =>
+        if (l.partCol.isDefined &&
+            Option(d.listFiles()).forall(_.isEmpty)) { d.delete(); () }
+      }
+    }
     // watermark line: committed ids stay recorded so their replays
     // remain no-ops (their rows now live in the c<gen>- generation)
     recordBatch(indexDir, ledgerName, -1L * gen)
     (before.size, layouts.map(l => dataFiles(indexDir, l)).reduce(_ ++ _).size)
+  }
+
+  /** A compaction that crashed before its phase-1 marker leaves orphaned
+    * sibling `<indexDir>_compact_*` stage dirs forever (gen is a fresh
+    * timestamp each run, so no later attempt revisits them); crashed
+    * append attempts can likewise strand `<indexDir>_stage_*` dirs whose
+    * batch never replays. Disk leak only — swept at compaction entry
+    * (maintenance time, stream STOPPED, so no in-flight append owns any
+    * sibling stage dir).
+    */
+  private def sweepStaleSiblings(indexDir: String): Unit = {
+    val base = new java.io.File(indexDir)
+    val (parent, name) = (base.getParentFile, base.getName)
+    if (parent == null) return
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith(name + "_compact_") ||
+         d.getName.startsWith(name + "_stage_")))
+      .foreach(rm)
   }
 }

@@ -57,4 +57,26 @@ object StreamingAnn {
     */
   def compactIndex(s: org.apache.spark.sql.SparkSession, indexDir: String): (Int, Int) =
     BatchLedgerIndex.compact(s, indexDir, Ledger, Seq(Cells))
+
+  /** [[compactIndex]] that also PURGES deleted vectors: the fold
+    * anti-joins the cells rows against the churn-sized deleted-id set
+    * (the lake change feed's deletes — the same feed
+    * `similarity_ivf_tombstoned` corrects with at probe time), so the
+    * folded generation holds only live codes and probes stop paying the
+    * per-query exclusion. Assignment is a pure function of (row, frozen
+    * centroids), so purge ≡ rebuild-over-live, certified in
+    * StreamingAnnSpec against a fresh assignment of the live set. The
+    * anti-join is a distributed plan re-clustered by cell — nothing
+    * corpus-sized crosses one task.
+    */
+  def compactIndexPurging(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, deletedIds: DataFrame): (Int, Int) =
+    BatchLedgerIndex.compactWith(s, indexDir, Ledger, Seq(Cells), { live =>
+      live.get(Cells.sub) match {
+        case None => Map.empty
+        case Some(cells) => Map(Cells.sub -> Some(
+          cells.join(deletedIds.select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")))
+      }
+    })
 }

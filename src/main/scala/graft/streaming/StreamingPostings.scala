@@ -25,6 +25,21 @@ object StreamingPostings {
   private val Ledger = "_graft_postings_batches"
   private val Postings = BatchLedgerIndex.Layout("postings", Some("bucket"))
   private val Stats = BatchLedgerIndex.Layout("stats", None)
+  // Tombstone rows carry the deleted doc's FULL TEXT (the token mass the
+  // stats correction needs) — churn-sized, i.e. corpus-fraction-sized at
+  // real deletion rates, so the layout is HASH-BUCKETED on doc_id like
+  // postings are on term: every write fans out across `tbucket=` dirs
+  // (repartition(tbucket) in the shared append/compact machinery), never
+  // a single-task coalesce(1) funnel. The probe reads all tombstones
+  // regardless (membership anti-join), so the fan-out buys write
+  // parallelism, not pruning.
+  private val Tombstones = BatchLedgerIndex.Layout("tombstones", Some("tbucket"))
+  private val TombBuckets = 32
+  // every layout this index kind owns — phase-1 compaction rollback must
+  // sweep ALL of them no matter which entry point recovers (a crash
+  // recovered through indexBatch would otherwise leave half-moved
+  // tombstone generation files live alongside their originals)
+  private val AllLayouts = Seq(Postings, Stats, Tombstones)
 
   /** Append one document micro-batch (`doc_id`, `text`) to the index at
     * `indexDir`, idempotently under batch-id replay. Layout order is
@@ -33,11 +48,11 @@ object StreamingPostings {
     * postings scored against last-batch totals.
     */
   def indexBatch(indexDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val p = RetrievalOps.batchPostings(batch)
+    val p = RetrievalOps.batchPostings(batch, indexBuckets(indexDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try BatchLedgerIndex.appendBatch(indexDir, Ledger,
       Seq(Stats -> RetrievalOps.batchStatsFrom(batch, p),
-        Postings -> p), batchId)
+        Postings -> p), batchId, recoverAll = AllLayouts)
     finally { p.unpersist(); () }
   }
 
@@ -60,15 +75,32 @@ object StreamingPostings {
        .withColumn("bucket", col("bucket").cast("int")),
      BatchLedgerIndex.read(s, indexDir, Stats))
 
-  /** Compact all layouts (maintenance, stream STOPPED). Tombstone rows
-    * survive compaction — they are only retired by an explicit index
-    * rebuild over the live corpus (the generation-reset event).
+  /** Compact all layouts (maintenance, stream STOPPED) — and PURGE
+    * tombstones while folding: the rewrite drops every posting a
+    * tombstone kills (the same generation-aware predicate the probe
+    * applies), folds the per-batch stats rows into ONE row with the dead
+    * docs' token mass already subtracted (the same correction the probe
+    * computes), and clears the tombstone layout entirely. Post-purge the
+    * index is row-identical to a fresh rebuild over the live corpus
+    * (StreamingPostingsSpec pins probe ≡ rebuild), probes stop paying
+    * the per-query anti-join, and tombstone accrual resets to zero —
+    * the lake's rewrite-position-deletes maintenance applied to the
+    * serving index. All rewrites are distributed plans (postings
+    * re-cluster by bucket); nothing corpus-sized crosses one task.
     */
   def compactIndex(s: SparkSession, indexDir: String): (Int, Int) =
-    BatchLedgerIndex.compact(s, indexDir, Ledger,
-      Seq(Postings, Stats, Tombstones))
-
-  private val Tombstones = BatchLedgerIndex.Layout("tombstones", None)
+    BatchLedgerIndex.compactWith(s, indexDir, Ledger, AllLayouts, { live =>
+      live.get(Tombstones.sub) match {
+        case None => Map.empty // no deletes yet: identity fold
+        case Some(tombs) =>
+          Map(
+            Postings.sub -> Some(RetrievalOps.applyTombstonesGen(
+              live(Postings.sub), tombs, hintBroadcast = false)),
+            Stats.sub -> Some(RetrievalOps.correctedStatsGen(
+              live(Stats.sub), tombs)),
+            Tombstones.sub -> None)
+      }
+    })
 
   /** The index FOLLOWS THE LAKE: one maintenance stream over the lake's
     * change feed (`readStream.format("graft-lake-cdf")`) keeps the index
@@ -108,29 +140,74 @@ object StreamingPostings {
           .groupBy(docCols: _*).agg(sum($"__w").as("__net"))
         val ins = net.where($"__net" > 0L).select($"doc_id", $"text")
         val del = net.where($"__net" < 0L)
-          .select($"doc_id", $"text", lit(id).as("gen"))
-        val p = RetrievalOps.batchPostings(ins)
+          .select($"doc_id", $"text", lit(id).as("gen"),
+            pmod(xxhash64($"doc_id"), lit(TombBuckets.toLong)).cast("int")
+              .as("tbucket"))
+        val p = RetrievalOps.batchPostings(ins, indexBuckets(indexDir))
           .withColumn("gen", lit(id))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
           Stats -> RetrievalOps.batchStatsFrom(ins, p),
           Tombstones -> del,
-          Postings -> p), id)
+          Postings -> p), id, recoverAll = AllLayouts)
         finally { p.unpersist(); () }
       }
       .start()
 
-  /** Live tombstone rows (empty-schema-safe before any delete). */
+  /** Live tombstone rows (empty-schema-safe before any delete and after
+    * a purging compaction cleared the layout).
+    */
   def readTombstones(s: SparkSession, indexDir: String): DataFrame = {
     val base = new java.io.File(indexDir, "tombstones")
-    if (!base.isDirectory ||
-        !base.listFiles().exists(_.getName.endsWith(".parquet"))) {
+    val hasParquet = base.isDirectory &&
+      Option(base.listFiles()).getOrElse(Array.empty).exists { f =>
+        (f.isFile && f.getName.endsWith(".parquet")) ||
+          (f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
+            .exists(g => g.isFile && g.getName.endsWith(".parquet")))
+      }
+    if (!hasParquet) {
       import org.apache.spark.sql.types._
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
           StructField("text", StringType), StructField("gen", LongType))))
     } else BatchLedgerIndex.read(s, indexDir, Tombstones)
   }
+
+  /** The postings bucket fan-out this index was built (or last
+    * re-bucketed) at — the `_graft_buckets` descriptor, defaulting to
+    * the build-time constant for descriptor-less indexes.
+    */
+  def indexBuckets(indexDir: String): Int = {
+    val f = new java.io.File(indexDir, BucketsFile)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    else RetrievalOps.IndexBuckets
+  }
+
+  private val BucketsFile = "_graft_buckets"
+
+  /** Evolve the postings bucket fan-out (maintenance, stream STOPPED) —
+    * production grows 64 → 64k as the corpus grows, and a manual rebuild
+    * at the new fan-out would re-tokenize the corpus for nothing: bucket
+    * is a pure function of term, so re-bucketing is ONE distributed
+    * re-cluster of the existing posting rows, run as a new generation
+    * through the two-phase compaction machinery. The `_graft_buckets`
+    * descriptor flips atomically WITH the layout (phase-2 `meta:` line:
+    * a crash either rolls the new generation back — old fan-out, old
+    * descriptor — or forward — new fan-out, descriptor re-applied), so
+    * a probe can never prune against the wrong modulus. Ledger ids
+    * survive, so committed replays stay no-ops; subsequent appends read
+    * the descriptor and bucket at the new fan-out.
+    */
+  def rebucket(s: SparkSession, indexDir: String, newBuckets: Int): (Int, Int) =
+    BatchLedgerIndex.compactWith(s, indexDir, Ledger, AllLayouts, { live =>
+      live.get(Postings.sub) match {
+        case None => Map.empty
+        case Some(p) => Map(Postings.sub -> Some(
+          p.withColumn("bucket",
+            pmod(xxhash64($"term"), lit(newBuckets.toLong)).cast("int"))))
+      }
+    }, metaOnCommit = Seq(BucketsFile -> newBuckets.toString))
 
   /** Serve BM25 top-10 from the lake-following index: frozen postings,
     * summed stats, generation-aware tombstones applied at probe time.
@@ -139,8 +216,10 @@ object StreamingPostings {
     */
   def bm25TopK(s: SparkSession, indexDir: String): DataFrame = {
     val (p, st) = readIndex(s, indexDir)
+    val b = indexBuckets(indexDir)
     if (p.columns.contains("gen"))
-      RetrievalOps.bm25TopKTombstonedGen(p, st, readTombstones(s, indexDir))
-    else RetrievalOps.bm25TopKFromIndex(p, st)
+      RetrievalOps.bm25TopKTombstonedGen(p, st, readTombstones(s, indexDir),
+        buckets = b)
+    else RetrievalOps.bm25TopKFromIndex(p, st, buckets = b)
   }
 }

@@ -109,4 +109,32 @@ class StreamingAnnSpec extends AnyFunSuite {
     StreamingAnn.indexBatch(cents, dir)(all.limit(4), batchId = 9L)
     assert(StreamingAnn.readIndex(spark, dir).count() == n0 + 4)
   }
+
+  test("purging compaction drops deleted vectors: purged index == rebuild over live") {
+    val dir = "/tmp/graft_lake_test/stream_ann_purge/index"
+    rm(new java.io.File(dir).getParentFile)
+    val cents = Similarity.annCentroids(spark, sf)
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    (0 until 2).foreach { b =>
+      StreamingAnn.indexBatch(cents, dir)(
+        all.where($"vec_id" % 2 === b), batchId = b.toLong)
+    }
+    // vectors deleted after the index froze (the change-feed's delete
+    // set, duplicated rows included — purge must still drop each once)
+    val deleted = all.where($"vec_id" % 5 === 2).select($"vec_id")
+      .union(all.where($"vec_id" % 5 === 2).select($"vec_id"))
+    val (bef, aft) = StreamingAnn.compactIndexPurging(spark, dir, deleted)
+    assert(aft < bef)
+
+    val live = all.where($"vec_id" % 5 =!= 2)
+    val purged = StreamingAnn.readIndex(spark, dir).select($"vec_id", $"cell")
+    val rebuilt = Similarity.ivfAssign(live, cents)
+    assert(purged.count() == live.count())
+    assert(purged.except(rebuilt).isEmpty && rebuilt.except(purged).isEmpty,
+      "purged index must be row-identical to a rebuild over the live set")
+    // committed replays stay no-ops after the purge (dead rows must not
+    // resurrect through the ledger)
+    StreamingAnn.indexBatch(cents, dir)(all.limit(6), batchId = 0L)
+    assert(StreamingAnn.readIndex(spark, dir).count() == live.count())
+  }
 }

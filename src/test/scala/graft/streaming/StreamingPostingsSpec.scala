@@ -122,7 +122,77 @@ class StreamingPostingsSpec extends AnyFunSuite {
       assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
         == rebuiltOver(liveUpdated),
         "updated docs must serve their NEW postings")
+
+      // tombstones are HASH-BUCKETED (tbucket= dirs), never a flat
+      // single-file layout — no single-task churn-sized write anywhere
+      val tombBase = new java.io.File(dir, "tombstones")
+      assert(tombBase.listFiles().exists(d =>
+        d.isDirectory && d.getName.startsWith("tbucket=")),
+        "tombstone rows must land under tbucket= partition dirs")
+      assert(!tombBase.listFiles().exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")),
+        "no flat tombstone files")
+
+      // PURGING compaction: dead postings dropped, stats folded to one
+      // corrected row, tombstones cleared — probe ≡ fresh rebuild over
+      // the live table with ZERO serve-time correction left to pay
+      val expected = rebuiltOver(liveUpdated)
+      val (bef, aft) = StreamingPostings.compactIndex(spark, dir)
+      assert(aft < bef, s"purge must shrink files ($bef -> $aft)")
+      assert(StreamingPostings.readTombstones(spark, dir).count() == 0L,
+        "purge must clear the tombstone layout")
+      val st = StreamingPostings.readIndex(spark, dir)._2
+      assert(st.count() == 1L, "stats must fold to one corrected row")
+      assert(st.head.getLong(0) ==
+        Tables.documents(spark, sf).where($"doc_id" % 7 =!= 3).count(),
+        "corrected n_docs must equal the live doc count")
+      // no dead doc's postings survive the fold
+      val deadLeft = StreamingPostings.readIndex(spark, dir)._1
+        .where($"doc_id" % 7 === 3).count()
+      assert(deadLeft == 0L, s"purge left $deadLeft dead postings")
+      assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+        == expected, "post-purge probe must equal a fresh rebuild")
+      // committed-batch replays stay no-ops after the purge
+      StreamingPostings.indexBatch(dir)(
+        Tables.documents(spark, sf).select($"doc_id", $"text").limit(3),
+        batchId = 0L)
+      assert(StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+        == expected)
     } finally q.stop()
+  }
+
+  test("rebucket evolves the postings fan-out; probe identical; appends follow") {
+    val base = "/tmp/graft_lake_test/stream_postings_rebucket"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    (0 until 2).foreach { b =>
+      StreamingPostings.indexBatch(dir)(
+        all.where($"doc_id" % 3 === b), batchId = b.toLong)
+    }
+    def probe(): Seq[String] =
+      StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+    val before = probe()
+    assert(StreamingPostings.indexBuckets(dir) == RetrievalOps.IndexBuckets)
+
+    val (b0, b1) = StreamingPostings.rebucket(spark, dir, 256)
+    assert(b1 <= b0)
+    assert(StreamingPostings.indexBuckets(dir) == 256,
+      "descriptor must flip with the layout")
+    val dirs = new java.io.File(dir, "postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt)
+    assert(dirs.exists(_ > 63), "fan-out must exceed the old modulus")
+    assert(probe() == before, "probe must be identical at the new fan-out")
+
+    // committed replays stay no-ops; NEW batches bucket at the evolved
+    // modulus (the appender reads the descriptor)
+    StreamingPostings.indexBatch(dir)(all.limit(4), batchId = 0L)
+    assert(probe() == before)
+    StreamingPostings.indexBatch(dir)(
+      all.where($"doc_id" % 3 === 2), batchId = 2L)
+    assert(probe() == rebuiltOver(all),
+      "post-evolution appends must serve at the new fan-out")
   }
 
   test("compaction crash recovery: phase-1 rolls back, phase-2 rolls forward") {
