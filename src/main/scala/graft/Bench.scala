@@ -82,11 +82,20 @@ object Bench {
     }
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-sample arrays make bench.json SELF-DIAGNOSING: a flagged query
+    // whose samples are bimodal (one clean sample under the bar) is a
+    // host hiccup recurring at the same suite position, not a plan
+    // change — bench_compare labels it noise-suspect instead of burning
+    // a session on a standalone re-run (r11 adjudication cost)
+    def jsamples: String = queries.map { case (name, _) =>
+      s"\"" + name + "\":" + samples(name).reverse.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
-      s""""queries_min":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}"""
+      s""""queries_min":${jmap(results.map(r => (r._1, r._3)))},""" +
+      s""""samples":$jsamples,"sf":"$sfDir"}"""
     // Persist too: sbt prefixes logger-routed stdout with "[info] ", which
     // broke the driver's JSON parse in round 1 — bench.json is the backup.
     // BENCH_ONLY runs go to a side file: a 3-query subset must never

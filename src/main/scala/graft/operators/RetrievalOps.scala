@@ -538,6 +538,17 @@ object RetrievalOps {
       },
       bm25TopkSql),
 
+    // Same probe reached through SQL — `BM25 INDEX '<dir>' QUERY
+    // 'vector join slow' TOP 10` (GraftSqlParser statement; the
+    // reference's serving path is SQL-first), oracle verbatim: the SQL
+    // entry must answer exactly what the Scala surface answers.
+    Op("bm25_index_sql",
+      (s, d) => {
+        val dir = ensureIndex(s, d)
+        s.sql(s"BM25 INDEX '$dir' QUERY 'vector join slow' TOP 10")
+      },
+      bm25TopkSql),
+
     // Served from the batch-appended index (base + delta): certifies
     // incremental index growth == full rebuild, row-identical.
     Op("bm25_index_incremental",

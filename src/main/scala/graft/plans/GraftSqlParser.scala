@@ -74,6 +74,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+BRANCH\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`'/-]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Bm25 =
+    """(?is)\s*BM25\s+INDEX\s+'([^']+)'\s+QUERY\s+'([^']+)'(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -131,6 +133,11 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftBranchCommand(lakeRoot(ident), name, publish = false)
     case Restore(ident, version) =>
       GraftRestoreCommand(lakeRoot(ident), version.toInt)
+    case Bm25(dir, query, k) =>
+      GraftBm25Command(dir,
+        query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty).toSeq,
+        Option(k).map(_.toInt).getOrElse(10))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -150,6 +157,31 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType =
     delegate.parseDataType(sqlText)
+}
+
+/** `BM25 INDEX '<dir>' QUERY '<terms>' [TOP k]` — the SQL entry point
+  * for inverted-index serving (the reference's serving path is
+  * SQL-first; this is its probe reached without Scala): scores the
+  * whitespace-split query terms against the frozen postings index at
+  * `<dir>` and returns the top-k (doc_id, score, rk). Dispatch matches
+  * the Scala surface ([[graft.streaming.StreamingPostings.bm25TopK]]):
+  * a lake-following index (generation-stamped postings) serves
+  * tombstone-corrected; a plain frozen index serves the direct probe;
+  * the bucket fan-out comes from the index's `_graft_buckets`
+  * descriptor. Cost is O(matched postings) — bucket-pruned scan,
+  * broadcast stats, bounded-heap ranking — and the eager collect is the
+  * k result rows, never the corpus.
+  */
+case class GraftBm25Command(indexDir: String, terms: Seq[String], k: Int)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.DoubleType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("doc_id", LongType, nullable = true)(),
+    AttributeReference("score", DoubleType, nullable = true)(),
+    AttributeReference("rk", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.streaming.StreamingPostings.bm25TopK(session, indexDir, terms, k)
+      .collect().toIndexedSeq
 }
 
 /** `VACUUM`: delete crashed-write debris (files no snapshot references,

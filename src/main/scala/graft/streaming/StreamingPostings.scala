@@ -214,12 +214,13 @@ object StreamingPostings {
     * (An [[indexBatch]]-maintained dir has no gen column and no
     * tombstones — it serves through the plain probe.)
     */
-  def bm25TopK(s: SparkSession, indexDir: String): DataFrame = {
+  def bm25TopK(s: SparkSession, indexDir: String,
+      terms: Seq[String] = RetrievalOps.QueryTerms, k: Int = 10): DataFrame = {
     val (p, st) = readIndex(s, indexDir)
     val b = indexBuckets(indexDir)
     if (p.columns.contains("gen"))
       RetrievalOps.bm25TopKTombstonedGen(p, st, readTombstones(s, indexDir),
-        buckets = b)
-    else RetrievalOps.bm25TopKFromIndex(p, st, buckets = b)
+        terms, k, b)
+    else RetrievalOps.bm25TopKFromIndex(p, st, terms, k, b)
   }
 }

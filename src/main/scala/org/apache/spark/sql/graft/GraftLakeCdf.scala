@@ -55,12 +55,32 @@ class GraftLakeCdfProvider extends StreamSourceProvider with DataSourceRegister 
       .add("_commit_version", LongType, nullable = false)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    refuseRowSetOptions(parameters) // fail at .load(), not first trigger
     (shortName(), cdfSchema(sqlContext, path(parameters)))
+  }
+
+  /** Row-set-selecting reader options (the MetadataOnlyCount decline-
+    * guard invariant applied to this source): the change feed streams
+    * MAIN's commit log from `startingVersion` forward, so a `branch` /
+    * travel / change-range option would be silently ignored — the
+    * stream would deliver main-head changes while claiming to read the
+    * branch or a pinned version. Refuse loudly; `startingVersion` is
+    * this source's one legitimate positioning knob.
+    */
+  private def refuseRowSetOptions(parameters: Map[String, String]): Unit =
+    Seq("branch", "stagedAsOf", "versionAsOf", "timestampAsOf",
+        "changesFrom", "changesTo").foreach { o =>
+      require(!parameters.keys.exists(_.equalsIgnoreCase(o)),
+        s"graft-lake-cdf: reader option '$o' selects a fixed row set and " +
+          "cannot drive the change-feed stream; use startingVersion to " +
+          "position the feed, or publish the branch first")
+    }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
+    refuseRowSetOptions(parameters)
     val p = path(parameters)
     // numeric version or a named tag ("resume the feed from the corpus
     // release") — the same spec seam as versionAsOf

@@ -229,6 +229,25 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE HISTORY mcat.default.resto").count() === 3)
   }
 
+  test("BM25 INDEX statement serves the probe through SQL, identical to the Scala surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_sql").toString
+    val docs = Seq(
+      (1L, "vector join fast fast"), (2L, "vector slow slow join"),
+      (3L, "window batch data"), (4L, "join join vector slow"),
+      (5L, "the of and data")).toDF("doc_id", "text")
+    graft.operators.RetrievalOps.writeIndex(dir, docs, "overwrite")
+
+    val viaSql = spark.sql(s"BM25 INDEX '$dir' QUERY 'vector join slow' TOP 3")
+    assert(viaSql.columns.toSeq === Seq("doc_id", "score", "rk"))
+    val viaScala = graft.streaming.StreamingPostings
+      .bm25TopK(spark, dir, Seq("vector", "join", "slow"), 3)
+    assert(viaSql.collect().toSeq.map(_.toString)
+      === viaScala.collect().toSeq.map(_.toString))
+    assert(viaSql.count() === 3)
+    // default TOP is 10 (capped by matching docs)
+    assert(spark.sql(s"BM25 INDEX '$dir' QUERY 'vector'").count() === 3)
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

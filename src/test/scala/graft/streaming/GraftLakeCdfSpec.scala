@@ -39,6 +39,32 @@ class GraftLakeCdfSpec extends AnyFunSuite {
 
   private def sunk = spark.read.parquet(out)
 
+  test("branch / row-set-selecting reader options refuse to drive the change feed") {
+    // The CDF streams MAIN's commit log; a `branch` / travel / change-
+    // range option would be silently ignored (the feed would deliver
+    // main-head changes while claiming a branch or pinned version) —
+    // the MetadataOnlyCount decline-guard invariant applied to the one
+    // remaining reader. startingVersion stays the legitimate knob.
+    val root2 = "/tmp/graft_lake_test/cdf_src/branch_refuse"
+    rm(root2)
+    LakeIO.writeLake(batch(0, 10), root2)
+    LakeIO.appendToBranch(batch(10, 5), root2, "exp")
+    Seq("branch" -> "exp", "stagedAsOf" -> "b-exp-0", "versionAsOf" -> "1",
+        "timestampAsOf" -> "2024-01-01", "changesFrom" -> "0").foreach {
+      case (opt, v) =>
+        val e = intercept[IllegalArgumentException] {
+          spark.readStream.format("graft-lake-cdf").option(opt, v).load(root2)
+        }
+        assert(e.getMessage.contains("selects a fixed row set"),
+          s"option $opt must refuse: ${e.getMessage}")
+    }
+    // the plain feed (and startingVersion) on the same table still runs
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("startingVersion", 0).load(root2)
+      .writeStream.format("noop").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   test("CDF stream: backfill inserts, merge as delete+insert, delete, compaction silent") {
     rm(root); rm(ckpt); rm(out)
     LakeIO.writeLake(batch(0, 100), root)                        // v1 append
