@@ -195,6 +195,54 @@ class StreamingPostingsSpec extends AnyFunSuite {
       "post-evolution appends must serve at the new fan-out")
   }
 
+  test("rebucket crash recovery: descriptor flips with the layout, never against it") {
+    val dir = "/tmp/graft_lake_test/stream_postings_rebucket_crash/index"
+    rm(new java.io.File(dir).getParentFile)
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    StreamingPostings.indexBatch(dir)(all, batchId = 0L)
+    def probe(): Seq[String] =
+      StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+    val expected = probe()
+
+    // PHASE-1 crash of a rebucket: marker carries gen + meta line, the
+    // half-moved c999- generation must roll BACK and the descriptor must
+    // stay at the OLD fan-out (the meta line must NOT be applied)
+    val bucketDir = new java.io.File(dir, "postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket=")).head
+    val donor = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(bucketDir, "c999-halfmoved.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_compacting").toPath,
+      "gen:999\nmeta:_graft_buckets=256\n".getBytes("UTF-8"))
+    StreamingPostings.indexBatch(dir)(all.limit(0), batchId = 1L) // recovers first
+    assert(StreamingPostings.indexBuckets(dir) == RetrievalOps.IndexBuckets,
+      "phase-1 rollback must leave the old descriptor authoritative")
+    assert(!bucketDir.listFiles().exists(_.getName.startsWith("c999-")))
+    assert(probe() == expected)
+
+    // PHASE-2 crash: generation fully in, descriptor write + original
+    // deletes in flight — recovery must RE-APPLY the meta descriptor and
+    // finish the deletes (descriptor and layout agree either way)
+    val dup = new java.io.File(bucketDir, "b0-dupold.parquet")
+    java.nio.file.Files.copy(donor.toPath, dup.toPath)
+    val rel = "postings/" + bucketDir.getName + "/" + dup.getName
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_graft_compacting").toPath,
+      s"gen:998\nmeta:_graft_buckets=64\n$rel\n".getBytes("UTF-8"))
+    StreamingPostings.indexBatch(dir)(all.limit(0), batchId = 2L)
+    assert(!dup.exists(), "phase-2 recovery must finish the deletes")
+    assert(StreamingPostings.indexBuckets(dir) == 64,
+      "phase-2 roll-forward must re-apply the meta descriptor")
+    assert(new java.io.File(dir, "_graft_buckets").exists())
+    assert(probe() == expected)
+
+    // a real rebucket on the recovered index still works end-to-end
+    StreamingPostings.rebucket(spark, dir, 128)
+    assert(StreamingPostings.indexBuckets(dir) == 128)
+    assert(probe() == expected)
+  }
+
   test("compaction crash recovery: phase-1 rolls back, phase-2 rolls forward") {
     val dir = "/tmp/graft_lake_test/stream_postings_recover/index"
     rm(new java.io.File(dir).getParentFile)
