@@ -738,6 +738,52 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** IVF probe served ENTIRELY from a lake-following index
+    * ([[graft.streaming.StreamingAnn.followLake]]): index rows carry the
+    * VECTOR alongside (cell, gen) — the sparse index's denormalized-dl
+    * move applied to ANN, so serving never joins back to the base table
+    * (a corpus-sized shuffle at 100 TB). Tombstones are GENERATION-aware
+    * (a tombstone kills only earlier-gen rows, so an updated embedding —
+    * CDF delete(old)+insert(new) — serves its NEWEST vector); queries
+    * arrive as their own (vec_id, embedding) frame, assigned to nprobe
+    * cells against the frozen broadcast centroids at probe time. Cost:
+    * O(probed cells' rows), one keyed window per query id.
+    */
+  def ivfTopKFromFollowIndex(queries: DataFrame, centroids: DataFrame,
+      index: DataFrame, tombstones: DataFrame, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val q = broadcast(
+      withNorm(queries.select($"vec_id", asDouble($"embedding").as("e")))
+        .join(cents)
+        .select($"vec_id", $"e", $"nrm", $"c_id",
+          (dot($"e", $"ce") / ($"nrm" * $"cn")).as("csim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"c_id")))
+        .where($"rk" <= nprobe)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"),
+          $"c_id".as("cell")))
+    val idx = index.select($"vec_id", asDouble($"embedding").as("e"),
+      $"cell".cast("long").as("cell"), $"gen")
+    val t = tombstones.select($"vec_id".as("t_id"), $"gen".as("t_gen"))
+    val live = idx.join(broadcast(t),
+      idx("vec_id") === t("t_id") && idx("gen") < t("t_gen"), "left_anti")
+    val cand = withNorm(live.select($"vec_id", $"e", $"cell"))
+    q.join(cand, Seq("cell"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"cell", $"vec_id",
+        round(dot($"qe", $"e") / ($"qn" * $"nrm"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   /** SEMANTIC DEDUP (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): cluster the embedding space, then search for

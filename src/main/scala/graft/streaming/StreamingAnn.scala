@@ -79,4 +79,105 @@ object StreamingAnn {
             Seq("vec_id"), "left_anti")))
       }
     })
+
+  // ------------------------------------------------------------------
+  // Lake-FOLLOWING ANN index — StreamingPostings.followLake's dense
+  // sibling: one maintenance stream over the embeddings lake's change
+  // feed keeps a SELF-CONTAINED serving index consistent with every
+  // table mutation. Layouts (subdirs, unlike the plain root-layout
+  // stream — the tombstone layout must not collide with partition
+  // discovery over the cells dirs):
+  //   cells/cell=C/…          (vec_id, embedding, cell, gen) — the
+  //                           VECTOR is denormalized into the index row
+  //                           (the postings dl move): serving never
+  //                           joins back to the base table
+  //   tombstones/tbucket=B/…  (vec_id, gen) — id-only (ANN has no
+  //                           token-mass correction), hash-bucketed
+  // Netting, generation semantics, exactly-once ledgering and the
+  // purge contract are the StreamingPostings rules verbatim; serving
+  // is [[graft.operators.Similarity.ivfTopKFromFollowIndex]].
+  // ------------------------------------------------------------------
+
+  private val FollowCells = BatchLedgerIndex.Layout("cells", Some("cell"))
+  private val FollowTombs = BatchLedgerIndex.Layout("tombstones", Some("tbucket"))
+  private val FollowLayouts = Seq(FollowCells, FollowTombs)
+  private val TombBuckets = 32
+
+  /** Run the lake-following maintenance stream: `changes` is a
+    * `graft-lake-cdf` streaming frame over an embeddings table
+    * (vec_id, embedding, …). Inserts assign against the FROZEN
+    * `centroids`; deletes land as id tombstones; in-batch insert/delete
+    * pairs net to nothing first (the catch-up rule).
+    */
+  def followLake(changes: DataFrame, centroids: DataFrame, indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val keyCols = batch.columns
+          .filterNot(Set("change", "_commit_version")).map(col).toSeq
+        val net = batch
+          .withColumn("__w",
+            org.apache.spark.sql.functions
+              .when(col("change") === "insert", 1L).otherwise(-1L))
+          .groupBy(keyCols: _*)
+          .agg(org.apache.spark.sql.functions.sum(col("__w")).as("__net"))
+        val ins = net.where(col("__net") > 0L).select(col("vec_id"), col("embedding"))
+        val del = net.where(col("__net") < 0L)
+          .select(col("vec_id"), lit(id).as("gen"),
+            pmod(xxhash64(col("vec_id")), lit(TombBuckets.toLong)).cast("int")
+              .as("tbucket"))
+        val assigned = Similarity.ivfAssign(ins, centroids)
+          .join(ins, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell"), lit(id).as("gen"))
+        BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
+          FollowTombs -> del,
+          FollowCells -> assigned), id, recoverAll = FollowLayouts)
+      }
+      .start()
+
+  /** The live (cells, tombstones) pair for
+    * [[graft.operators.Similarity.ivfTopKFromFollowIndex]];
+    * tombstones are empty-schema-safe before any delete / after a purge.
+    */
+  def readFollowIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): (DataFrame, DataFrame) = {
+    val cells = BatchLedgerIndex.read(s, indexDir, FollowCells)
+    val base = new java.io.File(indexDir, "tombstones")
+    val hasParquet = base.isDirectory &&
+      Option(base.listFiles()).getOrElse(Array.empty).exists(d =>
+        d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    val tombs =
+      if (hasParquet) BatchLedgerIndex.read(s, indexDir, FollowTombs)
+      else {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("gen", LongType))))
+      }
+    (cells, tombs)
+  }
+
+  /** Purging compaction for the lake-following index (maintenance,
+    * stream STOPPED): apply the tombstones during the fold — drop every
+    * cell row a tombstone kills (gen-aware, same predicate serving
+    * applies) and clear the tombstone layout. Post-purge the index holds
+    * exactly the live vectors and probes pay zero exclusion cost.
+    */
+  def compactFollow(s: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Int, Int) =
+    BatchLedgerIndex.compactWith(s, indexDir, Ledger, FollowLayouts, { live =>
+      live.get(FollowTombs.sub) match {
+        case None => Map.empty
+        case Some(tombs) =>
+          val cells = live(FollowCells.sub)
+          val t = tombs.select(col("vec_id").as("t_id"), col("gen").as("t_gen"))
+          Map(
+            FollowCells.sub -> Some(cells.join(t,
+              cells("vec_id") === t("t_id") && cells("gen") < t("t_gen"),
+              "left_anti")),
+            FollowTombs.sub -> None)
+      }
+    })
 }

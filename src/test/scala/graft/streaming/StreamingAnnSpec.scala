@@ -110,6 +110,75 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(StreamingAnn.readIndex(spark, dir).count() == n0 + 4)
   }
 
+  test("followLake: the dense index tracks lake inserts, MoR deletes AND updates via the CDF") {
+    val base = "/tmp/graft_lake_test/stream_ann_follow"
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+
+    val cents = Similarity.annCentroids(spark, sf)
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
+    graft.sources.LakeIO.writeLake(all.where($"vec_id" < 400), lake)
+
+    val queries = Tables.embeddings(spark, sf).where($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+    def served(): Seq[String] = {
+      val (cells, tombs) = StreamingAnn.readFollowIndex(spark, dir)
+      Similarity.ivfTopKFromFollowIndex(queries, cents, cells, tombs)
+        .collect().toSeq.map(_.toString)
+    }
+    def overLive(live: org.apache.spark.sql.DataFrame): Seq[String] =
+      Similarity.ivfTopKOverCells(live, cents,
+        Similarity.ivfAssign(live, cents), numQueries = 5, k = 10)
+        .collect().toSeq.map(_.toString)
+
+    val q = StreamingAnn.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), cents, dir, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(served() == overLive(
+        Tables.embeddings(spark, sf).where($"vec_id" < 400)
+          .select($"vec_id", $"embedding")),
+        "backfill: follow-index probe must equal the live-table probe")
+
+      // append the rest + MoR-delete some indexed vectors (none of the
+      // query ids) + MoR-update others' embeddings in place
+      graft.sources.LakeIO.evolveAppend(all.where($"vec_id" >= 400), lake)
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"vec_id" % 7 === 6)
+      q.processAllAvailable()
+      val live = Tables.embeddings(spark, sf).where($"vec_id" % 7 =!= 6)
+        .select($"vec_id", $"embedding")
+      assert(served() == overLive(live),
+        "deletes must be excluded generation-aware")
+
+      graft.sources.LakeIO.updateWhereMoR(spark, lake,
+        $"vec_id" % 11 === 7 && $"vec_id" >= 5,
+        Seq("embedding" -> reverse($"embedding")))
+      q.processAllAvailable()
+      val liveUpdated = live.withColumn("embedding",
+        when($"vec_id" % 11 === 7 && $"vec_id" >= 5, reverse($"embedding"))
+          .otherwise($"embedding"))
+      assert(served() == overLive(liveUpdated),
+        "updated vectors must serve their NEW embedding")
+
+      // tombstones are hash-bucketed, never a flat single-task layout
+      val tombBase = new java.io.File(dir, "tombstones")
+      assert(tombBase.listFiles().exists(d =>
+        d.isDirectory && d.getName.startsWith("tbucket=")))
+
+      // purge: dead rows dropped, tombstones cleared, probe identical
+      val expected = served()
+      val (bef, aft) = StreamingAnn.compactFollow(spark, dir)
+      assert(aft < bef, s"purge must shrink files ($bef -> $aft)")
+      assert(StreamingAnn.readFollowIndex(spark, dir)._2.count() == 0L)
+      val (cellsAfter, _) = StreamingAnn.readFollowIndex(spark, dir)
+      assert(cellsAfter.where($"vec_id" % 7 === 6).count() == 0L,
+        "purge must drop deleted vectors' rows")
+      assert(served() == expected, "post-purge probe must be identical")
+    } finally q.stop()
+  }
+
   test("purging compaction drops deleted vectors: purged index == rebuild over live") {
     val dir = "/tmp/graft_lake_test/stream_ann_purge/index"
     rm(new java.io.File(dir).getParentFile)
