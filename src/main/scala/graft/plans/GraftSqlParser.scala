@@ -76,6 +76,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`'/-]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Bm25 =
     """(?is)\s*BM25\s+INDEX\s+'([^']+)'\s+QUERY\s+'([^']+)'(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
+  private val CreateBm25 =
+    """(?is)\s*CREATE\s+BM25\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val OptimizeBm25 =
+    """(?is)\s*OPTIMIZE\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  private val RebucketBm25 =
+    """(?is)\s*ALTER\s+BM25\s+INDEX\s+'([^']+)'\s+REBUCKET\s+(\d+)\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -138,6 +144,12 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty).toSeq,
         Option(k).map(_.toInt).getOrElse(10))
+    case CreateBm25(dir, table) =>
+      GraftBm25BuildCommand(dir, lakeRoot(table))
+    case OptimizeBm25(dir) =>
+      GraftBm25MaintainCommand(dir, rebucket = None)
+    case RebucketBm25(dir, n) =>
+      GraftBm25MaintainCommand(dir, rebucket = Some(n.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -182,6 +194,54 @@ case class GraftBm25Command(indexDir: String, terms: Seq[String], k: Int)
   override def run(session: SparkSession): Seq[Row] =
     graft.streaming.StreamingPostings.bm25TopK(session, indexDir, terms, k)
       .collect().toIndexedSeq
+}
+
+/** `CREATE BM25 INDEX '<dir>' FROM <table>` — build the frozen inverted
+  * index of a lake table's (doc_id, text) through SQL: one DV-applied
+  * snapshot read, one tokenize shuffle, bucketed postings + a stats row
+  * (the [[graft.operators.RetrievalOps.writeIndex]] layout the probe
+  * statement serves). With CREATE/query/OPTIMIZE/REBUCKET the whole
+  * sparse-retrieval lifecycle is SQL-reachable — the reference's
+  * SQL-first serving story extended to index administration.
+  */
+case class GraftBm25BuildCommand(indexDir: String, tableRoot: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_docs", LongType, nullable = true)(),
+    AttributeReference("total_len", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val docs = graft.sources.LakeIO.readMoR(session, tableRoot)
+      .select("doc_id", "text")
+    // CREATE replaces the whole index dir — a leftover ledger/descriptor/
+    // tombstone layout from a prior (streaming) life must not leak into
+    // the fresh build
+    graft.sources.LakeIO.rmDir(indexDir)
+    graft.operators.RetrievalOps.writeIndex(indexDir, docs, "overwrite")
+    session.read.parquet(indexDir + "/stats").collect().toIndexedSeq
+  }
+}
+
+/** `OPTIMIZE BM25 INDEX '<dir>'` (purging compaction: fold per-batch
+  * files, apply tombstones, clear them) and
+  * `ALTER BM25 INDEX '<dir>' REBUCKET <n>` (fan-out evolution) — the
+  * index maintenance cadence as SQL, mirroring the table-level
+  * OPTIMIZE/VACUUM statements. Maintenance contract (stream STOPPED)
+  * is the caller's, same as the Scala surface.
+  */
+case class GraftBm25MaintainCommand(indexDir: String, rebucket: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("buckets", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (b, a) = rebucket match {
+      case Some(n) => graft.streaming.StreamingPostings.rebucket(session, indexDir, n)
+      case None    => graft.streaming.StreamingPostings.compactIndex(session, indexDir)
+    }
+    Seq(Row(b.toLong, a.toLong,
+      graft.streaming.StreamingPostings.indexBuckets(indexDir).toLong))
+  }
 }
 
 /** `VACUUM`: delete crashed-write debris (files no snapshot references,

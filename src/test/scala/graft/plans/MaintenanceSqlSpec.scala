@@ -248,6 +248,38 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"BM25 INDEX '$dir' QUERY 'vector'").count() === 3)
   }
 
+  test("full SQL index lifecycle: CREATE BM25 INDEX, query, OPTIMIZE, REBUCKET") {
+    attach()
+    val lake = s"$wh/default/bm25docs"
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_life").toString + "/idx"
+    val docs = Seq(
+      (1L, "vector join fast fast"), (2L, "vector slow slow join"),
+      (3L, "window batch data"), (4L, "join join vector slow"),
+      (5L, "the of and data"), (6L, "slow vector window"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.writeLake(docs, lake)
+    // MoR-delete one doc — CREATE must index the DV-APPLIED live state
+    LakeIO.deleteWhereMoR(spark, lake, $"doc_id" === 6L)
+
+    val built = spark.sql(
+      s"CREATE BM25 INDEX '$idx' FROM mcat.default.bm25docs").collect().head
+    assert(built.getLong(0) === 5L, s"n_docs must count live docs: $built")
+    def probe(): Seq[String] =
+      spark.sql(s"BM25 INDEX '$idx' QUERY 'vector join slow' TOP 3")
+        .collect().toSeq.map(_.toString)
+    val expected = probe()
+    assert(expected.nonEmpty)
+
+    val opt = spark.sql(s"OPTIMIZE BM25 INDEX '$idx'").collect().head
+    assert(opt.getLong(1) <= opt.getLong(0))
+    assert(probe() === expected, "OPTIMIZE must preserve the answer")
+
+    val reb = spark.sql(s"ALTER BM25 INDEX '$idx' REBUCKET 128").collect().head
+    assert(reb.getLong(2) === 128L, s"descriptor must report 128: $reb")
+    assert(probe() === expected, "REBUCKET must preserve the answer")
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
