@@ -639,12 +639,38 @@ object RetrievalOps {
     // recall-for-cost variant; the exact scan is kept here so the
     // oracle stays hash-exact without replicating IVF assignment in SQL.
     Op("hybrid_rrf",
-      (s, d) => {
-        val rt = topKRanked(
+      (s, d) => hybridFromTextRank(s, d,
+        topKRanked(
           bm25Scored(s, d)
             .select(($"sd" * 1000000).cast("long").as("score"), $"doc_id".as("id")),
-          100, "doc_id", "r_text").drop("score")
+          100, "doc_id", "r_text").drop("score")),
+      hybridRrfSql),
 
+    // Same fusion with the TEXT side served from the frozen inverted
+    // index (bm25_index_topk's probe at k=100) instead of a corpus scan
+    // — the serving-path composition a production retrieval stack runs:
+    // index probes on both sides of the fusion, zero corpus re-tokenize
+    // per query. The index ranking is row-identical to the scan ranking
+    // (bm25_index_topk's verbatim-oracle guarantee), so this op shares
+    // hybrid_rrf's oracle UNCHANGED — the hash-match certifies the
+    // composed serving path end-to-end.
+    Op("hybrid_rrf_indexed",
+      (s, d) => {
+        val (postings, stats) = invertedIndex(s, d)
+        hybridFromTextRank(s, d,
+          bm25TopKFromIndex(postings, stats, QueryTerms, 100)
+            .select($"doc_id", $"rk".as("r_text")))
+      },
+      hybridRrfSql)
+  )
+
+  /** Dense side + RRF fusion of [[ops]]' hybrid queries: rank the corpus
+    * against query vector 0 by exact cosine (top-100 bounded heap), full-
+    * outer-join the given text-side top-100 ranking, fuse 1/(60+rank)
+    * decimals, return the top-10 with both ranks.
+    */
+  private def hybridFromTextRank(s: SparkSession, d: String,
+      rt: DataFrame): DataFrame = {
         val v = Tables.embeddings(s, d)
           .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
           .withColumn("nrm", sqrt(Similarity.dot($"e", $"e")))
@@ -678,8 +704,10 @@ object RetrievalOps {
         top.join(fused, "id")
           .select($"id", $"r_text", $"r_vec", $"rrf_dec".cast("double").as("rrf"), $"rk")
           .orderBy($"rk")
-      },
-      s"""$bm25Cte,
+  }
+
+  private val hybridRrfSql =
+    s"""$bm25Cte,
          |rt AS (SELECT t_id, r_text FROM (
          |       SELECT doc_id AS t_id,
          |              CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT) AS r_text
@@ -703,6 +731,5 @@ object RetrievalOps {
          |SELECT id, r_text, r_vec, CAST(rrf_dec AS DOUBLE) AS rrf, rk FROM (
          |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_dec DESC, id) AS BIGINT) AS rk
          |  FROM f)
-         |WHERE rk <= 10 ORDER BY rk""".stripMargin)
-  )
+         |WHERE rk <= 10 ORDER BY rk""".stripMargin
 }
