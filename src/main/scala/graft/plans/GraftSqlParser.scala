@@ -82,6 +82,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*OPTIMIZE\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
   private val RebucketBm25 =
     """(?is)\s*ALTER\s+BM25\s+INDEX\s+'([^']+)'\s+REBUCKET\s+(\d+)\s*;?\s*""".r
+  private val DescribeBm25 =
+    """(?is)\s*DESC(?:RIBE)?\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -150,6 +152,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftBm25MaintainCommand(dir, rebucket = None)
     case RebucketBm25(dir, n) =>
       GraftBm25MaintainCommand(dir, rebucket = Some(n.toInt))
+    case DescribeBm25(dir) =>
+      GraftBm25DescribeCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -241,6 +245,59 @@ case class GraftBm25MaintainCommand(indexDir: String, rebucket: Option[Int])
     }
     Seq(Row(b.toLong, a.toLong,
       graft.streaming.StreamingPostings.indexBuckets(indexDir).toLong))
+  }
+}
+
+/** `DESCRIBE BM25 INDEX '<dir>'` — operator introspection for the
+  * serving index (DESCRIBE DETAIL's sibling): bucket fan-out, live file
+  * counts per layout, committed-batch count, corpus totals (stats rows
+  * summed MINUS tombstone token mass — what a probe would serve), and
+  * the live tombstone-row count, i.e. the number that tells an operator
+  * when to run `OPTIMIZE BM25 INDEX`. Metadata + stats/tombstone reads
+  * only — postings are never scanned (file counts come from listings).
+  */
+case class GraftBm25DescribeCommand(indexDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("buckets", LongType, nullable = false)(),
+    AttributeReference("posting_files", LongType, nullable = false)(),
+    AttributeReference("stats_files", LongType, nullable = false)(),
+    AttributeReference("committed_batches", LongType, nullable = false)(),
+    AttributeReference("n_docs", LongType, nullable = true)(),
+    AttributeReference("total_len", LongType, nullable = true)(),
+    AttributeReference("tombstone_rows", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    def parquetsUnder(sub: String): Long = {
+      val base = new java.io.File(indexDir, sub)
+      Option(base.listFiles()).getOrElse(Array.empty).iterator.flatMap { d =>
+        if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty).iterator
+        else Iterator(d)
+      }.count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    }
+    val tombs = graft.streaming.StreamingPostings.readTombstones(session, indexDir)
+    val nTombs = tombs.count()
+    val delLen =
+      if (nTombs == 0L) 0L
+      else tombs.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text")), " ")).as("t"))
+        .where(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("t")) > 0)
+        .count()
+    val st = session.read.parquet(indexDir + "/stats")
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("total_len")).head
+    // the ledger counts committed BATCH lines (compaction watermarks are
+    // negative ids — maintenance events, not ingest batches)
+    val batches = graft.streaming.BatchLedgerIndex
+      .committedBatches(indexDir, "_graft_postings_batches").count(_ >= 0L)
+    Seq(Row(
+      graft.streaming.StreamingPostings.indexBuckets(indexDir).toLong,
+      parquetsUnder("postings"), parquetsUnder("stats"), batches.toLong,
+      if (st.isNullAt(0)) null else st.getLong(0) - nTombs,
+      if (st.isNullAt(1)) null else st.getLong(1) - delLen,
+      nTombs))
   }
 }
 

@@ -271,6 +271,11 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     val expected = probe()
     assert(expected.nonEmpty)
 
+    val desc = spark.sql(s"DESCRIBE BM25 INDEX '$idx'").collect().head
+    assert(desc.getLong(0) === 64L, s"default fan-out: $desc")
+    assert(desc.getLong(4) === 5L, s"n_docs must be the live count: $desc")
+    assert(desc.getLong(6) === 0L, s"fresh index has no tombstones: $desc")
+
     val opt = spark.sql(s"OPTIMIZE BM25 INDEX '$idx'").collect().head
     assert(opt.getLong(1) <= opt.getLong(0))
     assert(probe() === expected, "OPTIMIZE must preserve the answer")
@@ -278,6 +283,8 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     val reb = spark.sql(s"ALTER BM25 INDEX '$idx' REBUCKET 128").collect().head
     assert(reb.getLong(2) === 128L, s"descriptor must report 128: $reb")
     assert(probe() === expected, "REBUCKET must preserve the answer")
+    assert(spark.sql(s"DESCRIBE BM25 INDEX '$idx'").collect().head.getLong(0)
+      === 128L, "DESCRIBE must report the evolved fan-out")
   }
 
   test("the parser intercept is additive: ordinary SQL still parses") {

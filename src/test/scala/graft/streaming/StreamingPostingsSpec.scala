@@ -243,6 +243,26 @@ class StreamingPostingsSpec extends AnyFunSuite {
     assert(probe() == expected)
   }
 
+  test("compaction entry sweeps orphaned sibling stage dirs (crashed attempts' disk leak)") {
+    val parent = "/tmp/graft_lake_test/stream_postings_stale"
+    val dir = s"$parent/index"
+    rm(new java.io.File(parent))
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    StreamingPostings.indexBatch(dir)(all, batchId = 0L)
+    val expected = served(dir)
+    // a compaction that crashed BEFORE its phase-1 marker leaves a
+    // _compact_* sibling; a crashed append attempt can leave _stage_*
+    val staleC = new java.io.File(s"${dir}_compact_postings_123")
+    val staleS = new java.io.File(s"${dir}_stage_p0_b99")
+    staleC.mkdirs(); staleS.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staleC, "junk.parquet").toPath, Array[Byte](1))
+    StreamingPostings.compactIndex(spark, dir)
+    assert(!staleC.exists() && !staleS.exists(),
+      "compaction entry must sweep orphaned sibling stage dirs")
+    assert(served(dir) == expected)
+  }
+
   test("compaction crash recovery: phase-1 rolls back, phase-2 rolls forward") {
     val dir = "/tmp/graft_lake_test/stream_postings_recover/index"
     rm(new java.io.File(dir).getParentFile)
