@@ -35,11 +35,27 @@ object BatchLedgerIndex {
   /** One sub-layout: rows land under `indexDir/sub` (or `indexDir`
     * itself when `sub` is empty), clustered into `partCol=` directories
     * (or a single flat directory when None — e.g. per-batch stats rows).
+    * `sortCols` orders rows WITHIN each written file (after the partCol
+    * cluster) so point predicates on those columns prune parquet row
+    * groups by min/max stats — the postings layout sorts by term.
     */
-  final case class Layout(sub: String, partCol: Option[String]) {
+  final case class Layout(sub: String, partCol: Option[String],
+      sortCols: Seq[String] = Nil) {
     def base(indexDir: String): java.io.File =
       if (sub.isEmpty) new java.io.File(indexDir)
       else new java.io.File(indexDir, sub)
+  }
+
+  /** The layout's staged write: cluster by partCol, order each task's
+    * rows by (partCol, sortCols) so every written file is sorted.
+    */
+  private def stagedWriter(l: Layout, rows: DataFrame) = l.partCol match {
+    case Some(pc) =>
+      val r = rows.repartition(col(pc))
+      val s = if (l.sortCols.isEmpty) r
+        else r.sortWithinPartitions((pc +: l.sortCols).map(col): _*)
+      s.write.partitionBy(pc)
+    case None => rows.coalesce(1).write
   }
 
   private def ledgerFile(indexDir: String, ledgerName: String) =
@@ -135,13 +151,7 @@ object BatchLedgerIndex {
     }
     parts.zipWithIndex.foreach { case ((l, df), i) =>
       val stage = indexDir + s"_stage_p${i}_b$batchId"
-      l.partCol match {
-        case Some(pc) =>
-          df.repartition(col(pc))
-            .write.partitionBy(pc).mode("overwrite").parquet(stage)
-        case None =>
-          df.coalesce(1).write.mode("overwrite").parquet(stage)
-      }
+      stagedWriter(l, df).mode("overwrite").parquet(stage)
       moveIn(stage, indexDir, l, prefix)
       rm(new java.io.File(stage))
     }
@@ -272,10 +282,7 @@ object BatchLedgerIndex {
         else rewrites.getOrElse(l.sub, Some(live(l.sub)))
       content.map { rows =>
         val stage = indexDir + s"_compact_${l.sub.replace('/', '_')}_$gen"
-        (l.partCol match {
-          case Some(pc) => rows.repartition(col(pc)).write.partitionBy(pc)
-          case None     => rows.coalesce(1).write
-        }).mode("overwrite").parquet(stage)
+        stagedWriter(l, rows).mode("overwrite").parquet(stage)
         l -> stage
       }
     }

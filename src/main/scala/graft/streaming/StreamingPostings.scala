@@ -23,7 +23,8 @@ import graft.syntax._
 object StreamingPostings {
 
   private val Ledger = "_graft_postings_batches"
-  private val Postings = BatchLedgerIndex.Layout("postings", Some("bucket"))
+  private val Postings =
+    BatchLedgerIndex.Layout("postings", Some("bucket"), sortCols = Seq("term"))
   private val Stats = BatchLedgerIndex.Layout("stats", None)
   // Tombstone rows carry the deleted doc's FULL TEXT (the token mass the
   // stats correction needs) — churn-sized, i.e. corpus-fraction-sized at
