@@ -329,6 +329,16 @@ object Graft {
         numQueries: Int, k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame =
       Similarity.ivfPqTopK(embeddings, centroids, cells, codes, codebook,
         numQueries, k, nprobe, rerank)
+    /** Self-contained probe of a lake-following ANN index
+      * ([[Graft.retrieval]]'s `streamingAnn.followLake` maintains it):
+      * index rows carry the vector, tombstones apply generation-aware —
+      * no base-table join at query time.
+      */
+    def ivfTopKFromFollowIndex(queries: DataFrame, centroids: DataFrame,
+        index: DataFrame, tombstones: DataFrame, k: Int = 10,
+        nprobe: Int = 2): DataFrame =
+      Similarity.ivfTopKFromFollowIndex(queries, centroids, index,
+        tombstones, k, nprobe)
   }
 
   object text {
@@ -346,9 +356,15 @@ object Graft {
     def buildIndex(dir: String, corpus: DataFrame,
         mode: String = "overwrite"): Unit =
       RetrievalOps.writeIndex(dir, corpus, mode)
-    /** BM25 top-10 for the engine's fixed query, served from an index. */
-    def bm25TopK(postings: DataFrame, stats: DataFrame): DataFrame =
-      RetrievalOps.bm25TopKFromIndex(postings, stats)
+    /** BM25 top-k for an arbitrary term set, served from an index built
+      * at `buckets` fan-out (read the fan-out of a streaming-maintained
+      * dir via `streamingPostings.indexBuckets`). SQL route:
+      * `BM25 INDEX '<dir>' QUERY '<terms>' [TOP k]`.
+      */
+    def bm25TopK(postings: DataFrame, stats: DataFrame,
+        terms: Seq[String] = RetrievalOps.QueryTerms, k: Int = 10,
+        buckets: Int = RetrievalOps.IndexBuckets): DataFrame =
+      RetrievalOps.bm25TopKFromIndex(postings, stats, terms, k, buckets)
     /** K queries in ONE pruned probe, a bounded heap per query. */
     def bm25Bulk(postings: DataFrame, stats: DataFrame,
         queries: Seq[(Long, Seq[String])], k: Int = 10): DataFrame =
@@ -367,9 +383,18 @@ object Graft {
     def importanceTopK(corpus: DataFrame, k: Int = 100,
         portableHash: Boolean = true): DataFrame =
       CurationOps.importanceTopK(corpus, k, portableHash)
-    /** Streaming index maintenance (exactly-once micro-batch appends). */
+    /** Streaming index maintenance (exactly-once micro-batch appends,
+      * lake-following change-feed mode, purging compaction, bucket
+      * fan-out evolution).
+      */
     def streamingPostings: graft.streaming.StreamingPostings.type =
       graft.streaming.StreamingPostings
+    /** The dense sibling: lake-following ANN index maintenance
+      * (vector-carrying cell rows, gen-aware tombstones, purge); serve
+      * via [[Graft.similarity]]'s `ivfTopKFromFollowIndex`.
+      */
+    def streamingAnn: graft.streaming.StreamingAnn.type =
+      graft.streaming.StreamingAnn
   }
 
   object temporal {
