@@ -546,6 +546,26 @@ object RetrievalOps {
       },
       bm25TopkSql),
 
+    // Served from an index whose bucket fan-out was EVOLVED in place
+    // (64 → 256 via StreamingPostings.rebucket — one distributed
+    // re-cluster, crash-consistent `_graft_buckets` descriptor), oracle
+    // verbatim: fan-out evolution must not change a single answer. This
+    // puts the evolution path under the driver's correctness gate, not
+    // just the spec suite.
+    Op("bm25_index_rebucketed",
+      (s, d) => {
+        val dir = idxDir(d) + "/rebucketed"
+        val marker = new java.io.File(dir, "_graft_idx_done")
+        if (!marker.exists()) {
+          rmTree(new java.io.File(dir))
+          writeIndex(dir, docs(s, d), "overwrite")
+          graft.streaming.StreamingPostings.rebucket(s, dir, 256)
+          java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+        }
+        graft.streaming.StreamingPostings.bm25TopK(s, dir)
+      },
+      bm25TopkSql),
+
     // Same probe reached through SQL — `BM25 INDEX '<dir>' QUERY
     // 'vector join slow' TOP 10` (GraftSqlParser statement; the
     // reference's serving path is SQL-first), oracle verbatim: the SQL
