@@ -77,7 +77,7 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Bm25 =
     """(?is)\s*BM25\s+INDEX\s+'([^']+)'\s+QUERY\s+'([^']+)'(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
   private val CreateBm25 =
-    """(?is)\s*CREATE\s+BM25\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?BM25\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val OptimizeBm25 =
     """(?is)\s*OPTIMIZE\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
   private val RebucketBm25 =
@@ -142,12 +142,18 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Restore(ident, version) =>
       GraftRestoreCommand(lakeRoot(ident), version.toInt)
     case Bm25(dir, query, k) =>
+      val kk = Option(k).map(_.toInt).getOrElse(10)
+      // the command's eager collect is contractually the k RESULT rows,
+      // never the corpus — an unbounded TOP turns it into a driver-sized
+      // collect of every matching doc; refuse at parse time
+      require(kk >= 1 && kk <= 10000,
+        s"BM25 INDEX … TOP $kk: k must be in [1, 10000]")
       GraftBm25Command(dir,
         query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           .filter(_.nonEmpty).toSeq,
-        Option(k).map(_.toInt).getOrElse(10))
-    case CreateBm25(dir, table) =>
-      GraftBm25BuildCommand(dir, lakeRoot(table))
+        kk)
+    case CreateBm25(replace, dir, table) =>
+      GraftBm25BuildCommand(dir, lakeRoot(table), replace != null)
     case OptimizeBm25(dir) =>
       GraftBm25MaintainCommand(dir, rebucket = None)
     case RebucketBm25(dir, n) =>
@@ -200,25 +206,43 @@ case class GraftBm25Command(indexDir: String, terms: Seq[String], k: Int)
       .collect().toIndexedSeq
 }
 
-/** `CREATE BM25 INDEX '<dir>' FROM <table>` — build the frozen inverted
-  * index of a lake table's (doc_id, text) through SQL: one DV-applied
-  * snapshot read, one tokenize shuffle, bucketed postings + a stats row
-  * (the [[graft.operators.RetrievalOps.writeIndex]] layout the probe
-  * statement serves). With CREATE/query/OPTIMIZE/REBUCKET the whole
-  * sparse-retrieval lifecycle is SQL-reachable — the reference's
+/** `CREATE [OR REPLACE] BM25 INDEX '<dir>' FROM <table>` — build the
+  * frozen inverted index of a lake table's (doc_id, text) through SQL:
+  * one DV-applied snapshot read, one tokenize shuffle, bucketed postings
+  * + a stats row (the [[graft.operators.RetrievalOps.writeIndex]] layout
+  * the probe statement serves). With CREATE/query/OPTIMIZE/REBUCKET the
+  * whole sparse-retrieval lifecycle is SQL-reachable — the reference's
   * SQL-first serving story extended to index administration.
+  *
+  * CREATE recursively replaces `<dir>` (a leftover ledger/descriptor/
+  * tombstone layout from a prior streaming life must not leak into the
+  * fresh build) — so a mistyped path in SQL text must NOT be able to
+  * destroy arbitrary data: plain CREATE refuses any target that is not
+  * absent, empty, or recognizably a BM25 index (postings/stats layout,
+  * descriptor, or batch ledger present). `OR REPLACE` is the explicit
+  * opt-in for clobbering anything else.
   */
-case class GraftBm25BuildCommand(indexDir: String, tableRoot: String)
-    extends LeafRunnableCommand {
+case class GraftBm25BuildCommand(indexDir: String, tableRoot: String,
+    replace: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("n_docs", LongType, nullable = true)(),
     AttributeReference("total_len", LongType, nullable = true)())
   override def run(session: SparkSession): Seq[Row] = {
+    val dirF = new java.io.File(indexDir)
+    val isIndexShaped =
+      new java.io.File(dirF, "postings").isDirectory ||
+        new java.io.File(dirF, "stats").isDirectory ||
+        new java.io.File(dirF, "_graft_buckets").exists() ||
+        new java.io.File(dirF, "_graft_postings_batches").exists()
+    val isEmptyOrAbsent = !dirF.exists() ||
+      Option(dirF.listFiles()).forall(_.isEmpty)
+    require(replace || isEmptyOrAbsent || isIndexShaped,
+      s"CREATE BM25 INDEX: '$indexDir' exists and is not a BM25 index — " +
+        "refusing to delete it (a lake table or other data would be " +
+        "destroyed). Point at an absent/empty path, or use " +
+        "CREATE OR REPLACE BM25 INDEX to overwrite explicitly.")
     val docs = graft.sources.LakeIO.readMoR(session, tableRoot)
       .select("doc_id", "text")
-    // CREATE replaces the whole index dir — a leftover ledger/descriptor/
-    // tombstone layout from a prior (streaming) life must not leak into
-    // the fresh build
     graft.sources.LakeIO.rmDir(indexDir)
     graft.operators.RetrievalOps.writeIndex(indexDir, docs, "overwrite")
     session.read.parquet(indexDir + "/stats").collect().toIndexedSeq
@@ -276,18 +300,13 @@ case class GraftBm25DescribeCommand(indexDir: String)
     }
     val tombs = graft.streaming.StreamingPostings.readTombstones(session, indexDir)
     val nTombs = tombs.count()
-    val delLen =
-      if (nTombs == 0L) 0L
-      else tombs.select(org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.split(
-            org.apache.spark.sql.functions.lower(
-              org.apache.spark.sql.functions.col("text")), " ")).as("t"))
-        .where(org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("t")) > 0)
-        .count()
-    val st = session.read.parquet(indexDir + "/stats")
-      .agg(org.apache.spark.sql.functions.sum("n_docs"),
-        org.apache.spark.sql.functions.sum("total_len")).head
+    // corpus totals through the SAME correction serving applies
+    // (RetrievalOps.correctedStatsGen — the function every tombstoned
+    // probe routes through), so DESCRIBE reports exactly what a probe
+    // would serve; a hand-rolled subtraction here drifted from serving
+    // on delete-then-reinsert histories
+    val st = graft.operators.RetrievalOps.correctedStatsGen(
+      session.read.parquet(indexDir + "/stats"), tombs).head
     // the ledger counts committed BATCH lines (compaction watermarks are
     // negative ids — maintenance events, not ingest batches)
     val batches = graft.streaming.BatchLedgerIndex
@@ -295,8 +314,8 @@ case class GraftBm25DescribeCommand(indexDir: String)
     Seq(Row(
       graft.streaming.StreamingPostings.indexBuckets(indexDir).toLong,
       parquetsUnder("postings"), parquetsUnder("stats"), batches.toLong,
-      if (st.isNullAt(0)) null else st.getLong(0) - nTombs,
-      if (st.isNullAt(1)) null else st.getLong(1) - delLen,
+      if (st.isNullAt(0)) null else st.getLong(0),
+      if (st.isNullAt(1)) null else st.getLong(1),
       nTombs))
   }
 }

@@ -148,9 +148,7 @@ object Mv {
     val path = "/tmp/graft_lake/v3_mv_" +
       d.replaceAll("[^A-Za-z0-9.]", "_") + "/events"
     if (!new File(path + "/_SUCCESS").exists())
-      LakeIO.writeLake(
-        Tables.events(s, d).select($"event_id", $"ts", $"event_type", $"value"),
-        path)
+      LakeIO.cloneBase4(s, d, path)
     path
   }
 

@@ -268,8 +268,25 @@ object BatchLedgerIndex {
         name.substring(1, name.indexOf('-')).toLongOption
           .exists(id => !committed.contains(id))
     })
+    val metaLines = metaOnCommit.map { case (n, c) =>
+      require(!n.contains('=') && !c.contains('\n'),
+        s"meta descriptor must be single-line, '='-free name: $n=$c")
+      s"meta:$n=$c"
+    }
     val before = layouts.map(l => dataFiles(indexDir, l)).reduce(_ ++ _)
-    if (before.isEmpty) return (0, 0)
+    if (before.isEmpty) {
+      // an EMPTY index still honors descriptor flips: ALTER … REBUCKET
+      // on a postings-less index must leave future appends bucketing at
+      // the NEW modulus — returning before the descriptor write made
+      // the command report success while `_graft_buckets` silently kept
+      // the old fan-out. No layout exists for the descriptor to
+      // disagree with, so a bare atomic rewrite is crash-safe here.
+      if (metaLines.nonEmpty) {
+        new java.io.File(indexDir).mkdirs()
+        applyMetas(indexDir, metaLines)
+      }
+      return (0, 0)
+    }
     val live: Map[String, DataFrame] = layouts
       .filter(l => dataFiles(indexDir, l).nonEmpty)
       .map(l => l.sub -> read(s, indexDir, l)).toMap
@@ -289,11 +306,6 @@ object BatchLedgerIndex {
     // originals of every layout being compacted OR dropped
     val olds = layouts.filter(l => live.contains(l.sub))
       .flatMap(l => dataFiles(indexDir, l))
-    val metaLines = metaOnCommit.map { case (n, c) =>
-      require(!n.contains('=') && !c.contains('\n'),
-        s"meta descriptor must be single-line, '='-free name: $n=$c")
-      s"meta:$n=$c"
-    }
     // phase 1: crash ⇒ roll back c<gen>- (metas NOT applied)
     writeMarker(indexDir, (s"gen:$gen" +: metaLines).mkString("\n"))
     staged.foreach { case (l, stage) =>

@@ -171,13 +171,14 @@ object StreamingAnn {
       live.get(FollowTombs.sub) match {
         case None => Map.empty
         case Some(tombs) =>
-          val cells = live(FollowCells.sub)
+          // delete-only histories leave the cells layout file-less —
+          // fold only what is present; the tombstones still drop
           val t = tombs.select(col("vec_id").as("t_id"), col("gen").as("t_gen"))
-          Map(
-            FollowCells.sub -> Some(cells.join(t,
+          live.get(FollowCells.sub).map(cells => FollowCells.sub -> Some(
+            cells.join(t,
               cells("vec_id") === t("t_id") && cells("gen") < t("t_gen"),
-              "left_anti")),
-            FollowTombs.sub -> None)
+              "left_anti"))).toMap +
+            (FollowTombs.sub -> None)
       }
     })
 }

@@ -89,19 +89,26 @@ object StreamingPostings {
     * serving index. All rewrites are distributed plans (postings
     * re-cluster by bucket); nothing corpus-sized crosses one task.
     */
-  def compactIndex(s: SparkSession, indexDir: String): (Int, Int) =
+  def compactIndex(s: SparkSession, indexDir: String): (Int, Int) = {
+    migrateFlatTombstones(s, indexDir)
     BatchLedgerIndex.compactWith(s, indexDir, Ledger, AllLayouts, { live =>
       live.get(Tombstones.sub) match {
         case None => Map.empty // no deletes yet: identity fold
         case Some(tombs) =>
-          Map(
-            Postings.sub -> Some(RetrievalOps.applyTombstonesGen(
-              live(Postings.sub), tombs, hintBroadcast = false)),
-            Stats.sub -> Some(RetrievalOps.correctedStatsGen(
-              live(Stats.sub), tombs)),
-            Tombstones.sub -> None)
+          // a delete-heavy history can leave a layout with ZERO live
+          // files (CDF positioned past the inserts, or postings already
+          // purged) — fold only the layouts actually present; the
+          // tombstones still drop (nothing left for them to kill) and
+          // the stats correction still applies when stats exist
+          live.get(Postings.sub).map(p => Postings.sub -> Some(
+            RetrievalOps.applyTombstonesGen(p, tombs,
+              hintBroadcast = false))).toMap ++
+            live.get(Stats.sub).map(st => Stats.sub -> Some(
+              RetrievalOps.correctedStatsGen(st, tombs))).toMap +
+            (Tombstones.sub -> None)
       }
     })
+  }
 
   /** The index FOLLOWS THE LAKE: one maintenance stream over the lake's
     * change feed (`readStream.format("graft-lake-cdf")`) keeps the index
@@ -134,6 +141,7 @@ object StreamingPostings {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        migrateFlatTombstones(batch.sparkSession, indexDir)
         val docCols = batch.columns
           .filterNot(Set("change", "_commit_version")).map(col).toSeq
         val net = batch
@@ -155,23 +163,125 @@ object StreamingPostings {
       }
       .start()
 
+  // -------------------------------------------------- layout migration
+
+  private val MigMarker = "_graft_tomb_migrate"
+
+  private def flatTombFiles(indexDir: String): Seq[java.io.File] = {
+    val base = new java.io.File(indexDir, "tombstones")
+    Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  private def bucketedTombFiles(indexDir: String): Seq[java.io.File] = {
+    val base = new java.io.File(indexDir, "tombstones")
+    Option(base.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("tbucket="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  private def withGen(df: DataFrame): DataFrame =
+    if (df.columns.contains("gen")) df else df.withColumn("gen", lit(0L))
+
+  /** One-shot migration of a pre-r13 FLAT tombstone layout into the
+    * hash-bucketed `tbucket=` layout. The r12 layout change shipped with
+    * no migration path: an index dir written by the flat-era code plus
+    * one new bucketed append = a mixed flat+partitioned directory that
+    * Spark's partition discovery REFUSES to read — a previously-valid
+    * index bricked by an upgrade. Every WRITE entry point (followLake
+    * batches, compaction, rebucket) migrates first, under the same
+    * single-writer maintenance contract those entry points already hold.
+    *
+    * Crash-safe two-phase protocol (the compaction marker's shape):
+    * the flat files stay the source of truth until the `mig-`
+    * generation is FULLY in and the marker lists them; an unmarked
+    * crash rolls the partial `mig-` files back on the next attempt, a
+    * marked crash rolls forward (finish deleting the listed flats).
+    */
+  private[graft] def migrateFlatTombstones(s: SparkSession,
+      indexDir: String): Unit = {
+    val marker = new java.io.File(indexDir, MigMarker)
+    if (marker.exists()) { // phase 2: roll FORWARD — finish the deletes
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(marker.toPath).asScala
+        .filter(_.nonEmpty)
+        .foreach { r => new java.io.File(indexDir, r).delete(); () }
+      marker.delete()
+    }
+    val flats = flatTombFiles(indexDir)
+    if (flats.isEmpty) return
+    // phase-1 rollback: a crashed earlier attempt's partial generation
+    bucketedTombFiles(indexDir)
+      .filter(_.getName.startsWith("mig-")).foreach(_.delete())
+    // read the flat rows by EXPLICIT path (immune to mixed-layout
+    // discovery), bucket, stage, move in under the mig- prefix
+    val rows = withGen(s.read.parquet(flats.map(_.getPath): _*))
+      .withColumn("tbucket",
+        pmod(xxhash64($"doc_id"), lit(TombBuckets.toLong)).cast("int"))
+    val stage = indexDir + "_stage_tombmig"
+    rows.repartition(col("tbucket")).write.partitionBy("tbucket")
+      .mode("overwrite").parquet(stage)
+    val base = new java.io.File(indexDir, "tombstones")
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("tbucket="))
+      .foreach { d =>
+        val dest = new java.io.File(base, d.getName)
+        dest.mkdirs()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dest, "mig-" + f.getName).toPath)
+          }
+      }
+    graft.sources.LakeIO.rmDir(stage)
+    val tmp = new java.io.File(indexDir, s".$MigMarker.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      flats.map(f => "tombstones/" + f.getName)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    tmp.renameTo(marker) // commit point: flats now redundant
+    flats.foreach(_.delete())
+    marker.delete()
+    ()
+  }
+
   /** Live tombstone rows (empty-schema-safe before any delete and after
-    * a purging compaction cleared the layout).
+    * a purging compaction cleared the layout). Reads the pre-migration
+    * FLAT layout too — read paths stay read-only, so a flat-era index
+    * keeps serving until its next write entry point migrates it; in the
+    * mid-crash window (flats + a partial `mig-` generation both on
+    * disk) the unmarked flats are authoritative and the partial
+    * generation is excluded, so nothing double-counts.
     */
   def readTombstones(s: SparkSession, indexDir: String): DataFrame = {
-    val base = new java.io.File(indexDir, "tombstones")
-    val hasParquet = base.isDirectory &&
-      Option(base.listFiles()).getOrElse(Array.empty).exists { f =>
-        (f.isFile && f.getName.endsWith(".parquet")) ||
-          (f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
-            .exists(g => g.isFile && g.getName.endsWith(".parquet")))
+    val marker = new java.io.File(indexDir, MigMarker)
+    val redundant: Set[String] =
+      if (!marker.exists()) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(marker.toPath).asScala
+          .filter(_.nonEmpty).map(r => new java.io.File(indexDir, r).getName)
+          .toSet
       }
-    if (!hasParquet) {
-      import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType), StructField("gen", LongType))))
-    } else BatchLedgerIndex.read(s, indexDir, Tombstones)
+    val flats = flatTombFiles(indexDir).filterNot(f => redundant(f.getName))
+    val bucketed0 = bucketedTombFiles(indexDir)
+    val bucketed =
+      if (flats.isEmpty) bucketed0
+      else bucketed0.filterNot(_.getName.startsWith("mig-"))
+    (flats.nonEmpty, bucketed.nonEmpty) match {
+      case (false, false) =>
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType), StructField("gen", LongType))))
+      case (false, true) => BatchLedgerIndex.read(s, indexDir, Tombstones)
+      case (true, false) => withGen(s.read.parquet(flats.map(_.getPath): _*))
+      case (true, true) =>
+        withGen(s.read.parquet(flats.map(_.getPath): _*))
+          .unionByName(s.read.parquet(bucketed.map(_.getPath): _*),
+            allowMissingColumns = true)
+    }
   }
 
   /** The postings bucket fan-out this index was built (or last
@@ -200,7 +310,8 @@ object StreamingPostings {
     * survive, so committed replays stay no-ops; subsequent appends read
     * the descriptor and bucket at the new fan-out.
     */
-  def rebucket(s: SparkSession, indexDir: String, newBuckets: Int): (Int, Int) =
+  def rebucket(s: SparkSession, indexDir: String, newBuckets: Int): (Int, Int) = {
+    migrateFlatTombstones(s, indexDir)
     BatchLedgerIndex.compactWith(s, indexDir, Ledger, AllLayouts, { live =>
       live.get(Postings.sub) match {
         case None => Map.empty
@@ -209,6 +320,7 @@ object StreamingPostings {
             pmod(xxhash64($"term"), lit(newBuckets.toLong)).cast("int"))))
       }
     }, metaOnCommit = Seq(BucketsFile -> newBuckets.toString))
+  }
 
   /** Serve BM25 top-10 from the lake-following index: frozen postings,
     * summed stats, generation-aware tombstones applied at probe time.
