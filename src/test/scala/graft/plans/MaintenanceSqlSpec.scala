@@ -287,6 +287,101 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       === 128L, "DESCRIBE must report the evolved fan-out")
   }
 
+  test("CREATE BM25 INDEX refuses to clobber a non-index dir; OR REPLACE is the opt-in") {
+    attach()
+    val lake = s"$wh/default/bm25guard"
+    val docs = Seq((1L, "vector join"), (2L, "slow fast"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.writeLake(docs, lake)
+
+    // mistyped target = a LAKE root: plain CREATE must refuse and the
+    // table must survive byte-for-byte (this is the failure class the
+    // 'never overwrite a lake root directly' invariant guards against)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE BM25 INDEX '$lake' FROM mcat.default.bm25guard")
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+    assert(spark.read.format("graft-lake").load(lake).count() === 2L,
+      "the refused CREATE must leave the lake intact")
+
+    // absent path: builds; re-CREATE over the now-index-shaped dir: ok
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_guard")
+      .toString + "/idx"
+    spark.sql(s"CREATE BM25 INDEX '$idx' FROM mcat.default.bm25guard")
+    spark.sql(s"CREATE BM25 INDEX '$idx' FROM mcat.default.bm25guard")
+    assert(new java.io.File(idx, "postings").isDirectory)
+
+    // non-index junk dir: refused plainly, clobbered under OR REPLACE
+    val dirty = java.nio.file.Files.createTempDirectory("graft_bm25_dirty")
+      .toString
+    java.nio.file.Files.write(
+      new java.io.File(dirty, "precious.txt").toPath, "data".getBytes)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE BM25 INDEX '$dirty' FROM mcat.default.bm25guard")
+    }
+    assert(new java.io.File(dirty, "precious.txt").exists())
+    spark.sql(s"CREATE OR REPLACE BM25 INDEX '$dirty' FROM mcat.default.bm25guard")
+    assert(new java.io.File(dirty, "postings").isDirectory)
+    assert(!new java.io.File(dirty, "precious.txt").exists())
+  }
+
+  test("BM25 INDEX TOP k is validated at parse time (the collect is k rows, never the corpus)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("BM25 INDEX '/tmp/nonexistent' QUERY 'a' TOP 999999999")
+    }
+    assert(e.getMessage.contains("[1, 10000]"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      spark.sql("BM25 INDEX '/tmp/nonexistent' QUERY 'a' TOP 0")
+    }
+  }
+
+  test("REBUCKET on an empty index still flips the descriptor (appends must follow it)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_empty")
+      .toString + "/idx"
+    val reb = spark.sql(s"ALTER BM25 INDEX '$idx' REBUCKET 256").collect().head
+    assert(reb.getLong(2) === 256L,
+      s"an empty index must still record the evolved fan-out: $reb")
+    assert(graft.streaming.StreamingPostings.indexBuckets(idx) === 256,
+      "_graft_buckets must hold the new modulus for future appends")
+  }
+
+  test("DESCRIBE BM25 INDEX totals route through serving's correction (delete + re-insert)") {
+    import graft.streaming.StreamingPostings
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_desc").toString
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    val docs = Seq(
+      (1L, "vector join fast"), (2L, "slow window batch"), (3L, "data of and"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+    LakeIO.writeLake(docs, lake)
+    val q = StreamingPostings.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), dir, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // delete doc 1, then RE-INSERT it (new text) — the tombstone must
+      // not count it dead once its re-insert landed
+      LakeIO.deleteWhereMoR(spark, lake, $"doc_id" === 1L)
+      q.processAllAvailable()
+      LakeIO.evolveAppend(
+        Seq((1L, "vector vector reborn"))
+          .toDF("doc_id", "text")
+          .withColumn("ts", to_timestamp(lit("2024-01-02 00:00:01"))), lake)
+      q.processAllAvailable()
+      val desc = spark.sql(s"DESCRIBE BM25 INDEX '$dir'").collect().head
+      assert(desc.getLong(4) === 3L,
+        s"n_docs must equal the live table (deleted-then-reinserted doc is alive): $desc")
+      // and exactly what serving's corrected totals say — one code path
+      val st = graft.operators.RetrievalOps.correctedStatsGen(
+        spark.read.parquet(dir + "/stats"),
+        StreamingPostings.readTombstones(spark, dir)).head
+      assert(desc.getLong(4) === st.getLong(0) &&
+        desc.getLong(5) === st.getLong(1),
+        s"DESCRIBE must report what a probe serves: $desc vs $st")
+    } finally q.stop()
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

@@ -243,6 +243,93 @@ class StreamingPostingsSpec extends AnyFunSuite {
     assert(probe() == expected)
   }
 
+  test("flat-era tombstone layout migrates once at the next write entry; reads never break") {
+    val base = "/tmp/graft_lake_test/stream_postings_flatmig"
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+
+    val all = Tables.documents(spark, sf)
+      .withColumn("ts", ($"doc_id" + lit(1705017600L)).cast("timestamp"))
+    graft.sources.LakeIO.writeLake(all, lake)
+    val q = StreamingPostings.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), dir, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"doc_id" % 7 === 3)
+      q.processAllAvailable()
+      val live = Tables.documents(spark, sf).where($"doc_id" % 7 =!= 3)
+      val expected = rebuiltOver(live)
+      assert(StreamingPostings.bm25TopK(spark, dir).collect()
+        .toSeq.map(_.toString) == expected)
+
+      // DE-MIGRATE to the flat r12-era layout: flatten every tombstone
+      // row into bare parquet files directly under tombstones/ (what an
+      // index dir written by the pre-tbucket code holds on disk)
+      val tombBase = new java.io.File(dir, "tombstones")
+      val rows = spark.read.parquet(tombBase.toString)
+        .select($"doc_id", $"text", $"gen")
+      val flatTmp = s"$base/flat_tmp"
+      rows.coalesce(1).write.parquet(flatTmp)
+      rm(tombBase)
+      tombBase.mkdirs()
+      new java.io.File(flatTmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(tombBase, s"b0-flat$i.parquet").toPath)
+        }
+      assert(new java.io.File(dir, "tombstones").listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+
+      // READ path: the flat-era index keeps serving, unmigrated
+      assert(StreamingPostings.bm25TopK(spark, dir).collect()
+        .toSeq.map(_.toString) == expected,
+        "a flat-era tombstone layout must keep serving")
+
+      // WRITE entry (next followed mutation): migrates once — flat
+      // files gone, tbucket= dirs live, answer identical
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"doc_id" % 13 === 4)
+      q.processAllAvailable()
+      assert(!tombBase.listFiles().exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")),
+        "migration must remove the flat files")
+      assert(tombBase.listFiles().exists(d =>
+        d.isDirectory && d.getName.startsWith("tbucket=")))
+      val live2 = live.where($"doc_id" % 13 =!= 4)
+      assert(StreamingPostings.bm25TopK(spark, dir).collect()
+        .toSeq.map(_.toString) == rebuiltOver(live2),
+        "post-migration serving must equal a rebuild over the live table")
+
+      // and the purge still works over the migrated layout
+      StreamingPostings.compactIndex(spark, dir)
+      assert(StreamingPostings.readTombstones(spark, dir).count() == 0L)
+      assert(StreamingPostings.bm25TopK(spark, dir).collect()
+        .toSeq.map(_.toString) == rebuiltOver(live2))
+    } finally q.stop()
+  }
+
+  test("purging compaction survives a postings-less index (delete-only history)") {
+    val dir = "/tmp/graft_lake_test/stream_postings_delonly/index"
+    rm(new java.io.File(dir).getParentFile)
+    // a CDF positioned past the inserts: the first batch carries ONLY
+    // deletes — stats + tombstones exist, the postings layout has no
+    // files at all
+    val tombs = Seq((1L, "a b c", 5L)).toDF("doc_id", "text", "gen")
+      .withColumn("tbucket",
+        pmod(xxhash64($"doc_id"), lit(32L)).cast("int"))
+    val stats = Seq((0L, 3L)).toDF("n_docs", "total_len")
+    BatchLedgerIndex.appendBatch(dir, "_graft_postings_batches", Seq(
+      BatchLedgerIndex.Layout("stats", None) -> stats,
+      BatchLedgerIndex.Layout("tombstones", Some("tbucket")) -> tombs), 5L)
+    // must not throw (live(Postings.sub) was unguarded); tombstones fold
+    // into the stats correction and clear
+    val (bef, aft) = StreamingPostings.compactIndex(spark, dir)
+    assert(bef > 0 && aft > 0)
+    assert(StreamingPostings.readTombstones(spark, dir).count() == 0L,
+      "the delete-only fold must still clear the tombstone layout")
+  }
+
   test("compaction entry sweeps orphaned sibling stage dirs (crashed attempts' disk leak)") {
     val parent = "/tmp/graft_lake_test/stream_postings_stale"
     val dir = s"$parent/index"
