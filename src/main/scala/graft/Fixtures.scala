@@ -62,7 +62,8 @@ object Fixtures {
       val S = graft.operators.Similarity
       S.annCentroids(s, d); S.annCodebook(s, d); S.annCells(s, d)
       S.annCodes(s, d); S.incrementalCells(s, d); S.incrementalCodes(s, d)
-      S.annTombstoneLake(s, d); ()
+      S.annTombstoneLake(s, d); S.annFollowIndex(s, d); S.annSqlIndex(s, d)
+      ()
     }),
     "bpe_vocab" -> ((s, d) => { graft.operators.CorpusOps.frozenVocab(s, d); () }),
     "mv_state" -> ((s, d) => {

@@ -57,7 +57,12 @@ object RetrievalOps {
   /** The BM25 scoring CTE over an arbitrary corpus relation (`rel` must
     * be a table name or an aliased derived table), ending at `sc`.
     */
-  private def bm25CteOver(rel: String): String =
+  /** The BM25 scoring CTE chain ending at `sc(doc_id, sd)`. `nCte` names
+    * the corpus-count CTE (default `n`; hybrid_rrf_ann renames it `nb`
+    * because its oracle chains this onto the kmeans CTE, which already
+    * defines `n`).
+    */
+  private def bm25CteOver(rel: String, nCte: String = "n"): String =
     s"""WITH t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |            FROM $rel),
        |t AS (SELECT doc_id, term FROM t0 WHERE length(term) > 0),
@@ -66,7 +71,7 @@ object RetrievalOps {
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
        |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
-       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM $rel),
+       |$nCte AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM $rel),
        |tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM t),
        |c AS (SELECT tf.doc_id,
        |        CAST(round(
@@ -74,7 +79,7 @@ object RetrievalOps {
        |          * (CAST(tf AS DOUBLE) * $K1p1
        |             / (CAST(tf AS DOUBLE) + ($K1nb + $K1b * ((dl * n_docs) / total_len))))
        |        , 6) AS DECIMAL(18,6)) AS contrib
-       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, tl),
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), $nCte, tl),
        |sc AS (SELECT doc_id, sum(contrib) AS sd FROM c GROUP BY doc_id)""".stripMargin
 
   private val bm25Cte = bm25CteOver("documents")
@@ -689,7 +694,31 @@ object RetrievalOps {
           bm25TopKFromIndex(postings, stats, QueryTerms, 100)
             .select($"doc_id", $"rk".as("r_text")))
       },
-      hybridRrfSql)
+      hybridRrfSql),
+
+    // BOTH sides index-served — the recall-for-cost variant the
+    // hybrid_rrf comment names: text from the frozen inverted index
+    // (bm25_index_topk's probe at k=100), dense from the frozen IVF
+    // index (similarity_ivf_trained's probe: nprobe=2 of the trained
+    // cells, query vector 0). Per-query cost is O(matched postings) +
+    // O(probed cells' rows) — no corpus tokenize, no corpus cosine scan.
+    // The dense side's SEMANTICS are the IVF probe (candidates outside
+    // the probed cells rank as absent, contributing 0 to the fusion —
+    // that is the approximation IVF trades for cost), so the oracle
+    // replays the same assignment/probe in SQL via the unrolled-kmeans
+    // CTE — hash-exact, recall approximation included.
+    Op("hybrid_rrf_ann",
+      (s, d) => {
+        val (postings, stats) = invertedIndex(s, d)
+        fuseRrf(
+          bm25TopKFromIndex(postings, stats, QueryTerms, 100)
+            .select($"doc_id", $"rk".as("r_text")),
+          Similarity.ivfTopKOverCells(Tables.embeddings(s, d),
+            Similarity.annCentroids(s, d), Similarity.annCells(s, d),
+            numQueries = 1, k = 100, nprobe = 2)
+            .select($"vec_id", $"rn".as("r_vec")))
+      },
+      hybridRrfAnnSql)
   )
 
   /** Dense side + RRF fusion of [[ops]]' hybrid queries: rank the corpus
@@ -712,8 +741,15 @@ object RetrievalOps {
             round(round(Similarity.dot($"qe", $"e") / ($"qn" * $"nrm"), 6) * 1e6)
               .cast("long").as("score"),
             $"vec_id".as("id"))
-        val rv = topKRanked(cs, 100, "vec_id", "r_vec").drop("score")
+        fuseRrf(rt, topKRanked(cs, 100, "vec_id", "r_vec").drop("score"))
+  }
 
+  /** RRF fusion of a text-side top-100 ranking `rt(doc_id, r_text)` and
+    * a dense-side top-100 ranking `rv(vec_id, r_vec)` — full-outer join,
+    * 1/(60+r) decimals with an absent side contributing 0, bounded-heap
+    * top-10.
+    */
+  private def fuseRrf(rt: DataFrame, rv: DataFrame): DataFrame = {
         // CACHE LIFETIME: the returned DataFrame is lazy, so this op
         // cannot unpersist before the caller evaluates it — the ≤200-row
         // entry lives until `spark.catalog.clearCache()` (Bench runs it
@@ -760,4 +796,43 @@ object RetrievalOps {
          |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_dec DESC, id) AS BIGINT) AS rk
          |  FROM f)
          |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
+  /** hybrid_rrf with BOTH retrievers replayed as index probes: the
+    * kmeans CTE (unrolled Lloyd's — [[Similarity.kmeansCte]], defining
+    * `v`/`n`/`cents` over embeddings) chains with the BM25 CTEs (corpus
+    * count renamed `nb` to avoid the collision), the dense ranking is
+    * the trained-IVF probe for query vector 0 at nprobe=2 / top-100, and
+    * the fusion tail is hybridRrfSql's verbatim.
+    */
+  private lazy val hybridRrfAnnSql: String =
+    s"""${Similarity.kmeansCte},
+       |${bm25CteOver("documents", "nb").stripPrefix("WITH ")},
+       |rt AS (SELECT t_id, r_text FROM (
+       |       SELECT doc_id AS t_id,
+       |              CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT) AS r_text
+       |       FROM sc) WHERE r_text <= 100),
+       |iscored AS (SELECT n.vec_id, n.e, n.nrm, c2.c_id,
+       |              row_number() OVER (PARTITION BY n.vec_id
+       |                ORDER BY ${sqlDot.format("e", "ce")}/(nrm*cn) DESC, c_id) AS rk
+       |            FROM n, cents c2),
+       |iasg AS (SELECT vec_id, e, nrm, c_id AS cell FROM iscored WHERE rk = 1),
+       |iq AS (SELECT e AS qe, nrm AS qn, c_id AS cell
+       |       FROM iscored WHERE vec_id = 0 AND rk <= 2),
+       |ics AS (SELECT ca.vec_id AS cv_id,
+       |          round(${sqlDot.format("qe", "ca.e")}/(qn*ca.nrm), 6) AS cos
+       |        FROM iq q JOIN iasg ca ON q.cell = ca.cell AND ca.vec_id <> 0),
+       |rv AS (SELECT v_id, r_vec FROM (
+       |       SELECT cv_id AS v_id,
+       |              CAST(row_number() OVER (ORDER BY cos DESC, cv_id) AS BIGINT) AS r_vec
+       |       FROM ics) WHERE r_vec <= 100),
+       |f AS (SELECT COALESCE(t_id, v_id) AS id, r_text, r_vec,
+       |        COALESCE(CAST(round(CAST(1.0 AS DOUBLE) / (60 + r_text), 6) AS DECIMAL(18,6)),
+       |                 CAST(0 AS DECIMAL(18,6)))
+       |      + COALESCE(CAST(round(CAST(1.0 AS DOUBLE) / (60 + r_vec), 6) AS DECIMAL(18,6)),
+       |                 CAST(0 AS DECIMAL(18,6))) AS rrf_dec
+       |      FROM rt FULL OUTER JOIN rv ON t_id = v_id)
+       |SELECT id, r_text, r_vec, CAST(rrf_dec AS DOUBLE) AS rrf, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_dec DESC, id) AS BIGINT) AS rk
+       |  FROM f)
+       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 }

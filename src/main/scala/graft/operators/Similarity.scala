@@ -610,6 +610,84 @@ object Similarity {
     lake
   }
 
+  /** Lake + lake-following ANN index fixture for `similarity_ivf_follow`:
+    * v1 commits the full embeddings table, a
+    * [[graft.streaming.StreamingAnn.followLake]] maintenance stream
+    * indexes it against the FROZEN [[annCentroids]] (insert batch), then
+    * a merge-on-read DV delete of vec_id % 7 == 3 flows through the
+    * change feed as id tombstones (later batch, higher gen). Returns the
+    * INDEX dir — the serving op never touches the lake again (the
+    * denormalized-vector contract).
+    */
+  def annFollowIndex(s: SparkSession, d: String): String = {
+    val base = annDir(d) + "/follow"
+    val idx = s"$base/index"
+    val marker = new java.io.File(base, "_graft_fixture_done")
+    if (!marker.exists()) {
+      graft.sources.LakeIO.rmDir(base)
+      val lake = s"$base/lake"
+      graft.sources.LakeIO.writeLake(
+        emb(s, d).withColumn("ts",
+          ($"vec_id" + lit(1705017600L)).cast("timestamp")), lake)
+      val q = graft.streaming.StreamingAnn.followLake(
+        s.readStream.format("graft-lake-cdf").load(lake),
+        annCentroids(s, d), idx, s"$base/ckpt")
+      try {
+        q.processAllAvailable()
+        graft.sources.LakeIO.deleteWhereMoR(s, lake, $"vec_id" % 7 === 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    idx
+  }
+
+  /** Frozen-IVF index BUILD for the SQL lifecycle (`CREATE ANN INDEX`):
+    * train spherical-k-means centroids ([[dedupK]](n), iters=2 — the
+    * [[annCentroids]] recipe, so the unrolled-Lloyd's oracle certifies
+    * the SQL build bit-for-bit), assign every vector to its cell, and
+    * write the SELF-CONTAINED serving layout:
+    *   centroids/            (cluster, pos, c, size) — broadcast-sized
+    *   cells/cell=C/…        (vec_id, embedding, gen=0) — the vector
+    *                         DENORMALIZED into the index row, so probes
+    *                         never join back to the base table
+    * Cell-partitioned, never coalesced — the corpus-sized-artifact rule.
+    * gen=0 + no tombstones means the frozen index serves through the
+    * same generation-aware path as a lake-following index
+    * ([[ivfTopKFromFollowIndex]]): one serving implementation, two
+    * maintenance styles.
+    */
+  def writeFrozenIvf(indexDir: String, embDf: DataFrame): Unit = {
+    val e = embDf.select($"vec_id", $"embedding")
+    val cents = kmeansFit(e, k = dedupK(e.count()), iters = 2)
+    cents.coalesce(1).write.mode("overwrite").parquet(indexDir + "/centroids")
+    ivfAssign(e, cents).join(e, Seq("vec_id"))
+      .select($"vec_id", $"embedding", $"cell", lit(0L).as("gen"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(indexDir + "/cells")
+  }
+
+  /** Lake + `CREATE ANN INDEX` fixture for `similarity_ivf_sql`: the
+    * full embeddings table committed as a lake, then the index built
+    * THROUGH the SQL statement (not the Scala API) — what the op
+    * certifies is the SQL surface end-to-end. Returns the index dir.
+    */
+  def annSqlIndex(s: SparkSession, d: String): String = {
+    val base = annDir(d) + "/sql"
+    val idx = s"$base/index"
+    val marker = new java.io.File(base, "_graft_fixture_done")
+    if (!marker.exists()) {
+      graft.sources.LakeIO.rmDir(base)
+      val lake = s"$base/lake"
+      graft.sources.LakeIO.writeLake(
+        emb(s, d).withColumn("ts",
+          ($"vec_id" + lit(1705017600L)).cast("timestamp")), lake)
+      s.sql(s"CREATE ANN INDEX '$idx' FROM '$lake'").collect()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    idx
+  }
+
   /** Frozen IVF cell assignment (vec_id → cell) of `d`. */
   def annCells(s: SparkSession, d: String): DataFrame =
     ensureCorpusArtifact(s, annDir(d) + "/cells")(
@@ -956,6 +1034,11 @@ object Similarity {
 
   private lazy val ivfTrainedSql: String = ivfTrainedSqlWhere("")
 
+  /** The unrolled-Lloyd's CTE chain, for sibling oracles that compose it
+    * (RetrievalOps' hybrid_rrf_ann chains it with the BM25 CTEs).
+    */
+  private[operators] def kmeansCte: String = kmeansSqlCte
+
   /** Lloyd's k-means UNROLLED to its fixed iteration count (k=8, iters=2
     * — [[annCentroids]]): because assignment ties break on c_id, means
     * recombine through DECIMAL(18,6), and every float expression is
@@ -1170,6 +1253,38 @@ object Similarity {
           numQueries = 5, k = 10, excluded = Some(deleted))
       },
       ivfTrainedSqlWhere(" AND c.vec_id % 7 <> 3")),
+
+    // Served ENTIRELY from the lake-FOLLOWING index
+    // (StreamingAnn.followLake): one maintenance stream indexed the
+    // embeddings lake (vectors denormalized into cell rows), then a MoR
+    // DV delete flowed through the change feed as generation-stamped id
+    // tombstones — the probe reads ONLY the index dir, never the base
+    // table. Same oracle as similarity_ivf_tombstoned VERBATIM: the
+    // follow index must answer exactly what a fresh assignment of the
+    // live table answers.
+    Op("similarity_ivf_follow",
+      (s, d) => {
+        val idx = annFollowIndex(s, d)
+        val (cells, tombs) =
+          graft.streaming.StreamingAnn.readFollowIndex(s, idx)
+        ivfTopKFromFollowIndex(
+          emb(s, d).where($"vec_id" < 5).select($"vec_id", $"embedding"),
+          annCentroids(s, d), cells, tombs, k = 10, nprobe = 2)
+      },
+      ivfTrainedSqlWhere(" AND c.vec_id % 7 <> 3")),
+
+    // The same trained-IVF probe reached through SQL — CREATE ANN INDEX
+    // builds the self-contained index from the lake table, ANN INDEX …
+    // QUERY FIRST 5 TOP 10 probes it (GraftSqlParser statements; the
+    // reference's serving path is SQL-first). Oracle = the trained-IVF
+    // SQL verbatim: the SQL lifecycle must answer exactly what the
+    // Scala surface answers, training included (kmeans determinism).
+    Op("similarity_ivf_sql",
+      (s, d) => {
+        val dir = annSqlIndex(s, d)
+        s.sql(s"ANN INDEX '$dir' QUERY FIRST 5 TOP 10")
+      },
+      ivfTrainedSql),
     // The PQ BUILD step (frozen per-subspace codebook artifact); oracle =
     // the unrolled per-subspace k-means.
     Op("pq_train", (s, d) => annCodebook(s, d),

@@ -84,6 +84,14 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+BM25\s+INDEX\s+'([^']+)'\s+REBUCKET\s+(\d+)\s*;?\s*""".r
   private val DescribeBm25 =
     """(?is)\s*DESC(?:RIBE)?\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  private val Ann =
+    """(?is)\s*ANN\s+INDEX\s+'([^']+)'\s+QUERY\s+(?:FIRST\s+(\d+)|ID\s+(\d+))(?:\s+TOP\s+(\d+))?(?:\s+NPROBE\s+(\d+))?\s*;?\s*""".r
+  private val CreateAnn =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?ANN\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
+  private val OptimizeAnn =
+    """(?is)\s*OPTIMIZE\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeAnn =
+    """(?is)\s*DESC(?:RIBE)?\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
 
   /** `<catalog>.<ns...>.<table>` → `<warehouse>/<ns...>/<table>` via the
     * catalog's registered warehouse, or a quoted filesystem path verbatim.
@@ -160,6 +168,23 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftBm25MaintainCommand(dir, rebucket = Some(n.toInt))
     case DescribeBm25(dir) =>
       GraftBm25DescribeCommand(dir)
+    case Ann(dir, firstN, id, k, nprobe) =>
+      val kk = Option(k).map(_.toInt).getOrElse(10)
+      require(kk >= 1 && kk <= 10000,
+        s"ANN INDEX … TOP $kk: k must be in [1, 10000]")
+      val n = Option(firstN).map(_.toInt)
+      // FIRST n collects n×k rows on the driver — bound it the way TOP
+      // is bounded
+      require(n.forall(v => v >= 1 && v <= 1000),
+        s"ANN INDEX … QUERY FIRST ${n.get}: n must be in [1, 1000]")
+      GraftAnnCommand(dir, n, Option(id).map(_.toLong), kk,
+        Option(nprobe).map(_.toInt).getOrElse(2))
+    case CreateAnn(replace, dir, table) =>
+      GraftAnnBuildCommand(dir, lakeRoot(table), replace != null)
+    case OptimizeAnn(dir) =>
+      GraftAnnMaintainCommand(dir)
+    case DescribeAnn(dir) =>
+      GraftAnnDescribeCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -317,6 +342,152 @@ case class GraftBm25DescribeCommand(indexDir: String)
       if (st.isNullAt(0)) null else st.getLong(0),
       if (st.isNullAt(1)) null else st.getLong(1),
       nTombs))
+  }
+}
+
+/** `ANN INDEX '<dir>' QUERY (FIRST n | ID id) [TOP k] [NPROBE p]` — the
+  * SQL entry point for dense-index serving (the reference's serving
+  * path is SQL-first; GraftBm25Command's dense sibling): probes the
+  * self-contained IVF index at `<dir>` — frozen (`CREATE ANN INDEX`) or
+  * lake-following ([[graft.streaming.StreamingAnn.followLake]]),
+  * dispatch in [[graft.streaming.StreamingAnn.annTopK]] — and returns
+  * (q_id, cell, vec_id, cos, rn) top-k per query. Query vectors come
+  * from the live index rows, so the statement needs no table at all.
+  * The eager collect is ≤ n×k result rows (both parse-time-clamped),
+  * never the corpus.
+  */
+case class GraftAnnCommand(indexDir: String, firstN: Option[Int],
+    queryId: Option[Long], k: Int, nprobe: Int)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.DoubleType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("q_id", LongType, nullable = true)(),
+    AttributeReference("cell", LongType, nullable = true)(),
+    AttributeReference("vec_id", LongType, nullable = true)(),
+    AttributeReference("cos", DoubleType, nullable = true)(),
+    AttributeReference("rn", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    graft.streaming.StreamingAnn
+      .annTopK(session, indexDir, firstN, queryId, k, nprobe)
+      .collect().toIndexedSeq
+}
+
+/** `CREATE [OR REPLACE] ANN INDEX '<dir>' FROM <table>` — build the
+  * frozen self-contained IVF index of a lake table's
+  * (vec_id, embedding) through SQL: one DV-applied snapshot read,
+  * k-means training (deterministic — the trained-IVF oracle certifies
+  * the build), cell assignment, and the
+  * [[graft.operators.Similarity.writeFrozenIvf]] layout (broadcast-sized
+  * centroids + cell-partitioned vector rows). Same clobber guard as
+  * CREATE BM25 INDEX: plain CREATE refuses any target that is not
+  * absent, empty, or recognizably an ANN index; `OR REPLACE` is the
+  * explicit opt-in.
+  */
+case class GraftAnnBuildCommand(indexDir: String, tableRoot: String,
+    replace: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_vectors", LongType, nullable = false)(),
+    AttributeReference("k_centroids", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val dirF = new java.io.File(indexDir)
+    val isIndexShaped =
+      new java.io.File(dirF, "cells").isDirectory ||
+        new java.io.File(dirF, "centroids").isDirectory ||
+        new java.io.File(dirF, "_graft_ann_batches").exists()
+    val isEmptyOrAbsent = !dirF.exists() ||
+      Option(dirF.listFiles()).forall(_.isEmpty)
+    require(replace || isEmptyOrAbsent || isIndexShaped,
+      s"CREATE ANN INDEX: '$indexDir' exists and is not an ANN index — " +
+        "refusing to delete it (a lake table or other data would be " +
+        "destroyed). Point at an absent/empty path, or use " +
+        "CREATE OR REPLACE ANN INDEX to overwrite explicitly.")
+    val vecs = graft.sources.LakeIO.readMoR(session, tableRoot)
+      .select("vec_id", "embedding")
+    graft.sources.LakeIO.rmDir(indexDir)
+    graft.operators.Similarity.writeFrozenIvf(indexDir, vecs)
+    val cents = session.read.parquet(indexDir + "/centroids")
+    Seq(Row(session.read.parquet(indexDir + "/cells").count(),
+      cents.select("cluster").distinct().count()))
+  }
+}
+
+/** `OPTIMIZE ANN INDEX '<dir>'` — purging compaction of a
+  * lake-following index (fold per-batch cell files, apply the
+  * generation-aware tombstones, clear them —
+  * [[graft.streaming.StreamingAnn.compactFollow]]); on a frozen
+  * `CREATE ANN INDEX` layout there is nothing to fold (one generation,
+  * no tombstones), so the command reports the unchanged file count
+  * rather than failing — idempotent maintenance, like OPTIMIZE on an
+  * already-compacted table. Maintenance contract (stream STOPPED) is
+  * the caller's, same as the Scala surface.
+  */
+case class GraftAnnMaintainCommand(indexDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (b, a) =
+      if (new java.io.File(indexDir, "_graft_ann_batches").exists())
+        graft.streaming.StreamingAnn.compactFollow(session, indexDir)
+      else {
+        val n = GraftAnnDescribeCommand.parquetsUnder(indexDir, "cells")
+        (n.toInt, n.toInt)
+      }
+    Seq(Row(b.toLong, a.toLong))
+  }
+}
+
+/** `DESCRIBE ANN INDEX '<dir>'` — operator introspection for the dense
+  * serving index (DESCRIBE BM25 INDEX's sibling): centroid count, live
+  * cell-file count, committed-batch count, the LIVE vector count
+  * (through the SAME generation-kill predicate serving applies — never
+  * a raw row count minus tombstones), and the live tombstone-row count,
+  * i.e. the number that tells an operator when to run
+  * `OPTIMIZE ANN INDEX`.
+  */
+case class GraftAnnDescribeCommand(indexDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("k_centroids", LongType, nullable = false)(),
+    AttributeReference("cell_files", LongType, nullable = false)(),
+    AttributeReference("committed_batches", LongType, nullable = false)(),
+    AttributeReference("live_vectors", LongType, nullable = false)(),
+    AttributeReference("tombstone_rows", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val S = graft.streaming.StreamingAnn
+    val cents = session.read.parquet(indexDir + "/centroids")
+    val ledgered = new java.io.File(indexDir, "_graft_ann_batches").exists()
+    val (cells, tombs) =
+      if (ledgered) S.readFollowIndex(session, indexDir)
+      else (session.read.parquet(indexDir + "/cells"),
+        S.emptyTombstones(session))
+    val t = tombs.select(col("vec_id").as("t_id"), col("gen").as("t_gen"))
+    val live = cells.join(broadcast(t),
+      cells("vec_id") === t("t_id") && cells("gen") < t("t_gen"),
+      "left_anti").count()
+    val batches =
+      if (ledgered)
+        graft.streaming.BatchLedgerIndex
+          .committedBatches(indexDir, "_graft_ann_batches").count(_ >= 0L)
+      else 0
+    Seq(Row(cents.select("cluster").distinct().count(),
+      GraftAnnDescribeCommand.parquetsUnder(indexDir, "cells"),
+      batches.toLong, live, tombs.count()))
+  }
+}
+
+object GraftAnnDescribeCommand {
+  /** Parquet-file count one partition level under `dir/sub` (listing
+    * only — data is never scanned).
+    */
+  private[plans] def parquetsUnder(dir: String, sub: String): Long = {
+    val base = new java.io.File(dir, sub)
+    Option(base.listFiles()).getOrElse(Array.empty).iterator.flatMap { d =>
+      if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty).iterator
+      else Iterator(d)
+    }.count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
   }
 }
 

@@ -150,13 +150,64 @@ object StreamingAnn {
           .exists(f => f.isFile && f.getName.endsWith(".parquet")))
     val tombs =
       if (hasParquet) BatchLedgerIndex.read(s, indexDir, FollowTombs)
-      else {
-        import org.apache.spark.sql.types._
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("vec_id", LongType),
-            StructField("gen", LongType))))
-      }
+      else emptyTombstones(s)
     (cells, tombs)
+  }
+
+  /** The no-deletes tombstone frame ((vec_id, gen), zero rows) — what a
+    * frozen index and a pre-first-delete follow index both serve against.
+    */
+  def emptyTombstones(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("gen", LongType))))
+  }
+
+  /** Publish the frozen centroid artifact INTO the index dir (CREATE ANN
+    * INDEX writes it; a Scala-maintained follow index calls this once to
+    * become SQL-servable) — serving reads centroids from the index, so
+    * the dir stays self-contained.
+    */
+  def writeCentroids(indexDir: String, centroids: DataFrame): Unit =
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(indexDir + "/centroids")
+
+  /** ANN top-k served from an index DIRECTORY — the SQL statement's
+    * dispatch ([[graft.plans.GraftAnnCommand]]), mirroring
+    * [[StreamingPostings.bm25TopK]] for the sparse sibling: a ledgered
+    * lake-following index (gen-stamped cells + id tombstones) serves
+    * tombstone-corrected; a frozen `CREATE ANN INDEX` layout (gen=0, no
+    * tombstones) serves the direct probe — ONE serving implementation
+    * ([[Similarity.ivfTopKFromFollowIndex]]), two maintenance styles.
+    * Query vectors are looked up from the LIVE index rows (`firstN` =
+    * all vec_id < n, the batch probe; `queryId` = one id), so serving
+    * never touches the base table. Cost: O(probed cells' rows).
+    */
+  def annTopK(s: org.apache.spark.sql.SparkSession, indexDir: String,
+      firstN: Option[Int], queryId: Option[Long], k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    require(new java.io.File(indexDir, "centroids").isDirectory,
+      s"ANN INDEX '$indexDir': no centroids/ artifact — not a servable " +
+        "ANN index (CREATE ANN INDEX writes it; for a Scala-maintained " +
+        "follow index run StreamingAnn.writeCentroids once)")
+    val cents = s.read.parquet(indexDir + "/centroids")
+    val (cells, tombs) =
+      if (new java.io.File(indexDir, Ledger).exists())
+        readFollowIndex(s, indexDir)
+      else (s.read.parquet(indexDir + "/cells"), emptyTombstones(s))
+    val t = tombs.select(col("vec_id").as("t_id"), col("gen").as("t_gen"))
+    val live = cells.join(broadcast(t),
+      cells("vec_id") === t("t_id") && cells("gen") < t("t_gen"), "left_anti")
+    val queries = (firstN, queryId) match {
+      case (Some(n), _)  => live.where(col("vec_id") < n)
+      case (_, Some(id)) => live.where(col("vec_id") === id)
+      case _ => throw new IllegalArgumentException(
+        "ANN INDEX QUERY: give FIRST <n> or ID <id>")
+    }
+    Similarity.ivfTopKFromFollowIndex(
+      queries.select(col("vec_id"), col("embedding")), cents, cells, tombs,
+      k = k, nprobe = nprobe)
   }
 
   /** Purging compaction for the lake-following index (maintenance,

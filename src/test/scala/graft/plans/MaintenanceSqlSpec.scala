@@ -382,6 +382,131 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full SQL ANN lifecycle: CREATE (guarded), QUERY, DESCRIBE, OPTIMIZE") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingAnn
+    val sf = graft.SharedSpark.sf
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_sql").toString
+    val lake = s"$base/lake"
+    val idx = s"$base/idx"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
+    LakeIO.writeLake(emb, lake)
+
+    // mistyped target = the LAKE root: plain CREATE must refuse and the
+    // table must survive
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE ANN INDEX '$lake' FROM '$lake'")
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+    assert(spark.read.format("graft-lake").load(lake).count() ===
+      emb.count(), "the refused CREATE must leave the lake intact")
+
+    val built = spark.sql(s"CREATE ANN INDEX '$idx' FROM '$lake'")
+      .collect().head
+    assert(built.getLong(0) === emb.count(),
+      s"CREATE must report the indexed vector count: $built")
+    // re-CREATE over the now-index-shaped dir: allowed (it IS an index)
+    spark.sql(s"CREATE ANN INDEX '$idx' FROM '$lake'")
+
+    // QUERY answers exactly what the scan-side trained probe answers
+    // (same frozen centroids, independent serving path)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    def viaSql(n: Int, k: Int) =
+      spark.sql(s"ANN INDEX '$idx' QUERY FIRST $n TOP $k")
+        .collect().toSeq.map(_.toString)
+    def viaScan(n: Int, k: Int) =
+      Similarity.ivfTopKTrained(
+        graft.sources.Tables.embeddings(spark, sf), cents,
+        numQueries = n, k = k).collect().toSeq.map(_.toString)
+    assert(viaSql(2, 5) == viaScan(2, 5))
+    // QUERY ID <id> = that query's slice of the batch probe
+    assert(
+      spark.sql(s"ANN INDEX '$idx' QUERY ID 1 TOP 5")
+        .collect().toSeq.map(_.toString) ==
+      viaScan(2, 5).filter(_.startsWith("[1,")))
+
+    // parse-time clamps: the collect is n×k result rows, never the corpus
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ANN INDEX '$idx' QUERY FIRST 2 TOP 999999999")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ANN INDEX '$idx' QUERY FIRST 99999 TOP 5")
+    }
+
+    // frozen layout: DESCRIBE reports the full build, OPTIMIZE is an
+    // idempotent no-op report (one generation, nothing to fold)
+    val desc = spark.sql(s"DESCRIBE ANN INDEX '$idx'").collect().head
+    assert(desc.getLong(3) === emb.count(), s"live_vectors: $desc")
+    assert(desc.getLong(4) === 0L, s"tombstone_rows: $desc")
+    val opt = spark.sql(s"OPTIMIZE ANN INDEX '$idx'").collect().head
+    assert(opt.getLong(0) === opt.getLong(1),
+      s"frozen OPTIMIZE must report an unchanged file count: $opt")
+
+    // and OR REPLACE is the only way over a non-index dir
+    val dirty = java.nio.file.Files.createTempDirectory("graft_ann_dirty")
+      .toString
+    java.nio.file.Files.write(
+      new java.io.File(dirty, "precious.txt").toPath, "data".getBytes)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE ANN INDEX '$dirty' FROM '$lake'")
+    }
+    assert(new java.io.File(dirty, "precious.txt").exists())
+    spark.sql(s"CREATE OR REPLACE ANN INDEX '$dirty' FROM '$lake'")
+    assert(new java.io.File(dirty, "cells").isDirectory)
+  }
+
+  test("ANN QUERY dispatches to follow-index serving: tombstone-corrected, purged by OPTIMIZE") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingAnn
+    val sf = graft.SharedSpark.sf
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_follow")
+      .toString
+    val lake = s"$base/lake"
+    val idx = s"$base/idx"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+      .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
+    LakeIO.writeLake(emb, lake)
+    val cents = Similarity.annCentroids(spark, sf)
+    val q = StreamingAnn.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake),
+      cents, idx, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      LakeIO.deleteWhereMoR(spark, lake, $"vec_id" % 7 === 6)
+      q.processAllAvailable()
+    } finally q.stop()
+    // SQL-servable once the centroid artifact is published into the dir
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ANN INDEX '$idx' QUERY FIRST 2 TOP 5")
+    }
+    StreamingAnn.writeCentroids(idx, cents)
+
+    // the probe must equal the scan-side trained probe over the LIVE
+    // table (assignment is a pure function of the frozen centroids)
+    val live = graft.sources.Tables.embeddings(spark, sf)
+      .where($"vec_id" % 7 =!= 6)
+    def viaSql() = spark.sql(s"ANN INDEX '$idx' QUERY FIRST 2 TOP 5")
+      .collect().toSeq.map(_.toString)
+    val expected = Similarity.ivfTopKTrained(live, cents,
+      numQueries = 2, k = 5).collect().toSeq.map(_.toString)
+    assert(viaSql() == expected,
+      "follow-index SQL serving must equal a fresh probe of the live table")
+
+    val descBefore = spark.sql(s"DESCRIBE ANN INDEX '$idx'").collect().head
+    assert(descBefore.getLong(4) > 0L, s"tombstones live: $descBefore")
+    assert(descBefore.getLong(3) === live.count(), s"live_vectors: $descBefore")
+
+    // OPTIMIZE purges: tombstones cleared, answers unchanged
+    spark.sql(s"OPTIMIZE ANN INDEX '$idx'")
+    val descAfter = spark.sql(s"DESCRIBE ANN INDEX '$idx'").collect().head
+    assert(descAfter.getLong(4) === 0L, s"purged: $descAfter")
+    assert(descAfter.getLong(3) === live.count(), s"live_vectors: $descAfter")
+    assert(viaSql() == expected, "post-purge serving must be unchanged")
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
