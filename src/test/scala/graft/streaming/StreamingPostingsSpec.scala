@@ -243,6 +243,60 @@ class StreamingPostingsSpec extends AnyFunSuite {
     assert(probe() == expected)
   }
 
+  test("continuous lifecycle: ingest, churn, DESCRIBE-driven OPTIMIZE, REBUCKET, more churn — probe == rebuild throughout") {
+    val base = "/tmp/graft_lake_test/stream_postings_lifecycle"
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+
+    val all = Tables.documents(spark, sf)
+      .withColumn("ts", ($"doc_id" + lit(1705017600L)).cast("timestamp"))
+    def probe(): Seq[String] =
+      StreamingPostings.bm25TopK(spark, dir).collect().toSeq.map(_.toString)
+    def tombstoneRows(): Long =
+      spark.sql(s"DESCRIBE BM25 INDEX '$dir'").collect().head.getLong(6)
+
+    // phase 1: backfill + first churn under a running stream
+    graft.sources.LakeIO.writeLake(all.where($"doc_id" < 300), lake)
+    val q1 = StreamingPostings.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), dir, s"$base/ckpt")
+    try {
+      q1.processAllAvailable()
+      graft.sources.LakeIO.evolveAppend(
+        all.where($"doc_id" >= 300 && $"doc_id" < 600), lake)
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"doc_id" % 7 === 3)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val live1 = Tables.documents(spark, sf)
+      .where($"doc_id" < 600 && $"doc_id" % 7 =!= 3)
+    assert(probe() == rebuiltOver(live1), "post-churn serving == rebuild")
+
+    // maintenance cadence, DESCRIBE-driven (stream stopped): tombstones
+    // accumulated -> OPTIMIZE purges them; fan-out evolves in place
+    assert(tombstoneRows() > 0L, "churn must be visible to the operator")
+    spark.sql(s"OPTIMIZE BM25 INDEX '$dir'")
+    assert(tombstoneRows() === 0L, "OPTIMIZE must purge the tombstones")
+    assert(probe() == rebuiltOver(live1), "post-purge serving == rebuild")
+    spark.sql(s"ALTER BM25 INDEX '$dir' REBUCKET 128")
+    assert(probe() == rebuiltOver(live1), "post-rebucket serving == rebuild")
+
+    // phase 2: the stream RESUMES from its checkpoint over the evolved
+    // index — later appends must bucket at the new modulus and later
+    // deletes must keep correcting
+    val q2 = StreamingPostings.followLake(
+      spark.readStream.format("graft-lake-cdf").load(lake), dir, s"$base/ckpt")
+    try {
+      graft.sources.LakeIO.evolveAppend(all.where($"doc_id" >= 600), lake)
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"doc_id" % 13 === 4)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val live2 = Tables.documents(spark, sf)
+      .where(($"doc_id" < 600 && $"doc_id" % 7 =!= 3 || $"doc_id" >= 600) &&
+        $"doc_id" % 13 =!= 4)
+    assert(probe() == rebuiltOver(live2),
+      "end of lifecycle: serving == rebuild over the final live table")
+  }
+
   test("flat-era tombstone layout migrates once at the next write entry; reads never break") {
     val base = "/tmp/graft_lake_test/stream_postings_flatmig"
     val lake = s"$base/lake"
