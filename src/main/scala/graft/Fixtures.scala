@@ -47,6 +47,7 @@ object Fixtures {
     "evolved_lake" -> ((s, d) => { graft.sources.LakeIO.evolvedLake(s, d); () }),
     "sharded_lake" -> ((s, d) => { graft.sources.LakeIO.shardedLake(s, d); () }),
     "restored_lake" -> ((s, d) => { graft.sources.LakeIO.restoredLake(s, d); () }),
+    "cloned_lake" -> ((s, d) => { graft.sources.LakeIO.clonedLake(s, d); () }),
     "branched_lake" -> ((s, d) => { graft.sources.LakeIO.branchedLake(s, d); () }),
     "constrained_lake" -> ((s, d) => { graft.sources.LakeIO.constrainedLake(s, d); () }),
     "overwritten_lake" -> ((s, d) => { graft.sources.LakeIO.overwrittenLake(s, d); () }),
@@ -63,7 +64,7 @@ object Fixtures {
       S.annCentroids(s, d); S.annCodebook(s, d); S.annCells(s, d)
       S.annCodes(s, d); S.incrementalCells(s, d); S.incrementalCodes(s, d)
       S.annTombstoneLake(s, d); S.annFollowIndex(s, d); S.annSqlIndex(s, d)
-      ()
+      S.annPqFollowIndex(s, d); ()
     }),
     "bpe_vocab" -> ((s, d) => { graft.operators.CorpusOps.frozenVocab(s, d); () }),
     "mv_state" -> ((s, d) => {

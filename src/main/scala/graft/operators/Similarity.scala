@@ -642,6 +642,34 @@ object Similarity {
     idx
   }
 
+  /** [[annFollowIndex]]'s IVF-PQ sibling for `similarity_ivfpq_follow`:
+    * the same lake + MoR-delete history maintained through
+    * [[graft.streaming.StreamingAnn.followLakePq]] (codes + norm + raw
+    * vector per row, frozen [[annCentroids]]/[[annCodebook]]).
+    */
+  def annPqFollowIndex(s: SparkSession, d: String): String = {
+    val base = annDir(d) + "/follow_pq"
+    val idx = s"$base/index"
+    val marker = new java.io.File(base, "_graft_fixture_done")
+    if (!marker.exists()) {
+      graft.sources.LakeIO.rmDir(base)
+      val lake = s"$base/lake"
+      graft.sources.LakeIO.writeLake(
+        emb(s, d).withColumn("ts",
+          ($"vec_id" + lit(1705017600L)).cast("timestamp")), lake)
+      val q = graft.streaming.StreamingAnn.followLakePq(
+        s.readStream.format("graft-lake-cdf").load(lake),
+        annCentroids(s, d), annCodebook(s, d), idx, s"$base/ckpt")
+      try {
+        q.processAllAvailable()
+        graft.sources.LakeIO.deleteWhereMoR(s, lake, $"vec_id" % 7 === 3)
+        q.processAllAvailable()
+      } finally q.stop()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    idx
+  }
+
   /** Frozen-IVF index BUILD for the SQL lifecycle (`CREATE ANN INDEX`):
     * train spherical-k-means centroids ([[dedupK]](n), iters=2 — the
     * [[annCentroids]] recipe, so the unrolled-Lloyd's oracle certifies
@@ -862,6 +890,65 @@ object Similarity {
       .orderBy($"q_id", $"rn")
   }
 
+  /** IVF-PQ probe served ENTIRELY from a lake-following index
+    * ([[graft.streaming.StreamingAnn.followLakePq]]) — the composed
+    * 100 TB serving index in its STREAMING-maintained form: index rows
+    * carry (codes, true norm, cell, gen) plus the raw vector for the
+    * exact re-rank, so ranking runs ADC over the probed cells' CODES
+    * and only the ≤ rerank×k shortlist touches floats — all
+    * index-local, never a base-table join. Tombstones are
+    * generation-aware, identical to [[ivfTopKFromFollowIndex]]; the
+    * output is `similarity_ivfpq`'s (q_id, vec_id, cos, rn) shape.
+    */
+  def ivfPqTopKFromFollowIndex(queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, index: DataFrame, tombstones: DataFrame,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(centroids
+      .groupBy($"cluster").agg(
+        transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("ce"))
+      .select($"cluster".as("c_id"), $"ce", norm($"ce").as("cn")))
+    val qv = queries.select($"vec_id".as("q_id"), asDouble($"embedding").as("qe"))
+    val qcells = broadcast(qv.withColumn("qn", norm($"qe")).join(cents)
+      .select($"q_id", $"c_id",
+        (dot($"qe", $"ce") / ($"qn" * $"cn")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"csim".desc, $"c_id")))
+      .where($"rk" <= nprobe)
+      .select($"q_id", $"c_id".as("cell")))
+    val qtab = broadcast(qv.crossJoin(broadcast(codebookRow(codebook)))
+      .withColumn("len", (size($"qe") / size($"cball")).cast("int"))
+      .select($"q_id", sqrt(dot($"qe", $"qe")).as("qn"),
+        flatten(transform(sequence(lit(0), size($"cball") - 1), i =>
+          transform(element_at($"cball", i + 1), c =>
+            dot(slice($"qe", i * $"len" + 1, $"len"), c("ce"))))).as("qtab")))
+    val t = tombstones.select($"vec_id".as("t_id"), $"gen".as("t_gen"))
+    val idx = index.select($"vec_id", asDouble($"embedding").as("e"),
+      $"nrm", $"codes", $"cell".cast("long").as("cell"), $"gen")
+    val live = idx.join(broadcast(t),
+      idx("vec_id") === t("t_id") && idx("gen") < t("t_gen"), "left_anti")
+    val cand = live.join(qcells, Seq("cell")).where($"vec_id" =!= $"q_id")
+    val approx = cand.join(qtab, Seq("q_id"))
+      .select($"q_id", $"vec_id", $"e", $"qn", $"nrm",
+        aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0),
+          (acc, i) => acc + element_at($"qtab",
+            (i * (size($"qtab") / size($"codes")) +
+              element_at($"codes", i + 1) + 1).cast("int")))
+          .as("adot"))
+      .withColumn("acos", $"adot" / ($"qn" * $"nrm"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id")))
+      .where($"ark" <= rerank * k)
+    approx.join(broadcast(qv), Seq("q_id"))
+      .select($"q_id", $"vec_id",
+        round(dot($"qe", $"e") / (norm($"qe") * norm($"e")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .where($"rn" <= k)
+      .orderBy($"q_id", $"rn")
+  }
+
   /** SEMANTIC DEDUP (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): cluster the embedding space, then search for
@@ -965,9 +1052,13 @@ object Similarity {
 
   /** Oracle for the IVF-PQ ADC query — shared verbatim by
     * `similarity_ivfpq` (full build) and `similarity_ivfpq_append`
-    * (incremental build): row-identical by construction.
+    * (incremental build): row-identical by construction. `extra` is an
+    * optional CANDIDATE-side predicate (the follow variant excludes
+    * tombstone-deleted corpus vectors there while training/encoding/
+    * assignment stay over the FULL corpus, exactly like the frozen
+    * artifacts).
     */
-  private lazy val ivfPqSql: String =
+  private def ivfPqSqlWhere(extra: String): String =
     s"""$kmeansSqlCte,
        |$pqSqlCteBody,
        |scored AS (SELECT n.vec_id, c.c_id,
@@ -985,7 +1076,7 @@ object Similarity {
        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
        |qsv AS (SELECT vec_id AS q_id, sub, sv AS qsv FROM sv WHERE vec_id < 5),
        |cand AS (SELECT qc.q_id, a.vec_id FROM qcells qc
-       |         JOIN asg a ON a.cell = qc.cell AND a.vec_id != qc.q_id),
+       |         JOIN asg a ON a.cell = qc.cell AND a.vec_id != qc.q_id$extra),
        |part AS (SELECT cd.q_id, cd.vec_id, en.sub, ${dd("qs.qsv", "c.ce")} AS val
        |         FROM cand cd
        |         JOIN qsv qs ON qs.q_id = cd.q_id
@@ -1005,6 +1096,8 @@ object Similarity {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
        |  FROM rer)
        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  private lazy val ivfPqSql: String = ivfPqSqlWhere("")
 
   /** Oracle for the trained-IVF query — shared verbatim by
     * `similarity_ivf_trained` (full build) and `similarity_ivf_append`
@@ -1272,6 +1365,25 @@ object Similarity {
           annCentroids(s, d), cells, tombs, k = 10, nprobe = 2)
       },
       ivfTrainedSqlWhere(" AND c.vec_id % 7 <> 3")),
+
+    // The IVF-PQ sibling of similarity_ivf_follow: the composed serving
+    // index (coarse cells + PQ codes + exact re-rank) maintained as a
+    // lake-following stream, probed entirely from the index dir —
+    // ADC ranks the probed cells' CODES, floats are touched only for
+    // the ≤ rerank×k shortlist (denormalized in the row, never a
+    // base-table join). Oracle = the full IVF-PQ train→encode→probe
+    // replay with the live-candidate predicate.
+    Op("similarity_ivfpq_follow",
+      (s, d) => {
+        val idx = annPqFollowIndex(s, d)
+        val (cells, tombs) =
+          graft.streaming.StreamingAnn.readFollowIndex(s, idx)
+        ivfPqTopKFromFollowIndex(
+          emb(s, d).where($"vec_id" < 5).select($"vec_id", $"embedding"),
+          annCentroids(s, d), annCodebook(s, d), cells, tombs,
+          k = 10, nprobe = 2, rerank = 4)
+      },
+      ivfPqSqlWhere(" AND a.vec_id % 7 <> 3")),
 
     // The same trained-IVF probe reached through SQL — CREATE ANN INDEX
     // builds the self-contained index from the lake table, ANN INDEX …

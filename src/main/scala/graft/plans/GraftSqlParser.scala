@@ -74,6 +74,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`'/-]+?)\s+DROP\s+BRANCH\s+['"]?([\w.-]+)['"]?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.`'/-]+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`'/-]+?)\s+(?:SHALLOW\s+)?CLONE\s+([\w.`'/-]+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val Bm25 =
     """(?is)\s*BM25\s+INDEX\s+'([^']+)'\s+QUERY\s+'([^']+)'(?:\s+TOP\s+(\d+))?\s*;?\s*""".r
   private val CreateBm25 =
@@ -85,7 +87,7 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DescribeBm25 =
     """(?is)\s*DESC(?:RIBE)?\s+BM25\s+INDEX\s+'([^']+)'\s*;?\s*""".r
   private val Ann =
-    """(?is)\s*ANN\s+INDEX\s+'([^']+)'\s+QUERY\s+(?:FIRST\s+(\d+)|ID\s+(\d+))(?:\s+TOP\s+(\d+))?(?:\s+NPROBE\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*ANN\s+INDEX\s+'([^']+)'\s+QUERY\s+(?:FIRST\s+(\d+)|ID\s+(\d+)|VEC\s+'([^']+)')(?:\s+TOP\s+(\d+))?(?:\s+NPROBE\s+(\d+))?\s*;?\s*""".r
   private val CreateAnn =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?ANN\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val OptimizeAnn =
@@ -149,6 +151,9 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftBranchCommand(lakeRoot(ident), name, publish = false)
     case Restore(ident, version) =>
       GraftRestoreCommand(lakeRoot(ident), version.toInt)
+    case Clone(target, source, travel) =>
+      GraftCloneCommand(lakeRoot(source), lakeRoot(target),
+        Option(travel).map(_.toInt))
     case Bm25(dir, query, k) =>
       val kk = Option(k).map(_.toInt).getOrElse(10)
       // the command's eager collect is contractually the k RESULT rows,
@@ -168,7 +173,7 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftBm25MaintainCommand(dir, rebucket = Some(n.toInt))
     case DescribeBm25(dir) =>
       GraftBm25DescribeCommand(dir)
-    case Ann(dir, firstN, id, k, nprobe) =>
+    case Ann(dir, firstN, id, vec, k, nprobe) =>
       val kk = Option(k).map(_.toInt).getOrElse(10)
       require(kk >= 1 && kk <= 10000,
         s"ANN INDEX … TOP $kk: k must be in [1, 10000]")
@@ -178,7 +183,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       require(n.forall(v => v >= 1 && v <= 1000),
         s"ANN INDEX … QUERY FIRST ${n.get}: n must be in [1, 1000]")
       GraftAnnCommand(dir, n, Option(id).map(_.toLong), kk,
-        Option(nprobe).map(_.toInt).getOrElse(2))
+        Option(nprobe).map(_.toInt).getOrElse(2),
+        Option(vec).map(_.split(",").map(_.trim.toFloat).toSeq))
     case CreateAnn(replace, dir, table) =>
       GraftAnnBuildCommand(dir, lakeRoot(table), replace != null)
     case OptimizeAnn(dir) =>
@@ -345,19 +351,46 @@ case class GraftBm25DescribeCommand(indexDir: String)
   }
 }
 
-/** `ANN INDEX '<dir>' QUERY (FIRST n | ID id) [TOP k] [NPROBE p]` — the
-  * SQL entry point for dense-index serving (the reference's serving
-  * path is SQL-first; GraftBm25Command's dense sibling): probes the
-  * self-contained IVF index at `<dir>` — frozen (`CREATE ANN INDEX`) or
-  * lake-following ([[graft.streaming.StreamingAnn.followLake]]),
-  * dispatch in [[graft.streaming.StreamingAnn.annTopK]] — and returns
-  * (q_id, cell, vec_id, cos, rn) top-k per query. Query vectors come
-  * from the live index rows, so the statement needs no table at all.
-  * The eager collect is ≤ n×k result rows (both parse-time-clamped),
-  * never the corpus.
+/** `CREATE TABLE <target> [SHALLOW] CLONE <source> [VERSION AS OF n]` —
+  * clone a lake table (or one of its historical snapshots) into a new
+  * INDEPENDENT table: metadata-only cost (manifest entries, stats, row
+  * counts and deletion vectors carried verbatim; data files hard-linked,
+  * byte-copy fallback), independent lifecycle (writes on either side
+  * never affect the other; a source VACUUM can never break the clone).
+  * Semantics and carried metadata in
+  * [[org.apache.spark.sql.graft.ManifestFileIndex.cloneTo]]. Returns
+  * (src_version, files, bytes) — `bytes` is the LOGICAL size shared via
+  * links, not bytes copied.
+  */
+case class GraftCloneCommand(srcRoot: String, dstRoot: String,
+    travel: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("src_version", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, files, bytes) =
+      ManifestFileIndex.cloneTo(srcRoot, dstRoot, travel)
+    Seq(Row(v.toLong, files, bytes))
+  }
+}
+
+/** `ANN INDEX '<dir>' QUERY (FIRST n | ID id | VEC '<f,f,…>') [TOP k]
+  * [NPROBE p]` — the SQL entry point for dense-index serving (the
+  * reference's serving path is SQL-first; GraftBm25Command's dense
+  * sibling): probes the self-contained IVF index at `<dir>` — frozen
+  * (`CREATE ANN INDEX`) or lake-following
+  * ([[graft.streaming.StreamingAnn.followLake]]), dispatch in
+  * [[graft.streaming.StreamingAnn.annTopK]] — and returns
+  * (q_id, cell, vec_id, cos, rn) top-k per query. FIRST/ID take query
+  * vectors from the live index rows; VEC is the embed-the-query shape
+  * (a raw probe vector, q_id = -1), so the statement needs no table at
+  * all. The eager collect is ≤ n×k result rows (both
+  * parse-time-clamped), never the corpus.
   */
 case class GraftAnnCommand(indexDir: String, firstN: Option[Int],
-    queryId: Option[Long], k: Int, nprobe: Int)
+    queryId: Option[Long], k: Int, nprobe: Int,
+    queryVec: Option[Seq[Float]] = None)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.types.DoubleType
   override val output: Seq[Attribute] = Seq(
@@ -368,7 +401,7 @@ case class GraftAnnCommand(indexDir: String, firstN: Option[Int],
     AttributeReference("rn", LongType, nullable = true)())
   override def run(session: SparkSession): Seq[Row] =
     graft.streaming.StreamingAnn
-      .annTopK(session, indexDir, firstN, queryId, k, nprobe)
+      .annTopK(session, indexDir, firstN, queryId, k, nprobe, queryVec)
       .collect().toIndexedSeq
 }
 

@@ -2720,6 +2720,29 @@ object LakeIO {
     path
   }
 
+  /** CLONE fixture: src = the events lake with a v2 CoW delete on top,
+    * dst = `CREATE TABLE … CLONE … VERSION AS OF 1` through SQL — the
+    * clone must serve the PRE-delete state (entries + stats carried
+    * verbatim from snapshot 1) while the source head keeps the delete.
+    * Keyed op `lake_clone_read` hash-proves it against an oracle that
+    * reads the original events table directly.
+    */
+  def clonedLake(s: SparkSession, d: String): String = {
+    val base = "/tmp/graft_lake/v6_clone_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dst = s"$base/events_clone"
+    val marker = new java.io.File(base, "_graft_clone_done")
+    if (!marker.exists()) {
+      rmDir(base)
+      val src = s"$base/events_src"
+      cloneBase4(s, d, src)
+      deleteWhere(s, src, $"event_id" % 5 === 0)
+      s.sql(s"CREATE TABLE '$dst' CLONE '$src' VERSION AS OF 1").collect()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+    }
+    dst
+  }
+
   /** Lake taken through a BRANCH lifecycle (Iceberg-branch-shaped
     * multi-commit WAP): base table committed on main, TWO appends staged
     * on branch `cur` (invisible to main readers), a concurrent append
@@ -2826,6 +2849,21 @@ object LakeIO {
     Op("lake_restore_read",
       (s, d) => {
         val path = restoredLake(s, d)
+        s.read.format("graft-lake").load(path)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // CREATE TABLE … CLONE … VERSION AS OF 1 over a source whose head
+    // carries a later CoW delete: the clone is a new INDEPENDENT table
+    // serving snapshot 1's exact state (entries/stats/schema carried,
+    // files hard-linked — metadata-only cost). Oracle reads the original
+    // events table: the clone must be indistinguishable from it.
+    Op("lake_clone_read",
+      (s, d) => {
+        val path = clonedLake(s, d)
         s.read.format("graft-lake").load(path)
           .select($"event_id", $"ts", $"event_type", $"value")
           .orderBy($"event_id")

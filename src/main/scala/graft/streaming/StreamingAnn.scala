@@ -136,6 +136,49 @@ object StreamingAnn {
       }
       .start()
 
+  /** [[followLake]]'s IVF-PQ variant — the composed 100 TB serving
+    * index maintained as a stream: each netted insert batch is
+    * PQ-ENCODED against the frozen `codebook` (codes + true norm) AND
+    * assigned against the frozen `centroids`, with the raw vector
+    * denormalized alongside for the exact re-rank, so serving
+    * ([[graft.operators.Similarity.ivfPqTopKFromFollowIndex]]) ranks
+    * ADC-over-codes and touches floats only for the shortlist — all
+    * index-local. Encode and assignment are pure per-row functions of
+    * frozen artifacts, so the streamed index is row-identical to a full
+    * re-encode (the incremental-IVF invariant); tombstones, netting,
+    * ledgering and purge ([[compactFollow]] — layout names are shared)
+    * are the followLake rules verbatim.
+    */
+  def followLakePq(changes: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val keyCols = batch.columns
+          .filterNot(Set("change", "_commit_version")).map(col).toSeq
+        val net = batch
+          .withColumn("__w",
+            org.apache.spark.sql.functions
+              .when(col("change") === "insert", 1L).otherwise(-1L))
+          .groupBy(keyCols: _*)
+          .agg(org.apache.spark.sql.functions.sum(col("__w")).as("__net"))
+        val ins = net.where(col("__net") > 0L).select(col("vec_id"), col("embedding"))
+        val del = net.where(col("__net") < 0L)
+          .select(col("vec_id"), lit(id).as("gen"),
+            pmod(xxhash64(col("vec_id")), lit(TombBuckets.toLong)).cast("int")
+              .as("tbucket"))
+        val encoded = Similarity.ivfAssign(ins, centroids)
+          .join(ins, Seq("vec_id"))
+          .join(Similarity.pqEncode(ins, codebook), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("codes"),
+            col("cell"), lit(id).as("gen"))
+        BatchLedgerIndex.appendBatch(indexDir, Ledger, Seq(
+          FollowTombs -> del,
+          FollowCells -> encoded), id, recoverAll = FollowLayouts)
+      }
+      .start()
+
   /** The live (cells, tombstones) pair for
     * [[graft.operators.Similarity.ivfTopKFromFollowIndex]];
     * tombstones are empty-schema-safe before any delete / after a purge.
@@ -186,7 +229,7 @@ object StreamingAnn {
     */
   def annTopK(s: org.apache.spark.sql.SparkSession, indexDir: String,
       firstN: Option[Int], queryId: Option[Long], k: Int = 10,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, queryVec: Option[Seq[Float]] = None): DataFrame = {
     require(new java.io.File(indexDir, "centroids").isDirectory,
       s"ANN INDEX '$indexDir': no centroids/ artifact — not a servable " +
         "ANN index (CREATE ANN INDEX writes it; for a Scala-maintained " +
@@ -199,14 +242,21 @@ object StreamingAnn {
     val t = tombs.select(col("vec_id").as("t_id"), col("gen").as("t_gen"))
     val live = cells.join(broadcast(t),
       cells("vec_id") === t("t_id") && cells("gen") < t("t_gen"), "left_anti")
-    val queries = (firstN, queryId) match {
-      case (Some(n), _)  => live.where(col("vec_id") < n)
-      case (_, Some(id)) => live.where(col("vec_id") === id)
+    val queries = (firstN, queryId, queryVec) match {
+      case (Some(n), _, _)  =>
+        live.where(col("vec_id") < n).select(col("vec_id"), col("embedding"))
+      case (_, Some(id), _) =>
+        live.where(col("vec_id") === id).select(col("vec_id"), col("embedding"))
+      case (_, _, Some(v))  =>
+        // the embed-the-query serving shape: the probe vector arrives
+        // raw, not as an indexed id; q_id is the -1 sentinel, and the
+        // self-exclusion predicate never fires (no corpus row is -1)
+        import s.implicits._
+        Seq((-1L, v)).toDF("vec_id", "embedding")
       case _ => throw new IllegalArgumentException(
-        "ANN INDEX QUERY: give FIRST <n> or ID <id>")
+        "ANN INDEX QUERY: give FIRST <n>, ID <id> or VEC '<floats>'")
     }
-    Similarity.ivfTopKFromFollowIndex(
-      queries.select(col("vec_id"), col("embedding")), cents, cells, tombs,
+    Similarity.ivfTopKFromFollowIndex(queries, cents, cells, tombs,
       k = k, nprobe = nprobe)
   }
 

@@ -890,6 +890,86 @@ object ManifestFileIndex {
     commitEntries(rootDir, partCol, entries, explicitDvs = Some(dvs))
   }
 
+  /** CLONE the table at `srcRoot` — at snapshot `travel`, default head —
+    * into a NEW independent table at `dstRoot` (Delta `SHALLOW CLONE` /
+    * Iceberg snapshot-export parity). Metadata-only in cost: the clone's
+    * v1 manifest carries the source snapshot's ENTRIES VERBATIM (stats,
+    * row counts and `#dv` deletion-vector lines included — a clone of a
+    * MoR state must not resurrect deleted rows), the snapshot's frozen
+    * schema, the rename history (`_graft_columns.tsv` — cloned-era files
+    * may carry historical column names, and mappedScan needs the full
+    * mapping), the partition spec, and the CURRENT CHECK constraints
+    * (write-governance follows the table forward; same rule as RESTORE).
+    * Data files transfer as HARD LINKS (same-filesystem: O(files)
+    * metadata ops, zero data bytes — parquet files are immutable once
+    * committed and every CoW/MoR mutation unlinks names rather than
+    * editing bytes, so source and clone diverge freely; the links also
+    * pin the bytes, so a later source VACUUM can never break the clone),
+    * with a byte-copy fallback across filesystems — the seam an
+    * object-store deployment would replace with a server-side copy or
+    * manifest-level reference. History does NOT follow (the clone starts
+    * at its own v1; branches/tags/staged WAP stay with the source).
+    * Returns (sourceVersion, files, bytes).
+    */
+  def cloneTo(srcRoot: String, dstRoot: String,
+      travel: Option[Int] = None): (Int, Long, Long) = {
+    val v = travel.getOrElse(claimedVersion(srcRoot))
+    val (partCol, entries) = read(srcRoot, Some(v)).getOrElse(
+      sys.error(s"clone: no snapshot $v under $srcRoot"))
+    val dvs = readDvs(srcRoot, Some(v))
+    val missing = (entries.map(_.relPath) ++ dvs)
+      .filterNot(p => new java.io.File(srcRoot, p).exists())
+    require(missing.isEmpty, s"clone: snapshot $v references " +
+      s"${missing.size} vacuumed file(s), e.g. ${missing.take(3).mkString(", ")}")
+    val dstF = new java.io.File(dstRoot)
+    require(!dstF.exists() || Option(dstF.listFiles()).forall(_.isEmpty),
+      s"clone: target '$dstRoot' exists and is not empty — refusing to " +
+        "write a table into it")
+    dstF.mkdirs()
+    var bytes = 0L
+    // a referenced path may be a FILE (data parquet) or a DIRECTORY (a
+    // deletion-vector sidecar is a parquet dataset dir) — link the tree
+    def linkTree(from: java.io.File, to: java.io.File): Unit =
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => linkTree(f, new java.io.File(to, f.getName)))
+      } else {
+        try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(from.toPath, to.toPath); ()
+        }
+        bytes += from.length()
+      }
+    val rels = (entries.map(_.relPath) ++ dvs).distinct
+    rels.foreach { rel =>
+      val to = new java.io.File(dstRoot, rel)
+      to.getParentFile.mkdirs()
+      linkTree(new java.io.File(srcRoot, rel), to)
+    }
+    val snapSchema = new java.io.File(s"$srcRoot/$SnapshotDir", s"schema-$v.json")
+    val curSchema = new java.io.File(srcRoot, "_graft_schema.json")
+    val schemaSrc = if (snapSchema.exists()) snapSchema else curSchema
+    if (schemaSrc.exists()) {
+      java.nio.file.Files.copy(schemaSrc.toPath,
+        new java.io.File(dstRoot, "_graft_schema.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    }
+    val cols = new java.io.File(srcRoot, "_graft_columns.tsv")
+    if (cols.exists()) {
+      java.nio.file.Files.copy(cols.toPath,
+        new java.io.File(dstRoot, "_graft_columns.tsv").toPath); ()
+    }
+    val cons = new java.io.File(s"$srcRoot/$SnapshotDir", ConstraintsName)
+    if (cons.exists()) {
+      new java.io.File(s"$dstRoot/$SnapshotDir").mkdirs()
+      java.nio.file.Files.copy(cons.toPath,
+        new java.io.File(s"$dstRoot/$SnapshotDir", ConstraintsName).toPath); ()
+    }
+    commitEntries(dstRoot, partCol, entries, explicitDvs = Some(dvs))
+    (v, rels.size.toLong, bytes)
+  }
+
   /** Render the manifest TSV for a live-entry set + parked set (+ live
     * deletion-vector paths, `#dv` lines — see [[readDvs]]).
     */

@@ -96,9 +96,10 @@ class RetrievalIndexSpec extends AnyFunSuite {
     val (postings, _) = RetrievalOps.invertedIndex(spark, sf)
     assert(postings.columns.sorted.toSeq ==
       Seq("bucket", "dl", "doc_id", "term", "tf"))
-    val dirs = new java.io.File(
-      "/tmp/graft_lake/v1_bm25idx_" + sf.replaceAll("[^A-Za-z0-9.]", "_")
-        + "/full/postings")
+    // derive the dir from the build API — a hardcoded versioned path
+    // goes stale on every idxDir layout bump (r12's v1->v2 bump left
+    // this passing only while a leftover v1 dir survived in /tmp)
+    val dirs = new java.io.File(RetrievalOps.ensureIndex(spark, sf), "postings")
       .listFiles().filter(_.getName.startsWith("bucket="))
     assert(dirs.length > 1, "expected bucket=N partition directories")
   }

@@ -427,6 +427,23 @@ class MaintenanceSqlSpec extends AnyFunSuite {
         .collect().toSeq.map(_.toString) ==
       viaScan(2, 5).filter(_.startsWith("[1,")))
 
+    // QUERY VEC '<floats>' — the embed-the-query shape: probing with
+    // row 1's own embedding must rank row 1 first at cos 1.0, and the
+    // neighbors below it must be exactly QUERY ID 1's result
+    val v1 = graft.sources.Tables.embeddings(spark, sf)
+      .where($"vec_id" === 1).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val byVec = spark.sql(
+      s"ANN INDEX '$idx' QUERY VEC '${v1.mkString(",")}' TOP 6").collect()
+    assert(byVec.head.getLong(0) === -1L, "VEC probes carry the -1 q_id")
+    assert(byVec.head.getLong(2) === 1L && byVec.head.getDouble(3) === 1.0,
+      s"the probed vector's own row must rank first: ${byVec.head}")
+    assert(
+      byVec.drop(1).map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+        spark.sql(s"ANN INDEX '$idx' QUERY ID 1 TOP 5").collect()
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq,
+      "below the self-hit, VEC == ID for the same vector")
+
     // parse-time clamps: the collect is n×k result rows, never the corpus
     intercept[IllegalArgumentException] {
       spark.sql(s"ANN INDEX '$idx' QUERY FIRST 2 TOP 999999999")

@@ -179,6 +179,72 @@ class StreamingAnnSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("followLakePq: the streamed IVF-PQ index serves ADC+rerank identical to a full re-encode of the live table") {
+    val base = "/tmp/graft_lake_test/stream_ann_follow_pq"
+    val lake = s"$base/lake"
+    val dir = s"$base/index"
+    rm(new java.io.File(base))
+
+    val cents = Similarity.annCentroids(spark, sf)
+    val book = Similarity.annCodebook(spark, sf)
+    val all = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp"))
+    graft.sources.LakeIO.writeLake(all.where($"vec_id" < 400), lake)
+
+    val queries = Tables.embeddings(spark, sf).where($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+    def served(): Seq[String] = {
+      val (cells, tombs) = StreamingAnn.readFollowIndex(spark, dir)
+      Similarity.ivfPqTopKFromFollowIndex(queries, cents, book, cells, tombs)
+        .collect().toSeq.map(_.toString)
+    }
+    // ground truth: the frozen-artifact IVF-PQ probe over a fresh
+    // re-encode + re-assignment of the live table (encode/assign are
+    // pure per-row functions of the frozen trainers, so streamed ==
+    // rebuilt must hold row-identically)
+    def overLive(live: org.apache.spark.sql.DataFrame): Seq[String] =
+      Similarity.ivfPqTopK(live, cents, Similarity.ivfAssign(live, cents),
+        Similarity.pqEncode(live, book), book, numQueries = 5, k = 10)
+        .collect().toSeq.map(_.toString)
+
+    val q = StreamingAnn.followLakePq(
+      spark.readStream.format("graft-lake-cdf").load(lake),
+      cents, book, dir, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(served() == overLive(
+        Tables.embeddings(spark, sf).where($"vec_id" < 400)
+          .select($"vec_id", $"embedding")),
+        "backfill: streamed codes must serve like a full re-encode")
+
+      graft.sources.LakeIO.evolveAppend(all.where($"vec_id" >= 400), lake)
+      graft.sources.LakeIO.deleteWhereMoR(spark, lake, $"vec_id" % 7 === 6)
+      q.processAllAvailable()
+      val live = Tables.embeddings(spark, sf).where($"vec_id" % 7 =!= 6)
+        .select($"vec_id", $"embedding")
+      assert(served() == overLive(live),
+        "deletes must be excluded generation-aware from the ADC candidates")
+
+      graft.sources.LakeIO.updateWhereMoR(spark, lake,
+        $"vec_id" % 11 === 7 && $"vec_id" >= 5,
+        Seq("embedding" -> reverse($"embedding")))
+      q.processAllAvailable()
+      val liveUpdated = live.withColumn("embedding",
+        when($"vec_id" % 11 === 7 && $"vec_id" >= 5, reverse($"embedding"))
+          .otherwise($"embedding"))
+      assert(served() == overLive(liveUpdated),
+        "updated vectors must serve their re-encoded NEW codes")
+
+      // purge (shared compactFollow — layout names are followLake's):
+      // dead code rows dropped, tombstones cleared, probe identical
+      val expected = served()
+      val (bef, aft) = StreamingAnn.compactFollow(spark, dir)
+      assert(aft < bef, s"purge must shrink files ($bef -> $aft)")
+      assert(StreamingAnn.readFollowIndex(spark, dir)._2.count() == 0L)
+      assert(served() == expected, "post-purge probe must be identical")
+    } finally q.stop()
+  }
+
   test("purging compaction drops deleted vectors: purged index == rebuild over live") {
     val dir = "/tmp/graft_lake_test/stream_ann_purge/index"
     rm(new java.io.File(dir).getParentFile)
