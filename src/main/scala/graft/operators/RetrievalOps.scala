@@ -718,6 +718,22 @@ object RetrievalOps {
             numQueries = 1, k = 100, nprobe = 2)
             .select($"vec_id", $"rn".as("r_vec")))
       },
+      hybridRrfAnnSql),
+
+    // The same both-sides-indexed fusion reached through ONE SQL
+    // statement — HYBRID QUERY '<terms>' BM25 INDEX … ANN INDEX … ID 0
+    // (GraftHybridCommand): text probe, dense probe and RRF fusion all
+    // behind the reference's SQL-first serving surface. The ANN index is
+    // the CREATE ANN INDEX artifact (identical centroids by training
+    // determinism), so this op shares hybrid_rrf_ann's oracle VERBATIM —
+    // the hash-match certifies the statement end-to-end.
+    Op("hybrid_rrf_sql",
+      (s, d) => {
+        val bm25Dir = ensureIndex(s, d)
+        val annDir = Similarity.annSqlIndex(s, d)
+        s.sql(s"HYBRID QUERY 'vector join slow' BM25 INDEX '$bm25Dir' " +
+          s"ANN INDEX '$annDir' ID 0 TOP 10")
+      },
       hybridRrfAnnSql)
   )
 
@@ -749,7 +765,14 @@ object RetrievalOps {
     * 1/(60+r) decimals with an absent side contributing 0, bounded-heap
     * top-10.
     */
-  private def fuseRrf(rt: DataFrame, rv: DataFrame): DataFrame = {
+  /** [[fuseRrf]] for callers outside the module (the `HYBRID QUERY` SQL
+    * command): rt = (doc_id, r_text), rv = (vec_id, r_vec), both top-100
+    * candidate lists from their index probes.
+    */
+  def fuseRrfRanks(rt: DataFrame, rv: DataFrame, k: Int = 10): DataFrame =
+    fuseRrf(rt, rv, k)
+
+  private def fuseRrf(rt: DataFrame, rv: DataFrame, k: Int = 10): DataFrame = {
         // CACHE LIFETIME: the returned DataFrame is lazy, so this op
         // cannot unpersist before the caller evaluates it — the ≤200-row
         // entry lives until `spark.catalog.clearCache()` (Bench runs it
@@ -763,7 +786,7 @@ object RetrievalOps {
 
         val top = topKRanked(
           fused.select(($"rrf_dec" * 1000000).cast("long").as("score"), $"id"),
-          10, "id", "rk").drop("score")
+          k, "id", "rk").drop("score")
 
         top.join(fused, "id")
           .select($"id", $"r_text", $"r_vec", $"rrf_dec".cast("double").as("rrf"), $"rk")

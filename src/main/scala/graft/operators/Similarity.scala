@@ -362,7 +362,14 @@ object Similarity {
         i => slice($"e", i * $"len" + 1, $"len"))))
       .select($"vec_id", $"pos".cast("long").as("sub"), $"col".as("sv"))
       .persist(lvl)
-    var cents = v.where($"vec_id" < k)
+    // seeds = the k SMALLEST vec_ids (kmeansFit's rule) — identical to
+    // `vec_id < k` on a dense-id corpus (what the unrolled SQL oracle
+    // replays), but a sparse-id corpus (hashed ids, a sampled slice)
+    // still gets k real seeds instead of silently collapsing to however
+    // many ids happen to fall under k — a one-centroid codebook encodes
+    // every vector to code 0 and ADC degenerates to a tie
+    val seedIds = v.select($"vec_id").distinct().orderBy($"vec_id").limit(k)
+    var cents = v.join(broadcast(seedIds), Seq("vec_id"))
       .select($"sub", $"vec_id".as("c_id"), $"sv".as("ce"))
       .persist(lvl)
     cents.count()
@@ -924,13 +931,18 @@ object Similarity {
           transform(element_at($"cball", i + 1), c =>
             dot(slice($"qe", i * $"len" + 1, $"len"), c("ce"))))).as("qtab")))
     val t = tombstones.select($"vec_id".as("t_id"), $"gen".as("t_gen"))
-    val idx = index.select($"vec_id", asDouble($"embedding").as("e"),
-      $"nrm", $"codes", $"cell".cast("long").as("cell"), $"gen")
+    val idx = index.select($"vec_id", $"embedding", $"nrm", $"codes",
+      $"cell".cast("long").as("cell"), $"gen")
     val live = idx.join(broadcast(t),
       idx("vec_id") === t("t_id") && idx("gen") < t("t_gen"), "left_anti")
-    val cand = live.join(qcells, Seq("cell")).where($"vec_id" =!= $"q_id")
+    // ADC ranks a CODES-ONLY projection: the float column never enters
+    // the ranking scan, join or rank shuffle (codes are ~16 B/row vs
+    // ~256 B of floats — at scale the ADC pass is what touches every
+    // candidate, so its bytes dominate probe cost)
+    val cand = live.select($"vec_id", $"nrm", $"codes", $"cell")
+      .join(qcells, Seq("cell")).where($"vec_id" =!= $"q_id")
     val approx = cand.join(qtab, Seq("q_id"))
-      .select($"q_id", $"vec_id", $"e", $"qn", $"nrm",
+      .select($"q_id", $"vec_id", $"qn", $"nrm",
         aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0),
           (acc, i) => acc + element_at($"qtab",
             (i * (size($"qtab") / size($"codes")) +
@@ -940,7 +952,14 @@ object Similarity {
       .withColumn("ark", row_number().over(
         Window.partitionBy($"q_id").orderBy($"acos".desc, $"vec_id")))
       .where($"ark" <= rerank * k)
-    approx.join(broadcast(qv), Seq("q_id"))
+    // floats are touched ONLY here: the ≤ rerank×k shortlist joins back
+    // to the probed cells' vector column (broadcast of the tiny
+    // shortlist; the scan stays bounded by the probe's working set)
+    val vecSide = live
+      .join(broadcast(qcells.select($"cell").distinct()), Seq("cell"))
+      .select($"vec_id", asDouble($"embedding").as("e"))
+    vecSide.join(broadcast(approx.select($"q_id", $"vec_id")), Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
       .select($"q_id", $"vec_id",
         round(dot($"qe", $"e") / (norm($"qe") * norm($"e")), 6).as("cos"))
       .withColumn("rn", row_number().over(

@@ -92,6 +92,8 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?ANN\s+INDEX\s+'([^']+)'\s+FROM\s+([\w.`'/-]+?)\s*;?\s*""".r
   private val OptimizeAnn =
     """(?is)\s*OPTIMIZE\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
+  private val Hybrid =
+    """(?is)\s*HYBRID\s+QUERY\s+'([^']+)'\s+BM25\s+INDEX\s+'([^']+)'\s+ANN\s+INDEX\s+'([^']+)'\s+(?:ID\s+(\d+)|VEC\s+'([^']+)')(?:\s+TOP\s+(\d+))?(?:\s+NPROBE\s+(\d+))?\s*;?\s*""".r
   private val DescribeAnn =
     """(?is)\s*DESC(?:RIBE)?\s+ANN\s+INDEX\s+'([^']+)'\s*;?\s*""".r
 
@@ -189,6 +191,16 @@ case class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAnnBuildCommand(dir, lakeRoot(table), replace != null)
     case OptimizeAnn(dir) =>
       GraftAnnMaintainCommand(dir)
+    case Hybrid(terms, bm25Dir, annDir, id, vec, k, nprobe) =>
+      val kk = Option(k).map(_.toInt).getOrElse(10)
+      require(kk >= 1 && kk <= 10000,
+        s"HYBRID QUERY … TOP $kk: k must be in [1, 10000]")
+      GraftHybridCommand(
+        terms.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty).toSeq,
+        bm25Dir, annDir, Option(id).map(_.toLong),
+        Option(vec).map(_.split(",").map(_.trim.toFloat).toSeq),
+        kk, Option(nprobe).map(_.toInt).getOrElse(2))
     case DescribeAnn(dir) =>
       GraftAnnDescribeCommand(dir)
     case _ => delegate.parsePlan(sqlText)
@@ -348,6 +360,42 @@ case class GraftBm25DescribeCommand(indexDir: String)
       if (st.isNullAt(0)) null else st.getLong(0),
       if (st.isNullAt(1)) null else st.getLong(1),
       nTombs))
+  }
+}
+
+/** `HYBRID QUERY '<terms>' BM25 INDEX '<dir>' ANN INDEX '<dir>'
+  * (ID id | VEC '<f,f,…>') [TOP k] [NPROBE p]` — reciprocal-rank fusion
+  * served ENTIRELY from the two indexes through one SQL statement: the
+  * text side is the inverted-index probe at k=100
+  * ([[graft.streaming.StreamingPostings.bm25TopK]] — tombstone-corrected
+  * when the index is lake-following), the dense side is the IVF probe at
+  * k=100 ([[graft.streaming.StreamingAnn.annTopK]] — same frozen/follow
+  * dispatch, ID or raw-VEC query), and the fusion is the hybrid_rrf
+  * contract (1/(60+r) decimals, absent side contributes 0, bounded-heap
+  * top-k). Zero corpus scans, zero re-tokenizes — the production
+  * retrieval stack's serving path as one statement. The eager collect is
+  * the k fused result rows.
+  */
+case class GraftHybridCommand(terms: Seq[String], bm25Dir: String,
+    annDir: String, queryId: Option[Long], queryVec: Option[Seq[Float]],
+    k: Int, nprobe: Int) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.DoubleType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("id", LongType, nullable = true)(),
+    AttributeReference("r_text", LongType, nullable = true)(),
+    AttributeReference("r_vec", LongType, nullable = true)(),
+    AttributeReference("rrf", DoubleType, nullable = true)(),
+    AttributeReference("rk", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val rt = graft.streaming.StreamingPostings
+      .bm25TopK(session, bm25Dir, terms, k = 100)
+      .select(col("doc_id"), col("rk").as("r_text"))
+    val rv = graft.streaming.StreamingAnn
+      .annTopK(session, annDir, None, queryId, k = 100, nprobe, queryVec)
+      .select(col("vec_id"), col("rn").as("r_vec"))
+    graft.operators.RetrievalOps.fuseRrfRanks(rt, rv, k)
+      .collect().toIndexedSeq
   }
 }
 

@@ -524,6 +524,55 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(viaSql() == expected, "post-purge serving must be unchanged")
   }
 
+  test("HYBRID QUERY fuses the two index probes through one statement") {
+    import graft.operators.{RetrievalOps, Similarity}
+    val sf = graft.SharedSpark.sf
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid_sql")
+      .toString
+    val docsLake = s"$base/docs"
+    val vecsLake = s"$base/vecs"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .withColumn("ts", ($"doc_id" + lit(1705017600L)).cast("timestamp"))
+    LakeIO.writeLake(docs, docsLake)
+    LakeIO.writeLake(
+      graft.sources.Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding")
+        .withColumn("ts", ($"vec_id" + lit(1705017600L)).cast("timestamp")),
+      vecsLake)
+    spark.sql(s"CREATE BM25 INDEX '$base/bm25' FROM '$docsLake'")
+    spark.sql(s"CREATE ANN INDEX '$base/ann' FROM '$vecsLake'")
+
+    // the statement == the composed Scala probes, row for row
+    val got = spark.sql(s"HYBRID QUERY 'vector join slow' " +
+      s"BM25 INDEX '$base/bm25' ANN INDEX '$base/ann' ID 0 TOP 5")
+      .collect().toSeq.map(_.toString)
+    val expected = RetrievalOps.fuseRrfRanks(
+      graft.streaming.StreamingPostings
+        .bm25TopK(spark, s"$base/bm25", k = 100)
+        .select($"doc_id", $"rk".as("r_text")),
+      graft.streaming.StreamingAnn
+        .annTopK(spark, s"$base/ann", None, Some(0L), k = 100)
+        .select($"vec_id", $"rn".as("r_vec")),
+      k = 5).collect().toSeq.map(_.toString)
+    assert(got == expected)
+    assert(got.size === 5)
+
+    // VEC form: the raw-vector probe serves (q_id -1 never collides
+    // with a doc id, so the fusion sees it as a pure dense candidate)
+    val v0 = graft.sources.Tables.embeddings(spark, sf)
+      .where($"vec_id" === 0).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    assert(spark.sql(s"HYBRID QUERY 'vector join slow' " +
+      s"BM25 INDEX '$base/bm25' ANN INDEX '$base/ann' " +
+      s"VEC '${v0.mkString(",")}' TOP 5").collect().length === 5)
+
+    intercept[IllegalArgumentException] {
+      spark.sql(s"HYBRID QUERY 'a' BM25 INDEX '$base/bm25' " +
+        s"ANN INDEX '$base/ann' ID 0 TOP 999999")
+    }
+  }
+
   test("the parser intercept is additive: ordinary SQL still parses") {
     attach()
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
