@@ -14,6 +14,13 @@ for t in ['region','nation','customer','supplier','part','orders',
     con.execute(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+# key-count + sorted-key-manifest hash: three long-green keys silently
+# vanished from the driver's r13 correctness artifact (no err rows, just
+# absent) — this line makes a shrunken key set detectable in one diff
+# against Verify's identical line.
+import hashlib
+ksha = hashlib.sha256('\n'.join(sorted(oracle)).encode()).hexdigest()[:12]
+print(f'keys={len(oracle)} sha={ksha}')
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:

@@ -78,7 +78,15 @@ object Fixtures {
     try {
       val futs = tasks.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = fn(spark.newSession(), sfDir)
+          def call(): Unit = {
+            val t0 = System.nanoTime()
+            fn(spark.newSession(), sfDir)
+            val dt = (System.nanoTime() - t0) / 1e9
+            // per-task walls on stderr: a cold prebuild self-profiles, so
+            // "which fixture dominates the cold gate" is answered from
+            // the log instead of a dedicated instrumented re-run
+            if (dt > 1.0) System.err.println(f"[fixtures] $name%-22s $dt%7.1f s")
+          }
         })
       }
       // fail LOUDLY with the task name: a silently-missing fixture makes

@@ -47,14 +47,33 @@ object Verify {
     // only): serialized cold fixture builds inside the dump loop are
     // the same wall-clock sink that timed out the r12 driver bench.
     if (only.isEmpty) Fixtures.prebuildAll(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name))
-        try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    // Dump CONCURRENTLY (VERDICT r13 #2): 195 serial coalesce(1) writes
+    // left the 32-core host ~1-2-cores busy for ~11 of the cold gate's
+    // 23 minutes on the judge sandbox. Each task gets its OWN
+    // newSession (the Fixtures isolation rule: session-conf mutation in
+    // an op stays invisible to siblings) and writes its own directory,
+    // so tasks are independent; the pool size caps concurrent jobs so
+    // the scheduler back-fills executor cores across query tails
+    // (optimization guide §2.6).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
+    val futs = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if keep(name) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val s = spark.newSession()
+            ntz(fn(s, sfDir)).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
+        })
     }
+    futs.foreach { case (name, f) =>
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        System.err.println(s"[verify] $name failed: ${e.getCause.getMessage}")
+      }
+    }
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -70,6 +89,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // key-count + sorted-key-manifest hash (VERDICT r13 #3): three
+    // long-green keys silently vanished from the driver's r13
+    // correctness set with no err rows. This line (and check_oracle's
+    // identical one) makes a driver artifact that dropped keys
+    // detectable in one diff.
+    val keySet = SparkEntry.oracleSql.keys.toSeq.filter(keep).sorted
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(keySet.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    println(s"keys=${keySet.size} sha=$sha")
     spark.stop()
   }
 }

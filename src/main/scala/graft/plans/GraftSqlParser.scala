@@ -277,8 +277,13 @@ case class GraftBm25BuildCommand(indexDir: String, tableRoot: String,
         new java.io.File(dirF, "stats").isDirectory ||
         new java.io.File(dirF, "_graft_buckets").exists() ||
         new java.io.File(dirF, "_graft_postings_batches").exists()
+    // A regular FILE at the path must refuse too: listFiles() is null on
+    // files, and None.forall is vacuously true — a mistyped file target
+    // would silently pass the guard and be rmDir'd (the exact failure
+    // class this guard exists to stop). Only absent paths, EMPTY
+    // directories, or index-shaped dirs pass without OR REPLACE.
     val isEmptyOrAbsent = !dirF.exists() ||
-      Option(dirF.listFiles()).forall(_.isEmpty)
+      (dirF.isDirectory && Option(dirF.listFiles()).forall(_.isEmpty))
     require(replace || isEmptyOrAbsent || isIndexShaped,
       s"CREATE BM25 INDEX: '$indexDir' exists and is not a BM25 index — " +
         "refusing to delete it (a lake table or other data would be " +
@@ -475,8 +480,10 @@ case class GraftAnnBuildCommand(indexDir: String, tableRoot: String,
       new java.io.File(dirF, "cells").isDirectory ||
         new java.io.File(dirF, "centroids").isDirectory ||
         new java.io.File(dirF, "_graft_ann_batches").exists()
+    // same file-target refusal as the BM25 guard: listFiles() is null on
+    // a regular file and None.forall is vacuously true
     val isEmptyOrAbsent = !dirF.exists() ||
-      Option(dirF.listFiles()).forall(_.isEmpty)
+      (dirF.isDirectory && Option(dirF.listFiles()).forall(_.isEmpty))
     require(replace || isEmptyOrAbsent || isIndexShaped,
       s"CREATE ANN INDEX: '$indexDir' exists and is not an ANN index — " +
         "refusing to delete it (a lake table or other data would be " +

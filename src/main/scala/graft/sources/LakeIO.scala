@@ -2381,7 +2381,8 @@ object LakeIO {
     def walk(from: java.io.File, to: java.io.File): Unit = {
       to.mkdirs()
       Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName == "_graft_idx" || f.getName.startsWith("_graft_bloom_")) ()
+        if (f.getName == "_graft_idx" || f.getName.startsWith("_graft_bloom_") ||
+            f.getName == "_SUCCESS") ()
         else {
           val t = new java.io.File(to, f.getName)
           if (f.isDirectory) walk(f, t)
@@ -2395,6 +2396,14 @@ object LakeIO {
       }
     }
     walk(new java.io.File(src), new java.io.File(dst))
+    // `_SUCCESS` is the write-once commit marker callers key their guards
+    // on — it must appear ONLY after every byte of metadata is in place
+    // (markCommitted's ordering). listFiles() order is unspecified, so
+    // copying it during the walk could mark a crash-truncated clone as
+    // committed forever; write it explicitly as the last step instead.
+    java.nio.file.Files.write(
+      new java.io.File(dst, "_SUCCESS").toPath, Array.empty[Byte])
+    ()
   }
 
   /** Two-snapshot append-only demo lake shared by the CDC keyed ops:

@@ -204,10 +204,16 @@ object StreamingPostings {
     val marker = new java.io.File(indexDir, MigMarker)
     if (marker.exists()) { // phase 2: roll FORWARD — finish the deletes
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(marker.toPath).asScala
-        .filter(_.nonEmpty)
-        .foreach { r => new java.io.File(indexDir, r).delete(); () }
-      marker.delete()
+      val listed = java.nio.file.Files.readAllLines(marker.toPath).asScala
+        .filter(_.nonEmpty).map(r => new java.io.File(indexDir, r))
+      listed.foreach { f => f.delete(); () }
+      // The marker may only fall once EVERY listed flat is confirmed
+      // gone: a surviving flat with no marker makes the next entry
+      // phase-1-roll-back the COMMITTED mig- generation and re-migrate
+      // from the survivors alone — the deleted flats' tombstone rows
+      // would be lost and those docs would resurrect in probes. Keep
+      // the marker (retry roll-forward next entry) otherwise.
+      if (listed.forall(!_.exists())) { marker.delete(); () } else return
     }
     val flats = flatTombFiles(indexDir)
     if (flats.isEmpty) return
@@ -241,8 +247,12 @@ object StreamingPostings {
       flats.map(f => "tombstones/" + f.getName)
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     tmp.renameTo(marker) // commit point: flats now redundant
-    flats.foreach(_.delete())
-    marker.delete()
+    flats.foreach { f => f.delete(); () }
+    // same rule as roll-forward: marker falls only when every flat is
+    // confirmed gone; a survivor keeps the marker so the next entry
+    // retries the deletes instead of rolling back the committed
+    // generation and losing the deleted flats' rows
+    if (flats.forall(!_.exists())) { marker.delete(); () }
     ()
   }
 

@@ -168,4 +168,22 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean quantized recall@10 = $mean")
   }
+
+  test("exact all-pairs tiers refuse over-limit inputs, pointing at the ANN tier") {
+    // own session: spark.graft.exact.maxRows is session conf, must not
+    // leak into sibling tests
+    val s = spark.newSession()
+    s.conf.set("spark.graft.exact.maxRows", "7")
+    import s.implicits._
+    val big = (0L until 8L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val eBrute = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, numQueries = 2, k = 3)
+    }
+    assert(eBrute.getMessage.contains("spark.graft.exact.maxRows"))
+    assert(eBrute.getMessage.contains("similarity_ivf"))
+    // at/under the limit the guard is silent and results are unchanged
+    s.conf.set("spark.graft.exact.maxRows", "8")
+    assert(Similarity.bruteForceTopK(big, numQueries = 1, k = 3).count() === 3)
+  }
 }
