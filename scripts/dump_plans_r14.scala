@@ -20,9 +20,10 @@ val defaultKeys = Seq(
   "lake_update_where_mor", "lake_merge_upsert_mor", "lake_rename_read",
   "sample_importance", "tfidf_top_terms", "similarity_ivfpq_follow",
   "lake_changefeed")
-val keys = sys.env.get("SPARK_GRAFT_PLAN_KEYS")
+// parens: -I runs line-interpreted, a split chain silently truncates
+val keys = (sys.env.get("SPARK_GRAFT_PLAN_KEYS")
   .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-  .getOrElse(defaultKeys)
+  .getOrElse(defaultKeys))
 val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
 val d = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
 java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r14"))

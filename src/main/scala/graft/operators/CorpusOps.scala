@@ -63,9 +63,28 @@ object CorpusOps {
 
   def bpeTrainOn(corpus: DataFrame, k: Int): (Seq[(String, String, Long)], Long) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val words0 = symbolWordFreq(corpus).persist(lvl)
-    val alphabet = words0.select(explode(split($"s", " ")).as("sym"))
+    val words0raw = symbolWordFreq(corpus).persist(lvl)
+    val alphabet = words0raw.select(explode(split($"s", " ")).as("sym"))
       .agg(countDistinct($"sym")).head().getLong(0)
+    // Scale-adaptive iteration layout (r14, guide §2): every merge
+    // iteration runs TWO vocab-sized jobs (pair-count argmax, then the
+    // regexp derivation) over this cached table, so its partition count
+    // is paid 2k times. Derive it from the MEASURED vocabulary size
+    // (the count is a cached-table pass — the alphabet job above just
+    // materialized it) instead of inheriting defaultParallelism: a
+    // demo-corpus vocabulary of dozens of rows otherwise spreads over
+    // 32 near-empty cache partitions and each iteration is pure task
+    // scheduling; a production vocabulary (millions of distinct words)
+    // keeps full parallelism. coalesce is a narrow re-read of the
+    // already-cached blocks — results are partitioning-invariant.
+    val nWords = words0raw.count()
+    val iterParts = math.max(1, math.min(
+      corpus.sparkSession.sparkContext.defaultParallelism,
+      math.ceil(nWords / 4096.0).toInt))
+    val words0 =
+      if (iterParts < corpus.sparkSession.sparkContext.defaultParallelism)
+        words0raw.coalesce(iterParts)
+      else words0raw
     var words = words0
     var parent: Option[DataFrame] = None // cached parent of `words`
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -100,13 +119,16 @@ object CorpusOps {
           regexp_replace($"s", pat,
             java.util.regex.Matcher.quoteReplacement(l + r)).as("s"), $"f")
           .persist(lvl)
-        parent = Some(words) // stays cached until `next` is materialized
+        // stays cached until `next` is materialized; generation 0 is a
+        // coalesce VIEW of words0raw — unpersisting the view is a no-op,
+        // so track the actually-cached base instead
+        parent = Some(if (words eq words0) words0raw else words)
         words = next
       }
       }
     }
     parent.foreach { p => p.unpersist(); () }
-    words.unpersist()
+    if (words eq words0) words0raw.unpersist() else words.unpersist()
     (merges.toSeq, alphabet)
   }
 

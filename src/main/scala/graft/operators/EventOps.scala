@@ -791,7 +791,13 @@ object EventOps {
     // and this exact form is for bounded slices.
     Op("profile_table",
       (s, d) => {
-        val e = ev(s, d)
+        // fan-out (r14): the Expand-based exact multi-distinct multiplies
+        // every row ×6 BEFORE the partial aggregate, and a demo-scale
+        // events table is one scan split — measured 2.1 s single-task at
+        // sf0.1 on 32 cores. Conditional: a production table's scan has
+        // thousands of splits and no exchange is added (an unconditional
+        // repartition would re-shuffle the full table).
+        val e = graft.syntax.fanOutNarrowScan(ev(s, d))
         def nullsOf(c: String) =
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(c + "_nulls")
         val agg = e.agg(

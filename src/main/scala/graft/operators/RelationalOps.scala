@@ -605,10 +605,21 @@ object RelationalOps {
     // l_partkey; AQE coalesces the tiny dimension joins.
     Op("q2_min_cost_supplier",
       (s, d) => {
+        // ONE exchange for agg + window (r14, guide §2.4 "share the
+        // exchange"): hash-partition on l_partkey up front — it
+        // satisfies the (l_partkey, l_suppkey) aggregate's clustering
+        // (subset key) AND the window's, so the plan drops from two
+        // exchanges (pairs, then partkey) to one. Partial aggregation
+        // lost nothing: (l_partkey, l_suppkey) pairs are ~unique in
+        // lineitem (590,973 distinct / 600,000 rows at sf0.1), so the
+        // removed map-side agg was shuffling the same row count anyway.
         val cost = Tables.lineitem(s, d)
+          .select($"l_partkey", $"l_suppkey",
+            round($"l_extendedprice" / $"l_quantity", 6)
+              .cast(DecimalType(18, 6)).as("uc"))
+          .repartition($"l_partkey")
           .groupBy($"l_partkey", $"l_suppkey")
-          .agg(min(round($"l_extendedprice" / $"l_quantity", 6).cast(DecimalType(18, 6)))
-            .as("unit_cost"))
+          .agg(min($"uc").as("unit_cost"))
         // best-per-part as a KEYED window min (partitionBy l_partkey:
         // millions of small groups at scale, never a global funnel) —
         // one lineitem scan; the agg+self-join formulation scanned and

@@ -282,27 +282,36 @@ object TextOps {
     // trained on the corpus: MLE bigram model P(w2|w1) = C(w1,w2)/C(w1·),
     // each doc scored by its mean log conditional probability (docs full
     // of corpus-typical word transitions score high; noise scores low).
-    // Shape at 100 TB: bigram extraction is map-only (array transform,
-    // no shuffle); the model is TWO keyed aggregates and the scoring is
-    // keyed joins on (w1,w2)/(w1) — vocabulary-sized keys, never an
-    // unbounded broadcast. Per-term logs round at 6 dp into
+    // Shape at 100 TB (r14 rework, guide §1.2/§2.3): bigram extraction
+    // is map-only (array transform, no shuffle); the corpus explode runs
+    // TWICE (model pass + scoring pass) and never three times — the
+    // unigram table derives from the bigram table (C(w1·) = Σ_w2
+    // C(w1,w2), a vocabulary-sized re-aggregate) instead of a third
+    // corpus pass, and the per-pair log probability is pre-joined on the
+    // vocabulary-sized side so the corpus joins ONCE on (w1,w2) instead
+    // of once on the pair and again on w1. Vocabulary-sized keys, never
+    // an unbounded broadcast. Per-term logs round at 6 dp into
     // DECIMAL(18,6) (the rarity_score recipe) so the distributed sum is
     // order-independent and hash-exact against the oracle.
     Op("lm_score_bigram",
       (s, d) => {
         val arr = filter(toks($"text"), t => length(t) > 0)
-        val docsT = docs(s, d).select($"doc_id", arr.as("a"))
+        val docsT = docs(s, d)
+          .select($"doc_id", arr.as("a"))
           .where(size($"a") >= 2)
         val bg = docsT.select($"doc_id", explode(
             expr("transform(sequence(0, size(a)-2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
             .as("b"))
           .select($"doc_id", $"b.w1", $"b.w2")
         val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-        val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
-        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .select($"doc_id",
+        // C(w1·) from the bigram counts: Σ_w2 C(w1,w2) ≡ count of bigram
+        // instances led by w1 — identical to aggregating the corpus again
+        val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+        val lp = c12.join(c1, Seq("w1"))
+          .select($"w1", $"w2",
             round(log($"c12".cast("double") / $"c1".cast("double")), 6)
               .cast("decimal(18,6)").as("lp"))
+        bg.join(lp, Seq("w1", "w2"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
           .select($"doc_id", $"n_bigrams",
